@@ -1,0 +1,85 @@
+"""Engine configuration.
+
+Mirrors Debezium's connector config surface (reference:
+``debezium-core/src/main/java/io/debezium/config/CommonConnectorConfig.java`` and
+``relational/RelationalDatabaseConnectorConfig.java``) reduced to the knobs that are
+meaningful on Spark. Defaults follow the reference where one exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Snapshot modes — reference: MySqlConnectorConfig.java:131-167 (SnapshotMode enum).
+SNAPSHOT_INITIAL = "initial"            # snapshot then stream
+SNAPSHOT_INITIAL_ONLY = "initial_only"  # snapshot, no stream
+SNAPSHOT_NEVER = "never"                # stream only
+SNAPSHOT_SCHEMA_ONLY = "schema_only"    # capture schema, stream from current position
+
+VALID_SNAPSHOT_MODES = {
+    SNAPSHOT_INITIAL,
+    SNAPSHOT_INITIAL_ONLY,
+    SNAPSHOT_NEVER,
+    SNAPSHOT_SCHEMA_ONLY,
+}
+
+
+@dataclass
+class EngineConfig:
+    """All knobs of the CDC engine.
+
+    Attributes map 1:1 to reference configuration options (cited per field).
+    """
+
+    # --- identity / source block (AbstractSourceInfoStructMaker.java:39-48) ---
+    connector: str = "spark-cdc"
+    server_name: str = "repos"          # topic.prefix / logical server name
+    database: str = "lake"
+    version: str = "0.1.0"
+
+    # --- capture filters ---
+    # table.include.list / table.exclude.list regexes
+    # (RelationalDatabaseConnectorConfig.java:212,56-57)
+    table_include: str | None = None
+    table_exclude: str | None = None
+    # column.include.list / column.exclude.list
+    # (RelationalDatabaseConnectorConfig.java:251,266)
+    column_include: list[str] | None = None
+    column_exclude: list[str] | None = None
+    # skipped.operations (CommonConnectorConfig.java:465); ops are {c,u,d,t}
+    skipped_operations: list[str] = field(default_factory=list)
+
+    # --- column mappers (relational/mapping/MaskStrings.java, TruncateStrings.java) ---
+    # {column_name: mask_string} constant masks
+    mask_columns: dict[str, str] = field(default_factory=dict)
+    # {column_name: (salt, hash)} -> salted sha256 masking
+    hash_mask_columns: dict[str, str] = field(default_factory=dict)  # col -> salt
+    # {column_name: max_len}
+    truncate_columns: dict[str, int] = field(default_factory=dict)
+
+    # --- behavior flags ---
+    # tombstones.on.delete default true (EventDispatcher.java:119)
+    tombstones_on_delete: bool = True
+    snapshot_mode: str = SNAPSHOT_INITIAL
+    # event.processing.failure.handling.mode = fail|warn|skip (EventDispatcher.java:244-258)
+    failure_handling: str = "fail"
+    # provide transaction metadata block (pipeline/txmetadata/TransactionMonitor.java)
+    provide_transaction_metadata: bool = False
+
+    # --- batching / replay (ChangeEventQueue.java:62-106 analogues) ---
+    # max offsets pulled into one micro-batch during batch replay
+    max_offsets_per_batch: int = 5_000_000
+    # salt fan-out for the two-phase LWW reduce over hot keys (SURVEY.md §4.1)
+    lww_salt_buckets: int = 32
+
+    # --- target layout ---
+    target_buckets: int = 16            # bucket(16, repo) partitioning (FIXTURES.md §4)
+    key_columns: tuple[str, ...] = ("repo", "path")
+
+    def __post_init__(self) -> None:
+        if self.snapshot_mode not in VALID_SNAPSHOT_MODES:
+            raise ValueError(f"invalid snapshot_mode {self.snapshot_mode!r}")
+        bad = set(self.skipped_operations) - {"c", "u", "d", "t", "r"}
+        if bad:
+            raise ValueError(f"invalid skipped_operations {sorted(bad)}")

@@ -1,0 +1,194 @@
+"""Single-message-transform (SMT) equivalents as DataFrame column algebra.
+
+Each function mirrors a Debezium pipeline operator (SURVEY.md §2.2); all operate on
+envelope DataFrames (key, value, offset, ...) or flat unwrapped rows. Everything is
+Catalyst-expressible — whole-stage codegen, no Python row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def op_skip_filter(env: DataFrame, skipped: list[str]) -> DataFrame:
+    """skipped.operations (EventDispatcher.java:121-122,224): drop selected op codes.
+    Tombstones travel with their delete: a null value row is dropped iff 'd' skipped.
+    """
+    if not skipped:
+        return env
+    op = F.coalesce(F.col("value.op"), F.lit("d"))  # tombstone => belongs to delete
+    return env.where(~op.isin(skipped))
+
+
+def table_filter(
+    df: DataFrame, include: str | None, exclude: str | None, col: str = "table"
+) -> DataFrame:
+    """table.include.list / table.exclude.list regex filters
+    (EventDispatcher.java:189-196; RelationalDatabaseConnectorConfig.java:212,56-57).
+    """
+    if include:
+        df = df.where(F.col(col).rlike(include))
+    if exclude:
+        df = df.where(~F.col(col).rlike(exclude))
+    return df
+
+
+def _map_payload_field(env: DataFrame, column: str, fn) -> DataFrame:
+    """Apply fn(old_col) -> Column to a payload field in both before and after images."""
+    out_value = F.col("value")
+    for side in ("before", "after"):
+        img = out_value.getField(side)
+        new_img = F.when(
+            img.isNotNull(), img.withField(column, fn(img.getField(column)))
+        ).otherwise(img)
+        out_value = F.when(
+            out_value.isNotNull(), out_value.withField(side, new_img)
+        ).otherwise(out_value)
+    return env.withColumn("value", out_value)
+
+
+def mask_column(env: DataFrame, column: str, mask: str) -> DataFrame:
+    """MaskStrings constant mode (relational/mapping/MaskStrings.java): replace the
+    column's value with a constant, preserving nulls."""
+    return _map_payload_field(
+        env, column, lambda c: F.when(c.isNotNull(), F.lit(mask)).otherwise(c)
+    )
+
+
+def hash_mask_column(env: DataFrame, column: str, salt: str) -> DataFrame:
+    """MaskStrings HashValueConverter (MaskStrings.java:1-185, salted SHA-256):
+    value -> sha256(salt || value) hex."""
+    return _map_payload_field(
+        env,
+        column,
+        lambda c: F.when(c.isNotNull(), F.sha2(F.concat(F.lit(salt), c), 256)).otherwise(c),
+    )
+
+
+def truncate_column(env: DataFrame, column: str, max_len: int) -> DataFrame:
+    """TruncateStrings (relational/mapping/TruncateStrings.java:1-74)."""
+    return _map_payload_field(env, column, lambda c: F.substring(c, 1, max_len))
+
+
+def project_columns(
+    env: DataFrame, include: list[str] | None, exclude: list[str] | None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """column.include.list / column.exclude.list
+    (TableSchemaBuilder.java:122-146 filter param): drop payload fields from both
+    images. Key columns are always kept (a key field can't be excluded)."""
+    payload_fields = env.schema["value"].dataType["after"].dataType.fieldNames()
+    keep = [
+        c
+        for c in payload_fields
+        if c in key_cols
+        or ((include is None or c in include) and (exclude is None or c not in exclude))
+    ]
+    v = F.col("value")
+
+    def prune(img: Column) -> Column:
+        return F.when(
+            img.isNotNull(), F.struct(*[img.getField(c).alias(c) for c in keep])
+        )
+
+    new_value = F.when(
+        v.isNotNull(),
+        F.struct(
+            prune(v.getField("before")).alias("before"),
+            prune(v.getField("after")).alias("after"),
+            v.getField("op").alias("op"),
+            v.getField("ts_ms").alias("ts_ms"),
+            v.getField("source").alias("source"),
+            v.getField("transaction").alias("transaction"),
+        ),
+    )
+    return env.withColumn("value", new_value)
+
+
+def content_filter(env: DataFrame, condition: str) -> DataFrame:
+    """Content-based filter SMT (debezium-scripting transforms/Filter.java:43-50):
+    keep records where the SQL expression over the envelope is true. Tombstones are
+    kept (they carry no content)."""
+    return env.where(F.col("value").isNull() | F.expr(condition))
+
+
+def content_router(env: DataFrame, route_expr: str, default: str = "default") -> DataFrame:
+    """Content-based router (debezium-scripting ContentBasedRouter.java): compute a
+    route/topic column from the envelope; downstream writers partition by it."""
+    return env.withColumn(
+        "route",
+        F.when(F.col("value").isNull(), F.lit(default)).otherwise(
+            F.coalesce(F.expr(route_expr), F.lit(default))
+        ),
+    )
+
+
+def logical_table_router(
+    df: DataFrame,
+    topic_regex: str,
+    topic_replacement: str,
+    *,
+    table_col: str = "table",
+    key_field: str = "__dbz__physicalTableIdentifier",
+) -> DataFrame:
+    """ByLogicalTableRouter (transforms/ByLogicalTableRouter.java:56): regex-rewrite
+    the table/topic name to merge shards into one logical table, preserving the
+    physical identity as an extra key field."""
+    return df.withColumn(key_field, F.col(table_col)).withColumn(
+        table_col, F.regexp_replace(F.col(table_col), topic_regex, topic_replacement)
+    )
+
+
+def topic_name(
+    df: DataFrame, *, prefix: str, db_col: str | Column, table_col: str | Column
+) -> DataFrame:
+    """DefaultTopicNamingStrategy (schema/AbstractTopicNamingStrategy.java:89-125):
+    topic = prefix.db.table with non-alphanumerics sanitized to '_'."""
+    db = F.col(db_col) if isinstance(db_col, str) else db_col
+    tb = F.col(table_col) if isinstance(table_col, str) else table_col
+    sanitize = lambda c: F.regexp_replace(c, r"[^a-zA-Z0-9\._\-]", "_")  # noqa: E731
+    return df.withColumn(
+        "topic", F.concat_ws(".", F.lit(prefix), sanitize(db), sanitize(tb))
+    )
+
+
+def outbox_route(
+    df: DataFrame,
+    *,
+    aggregate_type_col: str = "aggregatetype",
+    aggregate_id_col: str = "aggregateid",
+    payload_col: str = "payload",
+    route_prefix: str = "outbox.event.",
+) -> DataFrame:
+    """Outbox EventRouter (transforms/outbox/EventRouter.java): events inserted into
+    an outbox table are routed by aggregate type, keyed by aggregate id, with the
+    payload extracted as the record value."""
+    return df.select(
+        F.concat(F.lit(route_prefix), F.col(aggregate_type_col)).alias("topic"),
+        F.col(aggregate_id_col).alias("key"),
+        F.col(payload_col).alias("value"),
+    ).repartition(F.col("key"))
+
+
+def to_cloudevents(env: DataFrame, *, source_uri: str = "/debezium-spark") -> DataFrame:
+    """CloudEvents converter (converters/CloudEventsConverter.java): envelope ->
+    CloudEvents-attribute JSON string."""
+    return env.select(
+        F.to_json(
+            F.struct(
+                F.concat_ws(
+                    ":", F.lit("id"), F.col("offset").cast("string")
+                ).alias("id"),
+                F.lit(source_uri).alias("source"),
+                F.lit("1.0").alias("specversion"),
+                F.concat(
+                    F.lit("io.debezium.spark.datachangeevent.")
+                    , F.coalesce(F.col("value.op"), F.lit("tombstone"))
+                ).alias("type"),
+                F.col("key").alias("partitionkey"),
+                F.col("value").alias("data"),
+            )
+        ).alias("cloudevent"),
+        F.col("offset"),
+    )

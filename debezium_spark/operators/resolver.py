@@ -1,0 +1,177 @@
+"""Per-key last-writer-wins resolution over the offset total order.
+
+Debezium itself delegates per-key materialization to Kafka log compaction (tombstones
+consumed downstream — EventDispatcher.java:396-420); in Spark we materialize it
+explicitly so the MERGE sees exactly one action per key per batch (SURVEY.md §4.3).
+
+Pieces:
+  * dedup-by-offset — restart/dup protection analogous to the LSN skip in
+    PostgresStreamingChangeEventSource.java:318 (searchWalPosition).
+  * PK-change split — an UPDATE whose key changed becomes DELETE(old key) +
+    CREATE(new key), per RelationalChangeRecordEmitter.java:111-118,160-174. The two
+    derived events share the source offset and are ordered by a sub-sequence column.
+  * salted two-phase max_by reduce — hot repos skew a single groupBy(key); phase 1
+    reduces within (key, salt) partitions (map-side-combine friendly), phase 2 reduces
+    the at-most-`salt_buckets` survivors per key. Window-over-offset ranking
+    (row_number DESC = 1) is semantically identical but cannot partial-aggregate;
+    max_by can, which is what survives 10^10 events.
+
+All pure DataFrame ops — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Resolved-action codes consumed by LakeTable.merge().
+ACTION_UPSERT = "upsert"
+ACTION_DELETE = "delete"
+
+
+def dedup_by_offset(events: DataFrame, *, sub_seq: str | None = None) -> DataFrame:
+    """Drop duplicate offsets (exactly-once within a batch).
+
+    Duplicates arise from replay overlap and deliberate re-delivery; the WAL offset is
+    unique per source event, so (offset, is_tombstone[, seq]) identifies an event.
+    """
+    cols = ["offset"]
+    if "is_tombstone" in events.columns:
+        cols.append("is_tombstone")
+    if sub_seq and sub_seq in events.columns:
+        cols.append(sub_seq)
+    return events.dropDuplicates(cols)
+
+
+def split_pk_changes(
+    env: DataFrame, key_cols: tuple[str, ...] = ("repo", "path")
+) -> DataFrame:
+    """Split key-changing UPDATEs into DELETE(old)+CREATE(new).
+
+    Input: envelope rows (key, value, offset[, tx_id, schema_version]).
+    Output: same schema + ``seq`` (0 default; delete=0 / create=1 for split pairs) so
+    that ordering by (offset, seq) preserves Debezium's emission order
+    (RelationalChangeRecordEmitter.java:160-174: delete first, then create).
+    """
+    v = F.col("value")
+    before_key = F.struct(*[v.getField("before").getField(c).alias(c) for c in key_cols])
+    after_key = F.struct(*[v.getField("after").getField(c).alias(c) for c in key_cols])
+    is_split = (
+        v.isNotNull()
+        & (v.getField("op") == "u")
+        & v.getField("before").isNotNull()
+        & v.getField("after").isNotNull()
+        & (before_key != after_key)
+    )
+
+    passthrough = env.where(~F.coalesce(is_split, F.lit(False))).withColumn(
+        "seq", F.lit(0)
+    )
+
+    split_src = env.where(F.coalesce(is_split, F.lit(False)))
+    vt = env.schema["value"].dataType
+    payload_t = vt["after"].dataType
+
+    delete_value = F.struct(
+        v.getField("before").alias("before"),
+        F.lit(None).cast(payload_t).alias("after"),
+        F.lit("d").alias("op"),
+        v.getField("ts_ms").alias("ts_ms"),
+        v.getField("source").alias("source"),
+        v.getField("transaction").alias("transaction"),
+    )
+    create_value = F.struct(
+        F.lit(None).cast(payload_t).alias("before"),
+        v.getField("after").alias("after"),
+        F.lit("c").alias("op"),
+        v.getField("ts_ms").alias("ts_ms"),
+        v.getField("source").alias("source"),
+        v.getField("transaction").alias("transaction"),
+    )
+    extra = [c for c in env.columns if c not in ("key", "value", "offset")]
+    deletes = split_src.select(
+        before_key.alias("key"), delete_value.alias("value"), F.col("offset"),
+        *extra, F.lit(0).alias("seq"),
+    )
+    creates = split_src.select(
+        after_key.alias("key"), create_value.alias("value"), F.col("offset"),
+        *extra, F.lit(1).alias("seq"),
+    )
+    return passthrough.select(deletes.columns).unionByName(deletes).unionByName(creates)
+
+
+def resolve_lww(
+    env: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Reduce envelope rows to one action per key: the last writer by (offset, seq).
+
+    Tombstones (value IS NULL) and deletes both resolve to ACTION_DELETE; everything
+    else upserts its ``after`` image. Two-phase salted reduce (SURVEY.md §4.1):
+
+      phase 1: groupBy(key, salt) . agg(max_by(event, (offset, seq)))   -- partial
+      phase 2: groupBy(key)       . agg(max_by(event, (offset, seq)))   -- final
+
+    Returns: key_cols*, action, after(payload struct), _offset, _ts_ms.
+    """
+    seq = F.col("seq") if "seq" in env.columns else F.lit(0)
+    ordk = F.struct(F.col("offset").alias("o"), seq.cast("int").alias("s"))
+    ev = env.select(
+        *[F.col("key").getField(c).alias(c) for c in key_cols],
+        F.struct(
+            F.col("value").alias("value"),
+            F.col("offset").alias("offset"),
+            seq.cast("int").alias("seq"),
+        ).alias("_ev"),
+        ordk.alias("_ord"),
+        F.pmod(F.xxhash64(F.col("offset"), F.lit(7)), F.lit(salt_buckets)).alias("_salt"),
+    )
+    phase1 = ev.groupBy(*key_cols, "_salt").agg(
+        F.max_by("_ev", "_ord").alias("_ev"), F.max("_ord").alias("_ord")
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(F.max_by("_ev", "_ord").alias("_ev"))
+
+    win = F.col("_ev")
+    val = win.getField("value")
+    is_delete = val.isNull() | (val.getField("op") == "d")
+    return phase2.select(
+        *key_cols,
+        F.when(is_delete, F.lit(ACTION_DELETE)).otherwise(F.lit(ACTION_UPSERT)).alias("action"),
+        F.when(~is_delete, val.getField("after")).alias("after"),
+        win.getField("offset").alias("_offset"),
+        F.when(val.isNotNull(), val.getField("ts_ms")).alias("_ts_ms"),
+    )
+
+
+def transaction_metadata(env: DataFrame) -> DataFrame:
+    """Per-event transaction block (TransactionMonitor.java:56-72,122-135):
+    transaction{id, total_order, data_collection_order} where total_order ranks events
+    within a tx and data_collection_order ranks within (tx, table). With a single
+    captured table the two coincide; kept separate for parity.
+    """
+    from pyspark.sql import Window
+
+    w_tx = Window.partitionBy("tx_id").orderBy("offset")
+    out = env.withColumn("_total_order", F.row_number().over(w_tx)).withColumn(
+        "_dc_order", F.row_number().over(w_tx)
+    )
+    v = F.col("value")
+    vt = env.schema["value"].dataType
+    new_value = F.when(
+        v.isNotNull(),
+        F.struct(
+            v.getField("before").alias("before"),
+            v.getField("after").alias("after"),
+            v.getField("op").alias("op"),
+            v.getField("ts_ms").alias("ts_ms"),
+            v.getField("source").alias("source"),
+            F.struct(
+                F.col("tx_id").cast("string").alias("id"),
+                F.col("_total_order").cast("long").alias("total_order"),
+                F.col("_dc_order").cast("long").alias("data_collection_order"),
+            ).alias("transaction"),
+        ).cast(vt),
+    )
+    return out.withColumn("value", new_value).drop("_total_order", "_dc_order")

@@ -1,0 +1,454 @@
+"""LakeTable — a snapshot-versioned, bucket-partitioned lake table on parquet.
+
+The production design targets Apache Iceberg (``MERGE INTO`` with
+``bucket(16, repo)`` partitioning); this sandbox has no Iceberg runtime jar, so
+LakeTable implements the same contract on plain parquet + an atomic manifest
+pointer, matching Iceberg's model piece for piece:
+
+  * snapshot isolation  — readers resolve ``_current`` -> manifest vN -> file list;
+    writers never mutate committed files (copy-on-write).
+  * atomic commit       — manifest written to a temp name then ``os.replace``d;
+    a crash mid-write leaves only orphan data files, never a torn table.
+  * MERGE               — per-batch copy-on-write: only buckets containing changed
+    keys are read and rewritten; untouched buckets carry their files forward in the
+    new manifest. Merge cost scales with the batch's key footprint, not table size.
+  * exactly-once        — each manifest records ``batch_id``/``max_offset``; a replayed
+    batch with ``batch_id <= committed`` is skipped, and within a racing batch the
+    per-row guard ``source._offset > target._offset`` keeps the merge idempotent
+    (SURVEY.md §4.2 — the `WHEN MATCHED AND s._offset > t._offset` guard).
+  * schema evolution    — manifests carry a schema registry {version: StructType};
+    files remember the schema version they were written under; readers align old
+    files to the current schema (null-fill new columns, upcast widened ones) —
+    exactly Iceberg's add-column / type-widening evolution.
+
+Ordering contract (same as a database WAL): batches are applied in offset order —
+the engine slices the log by offset range, so a later batch never carries an offset
+below an applied one. Within a batch, order is resolved by the LWW reducer before
+merge, and cross-batch replays are defused by the offset guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_spark.operators.resolver import ACTION_DELETE, ACTION_UPSERT
+
+_MANIFEST_DIR = "_manifests"
+_CURRENT = "_current"
+_DATA_DIR = "data"
+
+
+def bucket_expr(repo_col: F.Column, n_buckets: int) -> F.Column:
+    """Deterministic bucket id for a key — the bucket(16, repo) transform."""
+    return F.pmod(F.xxhash64(repo_col), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """A versioned lake table. See module docstring for the storage contract."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._manifest: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        *,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(path, _CURRENT)):
+            if not overwrite:
+                raise FileExistsError(f"table exists at {path}")
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        t = cls(spark, path)
+        manifest = {
+            "version": 0,
+            "batch_id": -1,
+            "max_offset": -1,
+            "key_cols": list(key_cols),
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": schema.json()},
+            "files": [],
+            "ts": time.time(),
+            "stats": {},
+        }
+        t._commit_manifest(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _CURRENT))
+
+    # ------------------------------------------------------------- manifest io
+    def _commit_manifest(self, manifest: dict[str, Any]) -> None:
+        v = manifest["version"]
+        mpath = os.path.join(self.path, _MANIFEST_DIR, f"v{v:010d}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(self.path, _CURRENT + f".tmp.{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+        self._manifest = manifest
+
+    def manifest(self, *, refresh: bool = False) -> dict[str, Any]:
+        if self._manifest is None or refresh:
+            with open(os.path.join(self.path, _CURRENT)) as f:
+                v = int(f.read().strip())
+            with open(
+                os.path.join(self.path, _MANIFEST_DIR, f"v{v:010d}.json")
+            ) as f:
+                self._manifest = json.load(f)
+        return self._manifest
+
+    # ------------------------------------------------------------- properties
+    @property
+    def schema(self) -> T.StructType:
+        m = self.manifest()
+        return T.StructType.fromJson(
+            json.loads(m["schemas"][str(m["schema_version"])])
+        )
+
+    @property
+    def key_cols(self) -> tuple[str, ...]:
+        return tuple(self.manifest()["key_cols"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest()["n_buckets"]
+
+    @property
+    def committed_batch_id(self) -> int:
+        return self.manifest(refresh=True)["batch_id"]
+
+    @property
+    def committed_max_offset(self) -> int:
+        return self.manifest(refresh=True)["max_offset"]
+
+    # ------------------------------------------------------------- read path
+    def _full_schema(self, version: int) -> T.StructType:
+        """Stored file schema = payload schema + engine metadata columns.
+
+        ``_deleted`` marks a retained delete-tombstone row (key + delete offset, null
+        payload). Keeping tombstones makes the offset guard total: a stale CREATE
+        replayed after a newer DELETE compares against the tombstone's offset and
+        loses, so merge is idempotent and order-tolerant across batches — the same
+        reason Kafka compaction retains tombstones for delete.retention.ms. vacuum()
+        purges tombstones once the replay watermark passes them.
+        """
+        m = self.manifest()
+        base = T.StructType.fromJson(json.loads(m["schemas"][str(version)]))
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_offset", T.LongType()),
+                T.StructField("_ts_ms", T.LongType()),
+                T.StructField("_deleted", T.BooleanType()),
+            ]
+        )
+
+    def read(
+        self, *, buckets: list[int] | None = None, include_deleted: bool = False
+    ) -> DataFrame:
+        """Current snapshot as a DataFrame, optionally pruned to a bucket subset.
+
+        Files written under older schema versions are aligned to the current schema:
+        missing columns null-filled, widened columns upcast — Iceberg read-evolution.
+        """
+        m = self.manifest()
+        cur = self._full_schema(m["schema_version"])
+        groups: dict[int, list[str]] = {}
+        for fe in m["files"]:
+            if buckets is not None and fe["bucket"] not in buckets:
+                continue
+            groups.setdefault(fe["schema_version"], []).append(
+                os.path.join(self.path, fe["path"])
+            )
+        if not groups:
+            out = self.spark.createDataFrame([], cur)
+        else:
+            parts = []
+            for sv, paths in sorted(groups.items()):
+                df = self.spark.read.schema(self._full_schema(sv)).parquet(*paths)
+                parts.append(_align(df, cur))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_deleted:
+            out = out.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        return out
+
+    # ------------------------------------------------------------- DDL
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        """ALTER TABLE ADD COLUMN — new schema version; existing files null-fill."""
+        m = dict(self.manifest(refresh=True))
+        cur = self.schema
+        if name in cur.fieldNames():
+            return  # idempotent
+        new_schema = T.StructType(list(cur.fields) + [T.StructField(name, dtype)])
+        self._bump_schema(m, new_schema)
+
+    def widen_column(self, name: str, dtype: T.DataType) -> None:
+        """ALTER COLUMN TYPE widening (int->long etc.); old files upcast on read."""
+        m = dict(self.manifest(refresh=True))
+        cur = self.schema
+        if name not in cur.fieldNames():
+            raise KeyError(name)
+        if cur[name].dataType == dtype:
+            return  # idempotent
+        new_fields = [
+            T.StructField(f.name, dtype if f.name == name else f.dataType, f.nullable)
+            for f in cur.fields
+        ]
+        self._bump_schema(m, T.StructType(new_fields))
+
+    def _bump_schema(self, m: dict[str, Any], new_schema: T.StructType) -> None:
+        sv = m["schema_version"] + 1
+        m["schemas"] = dict(m["schemas"])
+        m["schemas"][str(sv)] = new_schema.json()
+        m["schema_version"] = sv
+        m["version"] += 1
+        m["ts"] = time.time()
+        self._commit_manifest(m)
+
+    # ------------------------------------------------------------- MERGE
+    def merge(
+        self,
+        actions: DataFrame,
+        *,
+        batch_id: int,
+        max_offset: int,
+        stats: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Copy-on-write MERGE of resolved actions into the table.
+
+        ``actions`` schema: key_cols*, action('upsert'|'delete'), after(payload
+        struct), _offset, _ts_ms — the output of resolve_lww(). Exactly one row per
+        key (the resolver guarantees it).
+
+        Only buckets whose keys appear in the batch are read/rewritten; the offset
+        guard makes replays idempotent. Returns commit stats; ``{"applied": False}``
+        if this batch_id was already committed (exactly-once on replay).
+        """
+        m = self.manifest(refresh=True)
+        if batch_id <= m["batch_id"]:
+            return {"applied": False, "batch_id": batch_id}
+
+        key_cols = self.key_cols
+        nb = m["n_buckets"]
+        payload = self.schema
+        payload_cols = payload.fieldNames()
+
+        # Flatten actions to the physical layout, aligning after.* to current schema.
+        src = actions.select(
+            *key_cols,
+            F.col("action"),
+            *[
+                (
+                    F.col("after").getField(c).cast(payload[c].dataType)
+                    if c in actions.schema["after"].dataType.fieldNames()
+                    else F.lit(None).cast(payload[c].dataType)
+                ).alias(c)
+                for c in payload_cols
+                if c not in key_cols
+            ],
+            F.col("_offset").cast("long"),
+            F.col("_ts_ms").cast("long"),
+        ).withColumn("_bucket", bucket_expr(F.col(key_cols[0]), nb))
+
+        touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        target = self.read(buckets=touched, include_deleted=True).withColumn(
+            "_bucket", bucket_expr(F.col(key_cols[0]), nb)
+        )
+
+        t = target.alias("t")
+        s = src.alias("s")
+        joined = t.join(s, on=list(key_cols), how="full")
+
+        s_present = F.col("s.action").isNotNull()
+        t_present = F.col("t._offset").isNotNull()
+        # Strict '>' keeps re-delivery of the same event a no-op (idempotence) and
+        # makes a stale event lose against both live rows and delete tombstones.
+        s_wins = s_present & (
+            ~t_present | (F.col("s._offset") > F.col("t._offset"))
+        )
+        take_src = s_wins
+        is_src_delete = F.col("s.action") == ACTION_DELETE
+
+        data_cols = [c for c in payload_cols if c not in key_cols]
+        result = joined.where(take_src | t_present).select(
+            *key_cols,
+            *[
+                F.when(take_src & is_src_delete, F.lit(None).cast(payload[c].dataType))
+                .when(take_src, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+            F.when(take_src, F.col("s._offset")).otherwise(F.col("t._offset")).alias("_offset"),
+            F.when(take_src, F.col("s._ts_ms")).otherwise(F.col("t._ts_ms")).alias("_ts_ms"),
+            F.when(take_src, is_src_delete)
+            .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
+            .alias("_deleted"),
+            F.when(take_src, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
+        )
+
+        # Write rewritten buckets to a fresh staging area (copy-on-write).
+        staging = f"{_DATA_DIR}/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
+        abs_staging = os.path.join(self.path, staging)
+        (
+            result.repartition(max(len(touched), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(abs_staging)
+        )
+
+        new_files = []
+        sv = m["schema_version"]
+        for bdir in sorted(os.listdir(abs_staging)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(abs_staging, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {"path": f"{staging}/{bdir}/{fn}", "bucket": b, "schema_version": sv}
+                    )
+
+        carried = [fe for fe in m["files"] if fe["bucket"] not in set(touched)]
+        new_manifest = dict(m)
+        new_manifest["version"] = m["version"] + 1
+        new_manifest["batch_id"] = batch_id
+        new_manifest["max_offset"] = max(max_offset, m["max_offset"])
+        new_manifest["files"] = carried + new_files
+        new_manifest["ts"] = time.time()
+        new_manifest["stats"] = stats or {}
+        self._commit_manifest(new_manifest)
+        return {
+            "applied": True,
+            "batch_id": batch_id,
+            "touched_buckets": len(touched),
+            "new_files": len(new_files),
+        }
+
+    # ------------------------------------------------------------- maintenance
+    def overwrite_full(self, rows: DataFrame, *, batch_id: int, max_offset: int) -> None:
+        """Bulk seed load (initial snapshot fast path): write all buckets at once.
+
+        ``rows``: payload columns + _offset + _ts_ms. Equivalent to merging every row
+        as an upsert into an empty table, minus the join.
+        """
+        m = self.manifest(refresh=True)
+        nb = m["n_buckets"]
+        key0 = self.key_cols[0]
+        staging = f"{_DATA_DIR}/seed-{batch_id}-{uuid.uuid4().hex[:8]}"
+        abs_staging = os.path.join(self.path, staging)
+        (
+            rows.withColumn("_deleted", F.lit(False))
+            .withColumn("_bucket", bucket_expr(F.col(key0), nb))
+            .repartition(nb, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(abs_staging)
+        )
+        new_files = []
+        for bdir in sorted(os.listdir(abs_staging)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(abs_staging, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {"path": f"{staging}/{bdir}/{fn}", "bucket": b,
+                         "schema_version": m["schema_version"]}
+                    )
+        nm = dict(m)
+        nm["version"] = m["version"] + 1
+        nm["batch_id"] = batch_id
+        nm["max_offset"] = max(max_offset, m["max_offset"])
+        nm["files"] = new_files
+        nm["ts"] = time.time()
+        self._commit_manifest(nm)
+
+
+    def vacuum(self, *, upto_offset: int | None = None) -> dict[str, Any]:
+        """Purge delete-tombstone rows with _offset <= watermark (full rewrite).
+
+        Safe once every offset at-or-below the watermark is durably applied — the
+        log-compaction retention analogue. Default watermark: committed_max_offset.
+        """
+        m = self.manifest(refresh=True)
+        wm = upto_offset if upto_offset is not None else m["max_offset"]
+        df = self.read(include_deleted=True)
+        kept = df.where(
+            ~F.coalesce(F.col("_deleted"), F.lit(False)) | (F.col("_offset") > wm)
+        )
+        key0 = self.key_cols[0]
+        nb = m["n_buckets"]
+        staging = f"{_DATA_DIR}/vacuum-{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        abs_staging = os.path.join(self.path, staging)
+        (
+            kept.withColumn("_bucket", bucket_expr(F.col(key0), nb))
+            .repartition(nb, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(abs_staging)
+        )
+        new_files = []
+        for bdir in sorted(os.listdir(abs_staging)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(abs_staging, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {"path": f"{staging}/{bdir}/{fn}", "bucket": b,
+                         "schema_version": m["schema_version"]}
+                    )
+        nm = dict(m)
+        nm["version"] = m["version"] + 1
+        nm["files"] = new_files
+        nm["ts"] = time.time()
+        self._commit_manifest(nm)
+        return {"vacuumed_below": wm, "files": len(new_files)}
+
+
+def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto `target` schema: null-fill missing fields, cast widened ones."""
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name] != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,312 @@
+"""CdcEngine — the embedded-engine analogue (EmbeddedEngine.run(), SURVEY.md §3.2).
+
+Pipeline per micro-batch (offset-range slice of the WAL):
+
+    read WAL slice -> op/table filters -> dedup-by-offset -> envelope wrap
+      -> PK-change split -> SMT column transforms -> LWW resolve (salted two-phase)
+      -> schema DDL (if the batch crosses a schema-change offset)
+      -> offset-guarded copy-on-write MERGE into the lake table
+      -> lineage checkpoint (_checkpoints) + metrics (_metrics)
+
+Exactly-once = atomic manifest commit (batch_id recorded in the same commit as the
+data) + per-row offset guard for replay overlap; the Debezium analogues are the
+offset flush after batch ack (EmbeddedEngine.java:923-1017 maybeFlush) and the
+restart LSN skip (PostgresStreamingChangeEventSource.java:318).
+
+Resume = read ``committed_max_offset`` from the lake manifest (the transactional
+source of truth), replay schema history up to it (AbstractDatabaseHistory.recover
+analogue), continue from the next offset. Lineage rows in ``_checkpoints`` are
+observability, not the recovery source — they can trail the manifest after a crash
+and the engine still recovers exactly.
+
+Two drive modes sharing the same batch function:
+  * run(): deterministic offset-range batch replay (Trigger.AvailableNow analogue,
+    what the bench measures);
+  * run_streaming(): Structured Streaming file source over the WAL directory with
+    foreachBatch + checkpointLocation (the production shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_spark.config import (
+    SNAPSHOT_INITIAL_ONLY,
+    SNAPSHOT_NEVER,
+    SNAPSHOT_SCHEMA_ONLY,
+    EngineConfig,
+)
+from debezium_spark.functions import envelope as E
+from debezium_spark.functions import transforms as X
+from debezium_spark.operators import resolver as R
+from debezium_spark.plans.lake import LakeTable
+from debezium_spark.plans.registry import SchemaHistoryStore, SchemaRegistry
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        *,
+        wal_path: str,
+        target_path: str,
+        work_dir: str,
+        schema_changes: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.wal_path = wal_path
+        self.target_path = target_path
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.history = SchemaHistoryStore(os.path.join(work_dir, "_schema_history.jsonl"))
+        self._ckpt_path = os.path.join(work_dir, "_checkpoints.jsonl")
+        self._metrics_path = os.path.join(work_dir, "_metrics.jsonl")
+        self._schema_changes_df = schema_changes
+        self._registry: SchemaRegistry | None = None
+
+    # ------------------------------------------------------------------ setup
+    def _wal(self) -> DataFrame:
+        return self.spark.read.parquet(self.wal_path)
+
+    def _base_payload_schema(self, wal: DataFrame) -> T.StructType:
+        """v1 payload schema = WAL payload minus columns introduced by later DDL."""
+        full = wal.schema["after"].dataType
+        added = set()
+        for c in self.registry().changes:
+            kind, *args = c.table_changes.split(":")
+            if kind == "add_column":
+                added.add(args[0])
+        return T.StructType([f for f in full.fields if f.name not in added])
+
+    def registry(self) -> SchemaRegistry:
+        if self._registry is None:
+            base = E.payload_schema()
+            if self._schema_changes_df is not None:
+                rows = [r.asDict() for r in self._schema_changes_df.collect()]
+            else:
+                rows = [
+                    {"offset": c.offset, "version": c.version, "ddl": c.ddl,
+                     "table_changes": c.table_changes}
+                    for c in self.history.replay()
+                ]
+            self._registry = SchemaRegistry.from_history_rows(base, rows)
+        return self._registry
+
+    def target(self) -> LakeTable:
+        if not LakeTable.exists(self.target_path):
+            wal = self._wal()
+            base = self._base_payload_schema(wal)
+            LakeTable.create(
+                self.spark,
+                self.target_path,
+                base,
+                key_cols=self.config.key_columns,
+                n_buckets=self.config.target_buckets,
+            )
+        return LakeTable(self.spark, self.target_path)
+
+    # ------------------------------------------------------------- transforms
+    def _transform(self, slice_df: DataFrame) -> DataFrame:
+        """WAL slice -> resolved actions (one per key)."""
+        cfg = self.config
+        df = slice_df
+        if cfg.snapshot_mode in (SNAPSHOT_NEVER, SNAPSHOT_SCHEMA_ONLY):
+            df = df.where(F.col("op") != E.OP_READ)  # stream-only start (S4)
+        elif cfg.snapshot_mode == SNAPSHOT_INITIAL_ONLY:
+            df = df.where(F.col("op") == E.OP_READ)
+        df = R.dedup_by_offset(df)
+        env = E.wrap_wal(
+            df,
+            key_cols=cfg.key_columns,
+            connector=cfg.connector,
+            server_name=cfg.server_name,
+            db=cfg.database,
+            version=cfg.version,
+        )
+        env = X.op_skip_filter(env, cfg.skipped_operations)
+        env = R.split_pk_changes(env, cfg.key_columns)
+        for col, mask in cfg.mask_columns.items():
+            env = X.mask_column(env, col, mask)
+        for col, salt in cfg.hash_mask_columns.items():
+            env = X.hash_mask_column(env, col, salt)
+        for col, n in cfg.truncate_columns.items():
+            env = X.truncate_column(env, col, n)
+        if cfg.column_include or cfg.column_exclude:
+            env = X.project_columns(
+                env, cfg.column_include, cfg.column_exclude, cfg.key_columns
+            )
+        return R.resolve_lww(
+            env, key_cols=cfg.key_columns, salt_buckets=cfg.lww_salt_buckets
+        )
+
+    # ------------------------------------------------------------- batch apply
+    def _apply_batch(
+        self, lake: LakeTable, slice_df: DataFrame, *, batch_id: int, lo: int, hi: int
+    ) -> dict[str, Any]:
+        t0 = time.time()
+        reg = self.registry()
+        for change in reg.pending_between(lo, hi):
+            reg.apply_to_lake(lake, change)      # Iceberg-DDL analogue, idempotent
+            self.history.record(change)          # durable history (B5)
+        actions = self._transform(slice_df)
+        nb = lake.n_buckets
+        from debezium_spark.plans.lake import bucket_expr
+
+        # Per-partition lineage + batch metrics in one aggregation pass.
+        lineage_rows = (
+            actions.withColumn(
+                "_bucket", bucket_expr(F.col(self.config.key_columns[0]), nb)
+            )
+            .groupBy("_bucket")
+            .agg(
+                F.max("_offset").alias("max_offset"),
+                F.sum(F.when(F.col("action") == R.ACTION_UPSERT, 1).otherwise(0)).alias(
+                    "rows_applied"
+                ),
+                F.sum(F.when(F.col("action") == R.ACTION_DELETE, 1).otherwise(0)).alias(
+                    "rows_deleted"
+                ),
+            )
+            .collect()
+        )
+        stats = {
+            "rows_applied": int(sum(r["rows_applied"] for r in lineage_rows)),
+            "rows_deleted": int(sum(r["rows_deleted"] for r in lineage_rows)),
+        }
+        res = lake.merge(actions, batch_id=batch_id, max_offset=hi, stats=stats)
+        wall_ms = int((time.time() - t0) * 1000)
+        if res.get("applied"):
+            self._append_jsonl(
+                self._ckpt_path,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "partition_id": int(r["_bucket"]),
+                        "max_offset": int(r["max_offset"]),
+                        "rows_applied": int(r["rows_applied"]),
+                        "rows_deleted": int(r["rows_deleted"]),
+                        "wall_ms": wall_ms,
+                    }
+                    for r in lineage_rows
+                ],
+            )
+            self._append_jsonl(
+                self._metrics_path,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "lo": lo,
+                        "hi": hi,
+                        "keys_touched": stats["rows_applied"] + stats["rows_deleted"],
+                        "rows_applied": stats["rows_applied"],
+                        "rows_deleted": stats["rows_deleted"],
+                        "wall_ms": wall_ms,
+                    }
+                ],
+            )
+        return {**res, **stats, "wall_ms": wall_ms}
+
+    @staticmethod
+    def _append_jsonl(path: str, rows: list[dict]) -> None:
+        with open(path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # -------------------------------------------------------------- run modes
+    def run(self, *, max_batches: int | None = None) -> list[dict[str, Any]]:
+        """Deterministic offset-range batch replay until the WAL is exhausted.
+
+        Resumable: picks up after the lake manifest's committed_max_offset. Batch
+        slicing is by offset range, so parquet min/max stats prune unread segments
+        (predicate pushdown on `offset`).
+        """
+        lake = self.target()
+        wal = self._wal()
+        bounds = wal.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        if bounds["hi"] is None:
+            return []
+        results = []
+        step = self.config.max_offsets_per_batch
+        lo = lake.committed_max_offset
+        batch_id = lake.committed_batch_id + 1
+        n = 0
+        while lo < bounds["hi"]:
+            hi = lo + step
+            slice_df = wal.where((F.col("offset") > lo) & (F.col("offset") <= hi))
+            results.append(
+                self._apply_batch(lake, slice_df, batch_id=batch_id, lo=lo, hi=hi)
+            )
+            lo, batch_id, n = hi, batch_id + 1, n + 1
+            if max_batches is not None and n >= max_batches:
+                break
+        return results
+
+    def run_streaming(self, *, max_files_per_trigger: int | None = None) -> None:
+        """Structured Streaming drive: file-source over the WAL directory,
+        foreachBatch -> same batch function, availableNow trigger, Spark checkpoint
+        for source progress (offset store B3 analogue). WAL segments are written in
+        offset order (sources/wal.write_wal), matching binlog segment ordering.
+        """
+        lake = self.target()
+        wal_schema = self._wal().schema
+        reader = self.spark.readStream.schema(wal_schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(self.wal_path)
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            # No offset pre-filter: the file source may deliver segments in any
+            # order, and restart may replay the last epoch. Both are safe — the
+            # per-row offset guard + retained delete tombstones make merge
+            # idempotent and order-tolerant (plans/lake.py module docstring).
+            rng = df.agg(
+                F.min("offset").alias("lo"), F.max("offset").alias("hi")
+            ).collect()[0]
+            if rng["hi"] is None:
+                return
+            self._apply_batch(
+                lake, df, batch_id=lake.committed_batch_id + 1,
+                lo=int(rng["lo"]) - 1, hi=int(rng["hi"]),
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(self.work_dir, "stream_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # ------------------------------------------------------------- inspection
+    def checkpoints(self) -> DataFrame:
+        schema = (
+            "batch_id bigint, partition_id int, max_offset bigint, "
+            "rows_applied bigint, rows_deleted bigint, wall_ms bigint"
+        )
+        rows = []
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                rows = [json.loads(x) for x in f if x.strip()]
+        return self.spark.createDataFrame(rows, schema)
+
+    def metrics(self) -> DataFrame:
+        schema = (
+            "batch_id bigint, lo bigint, hi bigint, keys_touched bigint, "
+            "rows_applied bigint, rows_deleted bigint, wall_ms bigint"
+        )
+        rows = []
+        if os.path.exists(self._metrics_path):
+            with open(self._metrics_path) as f:
+                rows = [json.loads(x) for x in f if x.strip()]
+        return self.spark.createDataFrame(rows, schema)
