@@ -1,0 +1,219 @@
+"""Benchmark harness.
+
+Default mode: runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "events_per_sec": ...}
+
+The headline is the CDC replay: a deterministic WAL sized to the SF is generated
+once (cached in /tmp, generation excluded from timing), then fully replayed into a
+fresh lake table — envelope wrap -> dedup -> PK split -> salted LWW -> bucketed
+copy-on-write MERGE. Throughput = change events applied per second.
+
+Scaling mode (north rule evidence): `python bench.py --scaling` runs the identical
+replay in two fresh JVMs at local[8] and local[32] and reports throughput at both
+plus efficiency = (thr32/thr8)/4; results appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# WAL scale per SF: ~10x the sf0.1 lineitem row count in change events.
+WAL_SCALE = {
+    "0.001": (5_000, 20_000),
+    "0.01": (50_000, 200_000),
+    "0.1": (200_000, 2_000_000),
+    "1": (2_000_000, 20_000_000),
+}
+
+
+def sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def build_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"dbzspark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def wal_cache_dir(sf: str) -> str:
+    n_keys, n_events = WAL_SCALE.get(sf, WAL_SCALE["0.1"])
+    return f"/tmp/dbzspark_bench/wal_{sf}_{n_keys}_{n_events}"
+
+
+def ensure_wal(spark, sf: str) -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from debezium_spark.sources import wal as W
+
+    n_keys, n_events = WAL_SCALE.get(sf, WAL_SCALE["0.1"])
+    d = wal_cache_dir(sf)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        spec = W.WalSpec(n_keys=n_keys, n_events=n_events, seed=42)
+        W.write_wal(spark, spec, d, n_files=max(16, n_events // 100_000))
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_replay(spark, sf: str) -> dict:
+    """Full WAL replay into a fresh lake table; returns timing + throughput."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from debezium_spark import CdcEngine, EngineConfig
+    from debezium_spark.sources import wal as W
+
+    n_keys, n_events = WAL_SCALE.get(sf, WAL_SCALE["0.1"])
+    wal_dir = ensure_wal(spark, sf)
+    n_rows = spark.read.parquet(wal_dir).count()  # warms FS cache, outside timing
+    work = tempfile.mkdtemp(prefix="dbzbench-")
+    spec = W.WalSpec(n_keys=n_keys, n_events=n_events, seed=42)
+    eng = CdcEngine(
+        spark,
+        EngineConfig(max_offsets_per_batch=(n_events * 8) // 4 + n_keys),
+        wal_path=wal_dir,
+        target_path=os.path.join(work, "target"),
+        work_dir=os.path.join(work, "work"),
+        schema_changes=W.schema_history(spark, spec),
+    )
+    t0 = time.time()
+    eng.run()
+    wall = time.time() - t0
+    final_rows = eng.target().read().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "wall_sec": wall,
+        "events": n_rows,
+        "events_per_sec": n_rows / wall,
+        "final_rows": final_rows,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline operator timings over the driver tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    picks = [
+        "cdc_lww_last_state",
+        "cdc_pk_change_split",
+        "cdc_tx_metadata",
+        "doc_exact_dedup",
+        "doc_minhash_bands",
+        "doc_token_stats",
+        "emb_topk_cosine",
+        "tpch_q1_pricing",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def single(cpus: int) -> dict:
+    sf = sf_of(SF_DIR)
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    replay = run_replay(spark, sf)
+    qtimes = run_queries(spark, SF_DIR)
+    qtimes = {"cdc_replay": round(replay["wall_sec"], 3), **qtimes}
+    total = sum(qtimes.values())
+    result = {
+        "metric": "cdc replay events/sec + headline operator wall times",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf),
+        "cpus": cpus,
+        "events_per_sec": round(replay["events_per_sec"], 1),
+        "replay_events": replay["events"],
+        "final_rows": replay["final_rows"],
+    }
+    spark.stop()
+    return result
+
+
+def scaling() -> dict:
+    """Run the replay-only job in two fresh JVMs (local[8], local[32])."""
+    here = os.path.abspath(__file__)
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only")
+        out = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["events_per_sec"]
+    thr32 = results[32]["events_per_sec"]
+    eff = (thr32 / thr8) / 4
+    report = {
+        "metric": "scaling efficiency local[8]->local[32]",
+        "throughput_local8": thr8,
+        "throughput_local32": thr32,
+        "scaling_efficiency": round(eff, 3),
+        "pass_north_rule": eff >= 0.8,
+        "events": results[32]["replay_events"],
+    }
+    with open(os.path.join(os.path.dirname(here), "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+            f"| parallelism | events | wall (s) | events/s |\n|---|---|---|---|\n"
+            f"| local[8] | {results[8]['replay_events']} | {results[8]['queries']['cdc_replay']} | {thr8:,.0f} |\n"
+            f"| local[32] | {results[32]['replay_events']} | {results[32]['queries']['cdc_replay']} | {thr32:,.0f} |\n\n"
+            f"Scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** "
+            f"({'PASS' if eff >= 0.8 else 'FAIL'} vs north-rule >= 0.8)\n"
+        )
+    return report
+
+
+def replay_only(cpus: int) -> dict:
+    sf = sf_of(SF_DIR)
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    replay = run_replay(spark, sf)
+    result = {
+        "metric": "cdc replay",
+        "value": round(replay["wall_sec"], 3),
+        "unit": "sec",
+        "queries": {"cdc_replay": round(replay["wall_sec"], 3)},
+        "sf": float(sf),
+        "cpus": cpus,
+        "events_per_sec": round(replay["events_per_sec"], 1),
+        "replay_events": replay["events"],
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    elif os.environ.get("BENCH_MODE") == "replay_only":
+        print(json.dumps(replay_only(CPUS)))
+    else:
+        print(json.dumps(single(CPUS)))

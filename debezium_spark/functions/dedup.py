@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Exact dedup is a hash-groupBy; near-dup families are MinHash+LSH (shingle →
+minhash signature → bands → bucket join), SimHash, n-gram Jaccard, and
+embedding-cosine. Hash functions are md5-hex-prefix based so every operator has a
+bit-exact ANSI-SQL oracle (DuckDB) — xxhash64 would be faster but is not portable
+to the oracle; swap `_h64`'s body for F.xxhash64 on a real cluster if oracle
+parity isn't needed.
+
+Scale notes (100 TB):
+  * exact_dedup: one shuffle on a 64-hex digest; map-side combine via min() agg.
+  * minhash_lsh: O(docs × perms) signature compute fully codegen'd (no UDF),
+    then a self-join restricted to LSH band buckets — candidate pairs only,
+    never the full cross product. Band buckets are salted-skew-safe because
+    bucket ids include the band index.
+  * simhash: 64-bit signature from token hashes; near-dup = signature XOR
+    popcount <= k via band-bucket join on 4×16-bit chunks (exact for k<=3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h64(col: Column, salt: int = 0) -> Column:
+    """Portable 64-bit-ish hash: first 15 hex chars of md5 (60 bits, positive).
+
+    conv() keeps it in [0, 2^60) — identical in DuckDB via
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) semantics (see oracle SQL).
+    """
+    salted = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces — dedup canonical form."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")), r"\s+", " "
+        )
+    )
+
+
+# --------------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content digest."""
+    digest = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        docs.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array over normalized text (distinct, sorted)."""
+    toks = F.split(normalize_text(col), " ")
+    num = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(num, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.when(num > 0, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    prefilter_hash: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Candidates come from sharing at least one shingle-hash (inverted index join) —
+    at scale you'd cap posting-list length; here lists are bounded by min-hash
+    banding in minhash_lsh_dedup, and this operator is the exact verifier.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    joined = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signature(col: Column, *, n: int = 3, num_perm: int = 32) -> Column:
+    """MinHash signature: per permutation p, min over shingles of h(p, shingle)."""
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda g, p=p: _h64(g, salt=p)))
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate detection.
+
+    signature (num_perm mins) → `bands` bands of rows=num_perm/bands → bucket id =
+    hash(band idx, band slice) → self-join per bucket → estimate Jaccard as
+    signature agreement; keep pairs above threshold. Returns (id_a, id_b, est_jaccard).
+    """
+    rows = num_perm // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n=n, num_perm=num_perm).alias("sig"),
+    ).where(~F.exists("sig", lambda x: x.isNull()))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", (agree.cast("double") / num_perm).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= jaccard_threshold)
+
+
+# -------------------------------------------------------------------- simhash
+SIMHASH_BITS = 60  # _h64 yields 60-bit values (15 hex chars)
+
+
+def simhash(col: Column) -> Column:
+    """SimHash over word tokens: majority vote per bit of per-token hashes -> 60-bit
+    signature. For each bit b, the signature bit is set iff more than half the token
+    hashes have bit b set — computed without exploding rows.
+    """
+    toks = F.array_distinct(F.split(normalize_text(col), " "))
+    th = F.transform(toks, _h64)
+    n = F.size(th)
+    def bit_test(mask_val: int):
+        # single-param lambda: PySpark treats 2-param lambdas as (element, index)
+        return lambda h: h.bitwiseAND(F.lit(mask_val).cast("long")) != F.lit(0).cast("long")
+
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        set_cnt = F.size(F.filter(th, bit_test(mask)))
+        out = out.bitwiseOR(
+            F.when(set_cnt * 2 > n, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by SimHash: pairs with Hamming distance <= k on 60-bit signatures.
+
+    Exact for k <= 3 via 4-chunk pigeonhole banding (two signatures within k differ
+    in at most k chunks, so they agree on >= 1 of 4 chunks): join on any equal
+    16-bit chunk, then verify with popcount.
+    """
+    sig = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", "cc.chunk", "cc.ckey")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["chunk", "ckey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are `binary` columns with a metadata struct; decode/resize/
+frame-sample run as Arrow-batched pandas functions over `mapInPandas` — the Spark
+side (schema, batching, partitioning) is real and tested; the codec step is a
+deterministic stub because no image/audio libraries exist in this container
+(clearly marked; swap `_decode_stub` for PIL/libav calls on a real cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),     # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # embedding-shaped
+        T.StructField("frames_sampled", T.IntegerType()),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = hash-chain bytes) for plumbing tests."""
+    df = spark.range(n)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.unbase64(
+        F.base64(F.encode(F.repeat(F.sha2(F.concat_ws(":", F.lit(seed), "id"), 256), 8), "utf-8"))
+    )
+    return df.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(60000)) + 1000).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str) -> list[float]:
+    """STUB codec: deterministic 8-dim feature from payload bytes.
+
+    Real deployment: PIL.Image.open / torchaudio.load / av.open here. The container
+    has no codec libraries, so this computes a stable stand-in feature; everything
+    around it (Arrow batching, schema, partition shape) is production-real.
+    """
+    d = hashlib.sha256(payload).digest()
+    return [int.from_bytes(d[i : i + 2], "big") / 65535.0 for i in range(0, 16, 2)]
+
+
+def extract_features(media: DataFrame, *, frames_per_video: int = 4) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches, not per-row Python).
+
+    Partitioning: repartition by media_id so one task never holds more than a
+    batch of payloads in memory; at scale set spark.sql.files.maxPartitionBytes to
+    bound batch bytes instead.
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, hashes, nbytes, frames = [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload)
+                hashes.append(hashlib.sha256(b).hexdigest())
+                nbytes.append(len(b))
+                feats.append(_decode_stub(b, kind))
+                frames.append(frames_per_video if kind == "video" else 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sha256": hashes,
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                    "frames_sampled": frames,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batch_fn, schema=FEATURE_SCHEMA
+    )

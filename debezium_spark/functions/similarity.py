@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float|double>).
+
+Baseline: brute-force cosine top-k — one pass over the table with
+`F.zip_with`/`F.aggregate` dot products (JVM-side, no UDF), `min_by`-style top-k via
+window or groupBy-collect avoided in favor of a rank-limit.
+
+Scale path: LSH (random-hyperplane / sign) bucketing — probe only the query's
+bucket(s) instead of the full table: at 100 TB this turns a full scan into a
+partition-pruned read when the table is written bucketed by `lsh_bucket`.
+Hyperplanes are deterministic (seeded hash), so bucket assignment is reproducible
+with no stored model.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: scan, score, take k.
+
+    Uses sort-limit (Spark turns ORDER BY+LIMIT into a TakeOrdered — no full sort
+    shuffle, each partition keeps only its local top-k).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = vectors.select(
+        F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (Box-Muller over a hash chain)."""
+    import hashlib
+
+    vals = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.sha256(f"{seed}:{plane}:{i}".encode()).digest()
+        for j in range(0, 24, 8):
+            u1 = (int.from_bytes(h[j : j + 4], "big") + 1) / 2**32
+            u2 = (int.from_bytes(h[j + 4 : j + 8], "big") + 1) / 2**32
+            vals.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+            if len(vals) >= dim:
+                break
+        i += 1
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket(vec: Column, *, dim: int, planes: int = 8, seed: int = 42) -> Column:
+    """Sign-LSH bucket id: bit b = (vec . hyperplane_b) >= 0."""
+    out = F.lit(0)
+    for b in range(planes):
+        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, b, seed)])
+        bit = F.when(dot(vec.cast("array<double>"), hp) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        out = out + bit
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket (and buckets
+    within `probe_hamming` bit flips — multi-probe to recover boundary losses).
+
+    On a bucketed/partitioned table this is a partition-pruned read; here the
+    filter still prunes row groups via predicate pushdown on a materialized
+    `lsh_bucket` column when present, else computes it on the fly.
+    """
+    dim = len(query)
+    qb = _query_bucket(query, planes=planes, seed=seed)
+    probes = {qb}
+    if probe_hamming >= 1:
+        for b in range(planes):
+            probes.add(qb ^ (1 << b))
+    if "lsh_bucket" in vectors.columns:
+        cand = vectors.where(F.col("lsh_bucket").isin(list(probes)))
+    else:
+        cand = vectors.withColumn(
+            "lsh_bucket", lsh_bucket(F.col(vec_col), dim=dim, planes=planes, seed=seed)
+        ).where(F.col("lsh_bucket").isin(list(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _query_bucket(query: list[float], *, planes: int, seed: int) -> int:
+    b = 0
+    for p in range(planes):
+        hp = _hyperplane(len(query), p, seed)
+        if sum(x * y for x, y in zip(query, hp)) >= 0:
+            b |= 1 << p
+    return b
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    Pairs are only scored inside a shared sign-LSH bucket — candidate generation is
+    O(sum bucket^2), not O(n^2). Returns (id_a, id_b, cos_sim >= threshold).
+    """
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col), dim=dim, planes=planes, seed=seed).alias("b"),
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), on="b")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= cosine_threshold)

@@ -153,10 +153,18 @@ def transaction_metadata(env: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Tombstones carry no envelope (value IS NULL) and get no transaction block
+    # (TransactionMonitor skips them); rank only data events so total_order is dense.
     w_tx = Window.partitionBy("tx_id").orderBy("offset")
-    out = env.withColumn("_total_order", F.row_number().over(w_tx)).withColumn(
-        "_dc_order", F.row_number().over(w_tx)
+    rank = F.when(
+        F.col("value").isNotNull(),
+        F.row_number().over(
+            Window.partitionBy(
+                "tx_id", F.col("value").isNull()
+            ).orderBy("offset")
+        ),
     )
+    out = env.withColumn("_total_order", rank).withColumn("_dc_order", rank)
     v = F.col("value")
     vt = env.schema["value"].dataType
     new_value = F.when(

@@ -1,0 +1,124 @@
+"""Training-data pipeline operators over the driver's documents/embeddings tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.functions import dedup as D
+from debezium_spark.functions import multimodal as M
+from debezium_spark.functions import similarity as S
+from debezium_spark.functions import text as X
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_text_analysis(spark, docs):
+    out = X.analyze_documents(docs)
+    row = out.where(F.length("text") > 50).first()
+    assert row["n_tokens"] > 0
+    assert row["n_bpe_tokens"] >= row["n_tokens"]  # BPE splits at least per word
+    assert 0.0 <= row["punct_ratio"] <= 1.0
+    assert 0.0 <= row["quality"] <= 1.0
+    # fingerprint ignores formatting noise
+    a = spark.createDataFrame([("Hello,   World!",), ("hello world",)], "text string")
+    fps = [r[0] for r in a.select(X.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = D.exact_dedup(doubled)
+    n_docs_distinct_text = docs.select(
+        D.normalize_text(F.col("text")).alias("t")
+    ).distinct().count()
+    assert out.count() == n_docs_distinct_text
+    assert out.where("dup_count >= 2").count() == n_docs_distinct_text
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),          # near-dup of 1
+        (3, "completely different text about spark sql engines and columnar execution plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_dedup(df, num_perm=32, bands=8, jaccard_threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    assert len(pairs) == 1 and (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert abs(pairs[0]["jaccard"] - 4 / 6) < 1e-9  # 4 shared of 6 distinct 2-grams
+
+
+def test_simhash_near_dups(spark):
+    long_a = " ".join(f"tok{i}" for i in range(200))
+    long_b = " ".join(f"tok{i}" for i in range(199)) + " tokX"
+    rows = [(1, long_a), (2, long_b), (3, " ".join(f"other{i}" for i in range(200)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.simhash_near_dups(df, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    sample = vecs.limit(200).toPandas()
+    q = list(np.asarray(sample.iloc[0]["embedding"], dtype=float))
+    df = spark.createDataFrame(sample)
+    got = S.brute_force_topk(df, q, k=5).toPandas()
+    mat = np.stack([np.asarray(v, dtype=float) for v in sample["embedding"]])
+    qv = np.asarray(q)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-sims, sample["vec_id"]))[:5]
+    want_ids = [int(i) for _, i in order]
+    assert list(got["vec_id"]) == want_ids
+    assert got.iloc[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_topk_recovers_exact_top1(spark, vecs):
+    sample = vecs.limit(300)
+    q = list(sample.first()["embedding"])
+    exact = S.brute_force_topk(sample, q, k=1).first()
+    approx = S.lsh_topk(sample, q, k=1, planes=6, probe_hamming=1).first()
+    assert approx["vec_id"] == exact["vec_id"]
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D if False else S
+    pairs = S.embedding_near_dups(df, cosine_threshold=0.99, planes=4, dim=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_multimodal_pipeline_shape(spark):
+    media = M.synth_media(spark, n=48)
+    feats = M.extract_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == 48
+    assert all(len(f) == 8 for f in pdf["feature"])
+    assert (pdf.loc[pdf["kind"] == "video", "frames_sampled"] == 4).all()
+    assert (pdf.loc[pdf["kind"] != "video", "frames_sampled"] == 1).all()
+    # deterministic: same payload -> same sha/feature
+    pdf2 = M.extract_features(media).toPandas().sort_values("media_id")
+    assert list(pdf.sort_values("media_id")["sha256"]) == list(pdf2["sha256"])
