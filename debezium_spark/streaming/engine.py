@@ -156,7 +156,10 @@ class CdcEngine:
         reg = self.registry()
         for change in reg.pending_between(lo, hi):
             reg.apply_to_lake(lake, change)      # Iceberg-DDL analogue, idempotent
-            self.history.record(change)          # durable history (B5)
+            if change.table_changes != "create":
+                # The base CREATE is implicit in the registry's base schema;
+                # durable history (B5) records only lake-mutating deltas.
+                self.history.record(change)
         actions = self._transform(slice_df)
         nb = lake.n_buckets
         from debezium_spark.plans.lake import bucket_expr
