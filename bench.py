@@ -90,7 +90,11 @@ def run_replay(spark, sf: str) -> dict:
     spec = W.WalSpec(n_keys=n_keys, n_events=n_events, seed=42)
     eng = CdcEngine(
         spark,
-        EngineConfig(max_offsets_per_batch=(n_events * 8) // 4 + n_keys),
+        # target_buckets fixed at 32 for BOTH scaling runs (identical job plan);
+        # 32 buckets parallelize the copy-on-write merge writes across local[32].
+        EngineConfig(
+            max_offsets_per_batch=(n_events * 8) // 4 + n_keys, target_buckets=32
+        ),
         wal_path=wal_dir,
         target_path=os.path.join(work, "target"),
         work_dir=os.path.join(work, "work"),

@@ -64,13 +64,9 @@ def split_pk_changes(
         & (before_key != after_key)
     )
 
-    passthrough = env.where(~F.coalesce(is_split, F.lit(False))).withColumn(
-        "seq", F.lit(0)
-    )
-
-    split_src = env.where(F.coalesce(is_split, F.lit(False)))
     vt = env.schema["value"].dataType
     payload_t = vt["after"].dataType
+    kt = env.schema["key"].dataType
 
     delete_value = F.struct(
         v.getField("before").alias("before"),
@@ -79,7 +75,7 @@ def split_pk_changes(
         v.getField("ts_ms").alias("ts_ms"),
         v.getField("source").alias("source"),
         v.getField("transaction").alias("transaction"),
-    )
+    ).cast(vt)
     create_value = F.struct(
         F.lit(None).cast(payload_t).alias("before"),
         v.getField("after").alias("after"),
@@ -87,17 +83,28 @@ def split_pk_changes(
         v.getField("ts_ms").alias("ts_ms"),
         v.getField("source").alias("source"),
         v.getField("transaction").alias("transaction"),
-    )
+    ).cast(vt)
+
+    # One source scan: each row explodes into its delete+create pair (split) or
+    # itself (passthrough) — vs three filtered scans of a content-heavy slice.
+    def elem(key_c, value_c, seq: int):
+        return F.struct(
+            key_c.cast(kt).alias("key"), value_c.alias("value"),
+            F.lit(seq).alias("seq"),
+        )
+
+    arr = F.when(
+        F.coalesce(is_split, F.lit(False)),
+        F.array(elem(before_key, delete_value, 0), elem(after_key, create_value, 1)),
+    ).otherwise(F.array(elem(F.col("key"), F.col("value").cast(vt), 0)))
+
     extra = [c for c in env.columns if c not in ("key", "value", "offset")]
-    deletes = split_src.select(
-        before_key.alias("key"), delete_value.alias("value"), F.col("offset"),
-        *extra, F.lit(0).alias("seq"),
+    return env.select(
+        F.col("offset"), *extra, F.explode(arr).alias("_e")
+    ).select(
+        F.col("_e.key").alias("key"), F.col("_e.value").alias("value"),
+        F.col("offset"), *extra, F.col("_e.seq").alias("seq"),
     )
-    creates = split_src.select(
-        after_key.alias("key"), create_value.alias("value"), F.col("offset"),
-        *extra, F.lit(1).alias("seq"),
-    )
-    return passthrough.select(deletes.columns).unionByName(deletes).unionByName(creates)
 
 
 def resolve_lww(
@@ -118,12 +125,17 @@ def resolve_lww(
     """
     seq = F.col("seq") if "seq" in env.columns else F.lit(0)
     ordk = F.struct(F.col("offset").alias("o"), seq.cast("int").alias("s"))
+    val0 = F.col("value")
+    is_del0 = val0.isNull() | (val0.getField("op") == "d")
+    # Shuffle only what the resolved action needs (after/is_delete/ts_ms/offset) —
+    # dropping before/source/transaction roughly halves the shuffled bytes.
     ev = env.select(
         *[F.col("key").getField(c).alias(c) for c in key_cols],
         F.struct(
-            F.col("value").alias("value"),
+            F.when(~is_del0, val0.getField("after")).alias("after"),
+            is_del0.alias("is_delete"),
+            F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
             F.col("offset").alias("offset"),
-            seq.cast("int").alias("seq"),
         ).alias("_ev"),
         ordk.alias("_ord"),
         F.pmod(F.xxhash64(F.col("offset"), F.lit(7)), F.lit(salt_buckets)).alias("_salt"),
@@ -134,14 +146,13 @@ def resolve_lww(
     phase2 = phase1.groupBy(*key_cols).agg(F.max_by("_ev", "_ord").alias("_ev"))
 
     win = F.col("_ev")
-    val = win.getField("value")
-    is_delete = val.isNull() | (val.getField("op") == "d")
+    is_delete = win.getField("is_delete")
     return phase2.select(
         *key_cols,
         F.when(is_delete, F.lit(ACTION_DELETE)).otherwise(F.lit(ACTION_UPSERT)).alias("action"),
-        F.when(~is_delete, val.getField("after")).alias("after"),
+        win.getField("after").alias("after"),
         win.getField("offset").alias("_offset"),
-        F.when(val.isNotNull(), val.getField("ts_ms")).alias("_ts_ms"),
+        win.getField("ts_ms").alias("_ts_ms"),
     )
 
 

@@ -245,6 +245,7 @@ class LakeTable:
         batch_id: int,
         max_offset: int,
         stats: dict[str, Any] | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write MERGE of resolved actions into the table.
 
@@ -282,7 +283,10 @@ class LakeTable:
             F.col("_ts_ms").cast("long"),
         ).withColumn("_bucket", bucket_expr(F.col(key_cols[0]), nb))
 
-        touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        if touched_buckets is not None:
+            touched = list(touched_buckets)
+        else:
+            touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
         target = self.read(buckets=touched, include_deleted=True).withColumn(
             "_bucket", bucket_expr(F.col(key_cols[0]), nb)
         )

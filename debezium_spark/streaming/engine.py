@@ -123,7 +123,10 @@ class CdcEngine:
             df = df.where(F.col("op") != E.OP_READ)  # stream-only start (S4)
         elif cfg.snapshot_mode == SNAPSHOT_INITIAL_ONLY:
             df = df.where(F.col("op") == E.OP_READ)
-        df = R.dedup_by_offset(df)
+        # No dropDuplicates here: duplicate offsets are identical re-deliveries and
+        # the per-key max_by((offset,seq)) reduce is invariant to them, so the LWW
+        # phase subsumes dedup-by-offset (S8) without its full-width shuffle.
+        # dedup_by_offset stays available for consumers of raw envelope streams.
         env = E.wrap_wal(
             df,
             key_cols=cfg.key_columns,
@@ -160,7 +163,10 @@ class CdcEngine:
                 # The base CREATE is implicit in the registry's base schema;
                 # durable history (B5) records only lake-mutating deltas.
                 self.history.record(change)
-        actions = self._transform(slice_df)
+        # The resolved actions feed three consumers (lineage aggregation, the
+        # merge's touched-bucket probe, and the merge join itself); persist so the
+        # WAL-scan -> dedup -> envelope -> LWW pipeline runs once, not three times.
+        actions = self._transform(slice_df).persist()
         nb = lake.n_buckets
         from debezium_spark.plans.lake import bucket_expr
 
@@ -185,7 +191,13 @@ class CdcEngine:
             "rows_applied": int(sum(r["rows_applied"] for r in lineage_rows)),
             "rows_deleted": int(sum(r["rows_deleted"] for r in lineage_rows)),
         }
-        res = lake.merge(actions, batch_id=batch_id, max_offset=hi, stats=stats)
+        try:
+            res = lake.merge(
+                actions, batch_id=batch_id, max_offset=hi, stats=stats,
+                touched_buckets=[int(r["_bucket"]) for r in lineage_rows],
+            )
+        finally:
+            actions.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         if res.get("applied"):
             self._append_jsonl(
