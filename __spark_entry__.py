@@ -349,17 +349,15 @@ def q_doc_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash band keys (portable string-min variant): per doc, min over 3-gram
     shingles of md5(perm:shingle), for 4 permutations — the LSH bucketing step."""
     d = _docs(spark, sf_dir)
-    sh = DD.shingles(F.col("text"), 3)
-
-    def perm_min(p: int) -> F.Column:
-        # single-param lambda (2-param transform lambdas receive (element, index))
-        return F.array_min(F.transform(sh, lambda g: F.md5(F.concat(F.lit(f"{p}:"), g))))
-
-    cols = [perm_min(p) for p in range(4)]
-    return d.where(F.size(sh) > 0).select(
-        "doc_id",
-        cols[0].alias("mh0"), cols[1].alias("mh1"),
-        cols[2].alias("mh2"), cols[3].alias("mh3"),
+    # Explode shingles then groupBy-min: the shingle expression is evaluated once
+    # per doc (not once per output column), and min() partial-aggregates map-side
+    # so the shuffle carries ~4 hashes per (doc, partition) — scale-safe.
+    ex = d.select("doc_id", F.explode(DD.shingles(F.col("text"), 3)).alias("g"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("g")))).alias(f"mh{p}")
+            for p in range(4)
+        ]
     )
 
 

@@ -55,16 +55,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 # ------------------------------------------------------------------ shingles
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array over normalized text (distinct, sorted)."""
+    """Word n-gram shingle array over normalized text (distinct, sorted).
+
+    The token array is bound ONCE as a lambda variable (outer transform over a
+    1-element wrapper array): referencing the raw `split(normalize(...))`
+    expression inside the gram lambda would re-run both regex passes for every
+    element_at of every gram — lambda-bound subexpressions are excluded from
+    Catalyst CSE, which made the naive form ~6x slower.
+    """
     toks = F.split(normalize_text(col), " ")
-    num = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(num, F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    grams2d = F.transform(
+        F.array(toks),
+        lambda t: F.slice(
+            F.transform(
+                t,
+                lambda x, i: F.concat_ws(
+                    " ", x, *[F.try_element_at(t, i + k + 1) for k in range(1, n)]
+                ),
+            ),
+            1,
+            F.greatest(F.size(t) - (n - 1), F.lit(0)),
+        ),
     )
-    return F.when(num > 0, F.array_sort(F.array_distinct(grams))).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_sort(F.array_distinct(F.element_at(grams2d, 1)))
 
 
 def ngram_jaccard_pairs(
