@@ -361,6 +361,37 @@ def q_doc_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 60-bit fingerprint per document (near-dup dedup building block)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", DD.simhash(F.col("text")).alias("sig"))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.1) via inverted-index
+    candidate join; similarity at 1e-4 precision."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.1)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard"), 4).cast("decimal(10,4)").alias("jac_r"),
+    )
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): sign-LSH over 8 hyperplanes, multi-probe
+    Hamming<=1, cosine top-10 for vec_id=0's embedding. At scale the bucket column
+    is materialized + partition-pruned; here the filter prunes candidates."""
+    from debezium_spark.functions.similarity import lsh_topk
+
+    v = _emb(spark, sf_dir)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    topk = lsh_topk(v, query, k=10, planes=8, probe_hamming=1)
+    return topk.select(
+        "vec_id", F.round(F.col("cos_sim"), 4).cast("decimal(10,4)").alias("cos_r")
+    )
+
+
 def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: 10 nearest to vec_id=0's embedding; similarity
     reported at 1e-4 decimal precision to be engine-portable."""
@@ -410,6 +441,86 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 outbox EventRouter: route by aggregate type, key by aggregate id,
+    extract payload (transforms/outbox/EventRouter.java)."""
+    from debezium_spark.functions.transforms import outbox_route
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").alias("offset"),
+        F.col("event_type").alias("aggregatetype"),
+        F.col("user_id").alias("aggregateid"),
+        F.col("props").alias("payload"),
+    )
+    routed = outbox_route(ev)
+    return routed.select(
+        "topic", F.col("key").alias("agg_key"), F.col("value").alias("payload")
+    )
+
+
+def q_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 scripting Filter SMT: drop records where the expression is false."""
+    from debezium_spark.functions.transforms import content_filter
+
+    ev = _events(spark, sf_dir)
+    kept = content_filter(ev, "value >= 100 AND event_type <> 'error'")
+    return kept.select(F.col("event_id").alias("offset"), "event_type")
+
+
+def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 DBLog keyset chunking lineage: 1024-row chunks over the pk order with
+    per-chunk bounds — the resumable chunk-position model
+    (AbstractIncrementalSnapshotChangeEventSource.java:199-259)."""
+    from pyspark.sql import Window
+
+    c = _customer(spark, sf_dir)
+    w = Window.orderBy("c_custkey")
+    chunked = c.select(
+        "c_custkey",
+        ((F.row_number().over(w) - 1) / 1024).cast("long").alias("chunk_id"),
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+def q_cloudevents_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 CloudEvents converter: envelope -> CE JSON; attributes extracted back
+    out of the JSON to prove the serialization round-trips."""
+    from debezium_spark.functions.transforms import to_cloudevents
+
+    ev = _events(spark, sf_dir)
+    env = ev.select(
+        F.struct(F.col("user_id").alias("user_id")).alias("key"),
+        F.struct(_op_col().alias("op")).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    ce = to_cloudevents(env)
+    return ce.select(
+        "offset",
+        F.get_json_object("cloudevent", "$.id").alias("ce_id"),
+        F.get_json_object("cloudevent", "$.type").alias("ce_type"),
+        F.get_json_object("cloudevent", "$.specversion").alias("ce_spec"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata decoded /
+    feature-extracted through Arrow-batched mapInPandas (decode step is a
+    deterministic stub — no codec libs in this container; schema, batching and
+    partitioning are production-real). Non-SQL-expressible: no oracle entry."""
+    from debezium_spark.functions.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=256)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "sha256", "n_bytes", "frames_sampled",
+        F.size("feature").alias("feat_dim"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -443,10 +554,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_minhash_bands": q_doc_minhash_bands,
+        "doc_simhash": q_doc_simhash,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dups": q_emb_near_dups,
+        "cdc_outbox_route": q_outbox_route,
+        "cdc_content_filter": q_content_filter,
+        "cdc_snapshot_chunks": q_snapshot_chunks,
+        "cdc_cloudevents_attrs": q_cloudevents_attrs,
+        "mm_media_features": q_media_features,
         "tpch_q1_pricing": q_tpch_q1_pricing,
     }
+
+
+def _simhash_oracle_sql() -> str:
+    """60-bit majority-vote SimHash in DuckDB, matching functions/dedup.simhash:
+    token hash = first 15 hex chars of md5('0:'||token) as bigint."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), "
+        "'[^A-Za-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    toks = f"list_distinct(string_split({norm}, ' '))"
+    th = (
+        f"list_transform({toks}, "
+        "t -> CAST(('0x' || substr(md5('0:' || t), 1, 15)) AS BIGINT))"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(th, h -> ((h >> {b}) & 1) = 1)) > len(th) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH s AS (SELECT doc_id, {th} AS th FROM documents)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS sig FROM s
+    """
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, planes: int = 8) -> str:
+    """Sign-LSH multi-probe ANN in DuckDB with the engine's deterministic
+    hyperplanes inlined as literals (functions/similarity._hyperplane)."""
+    from debezium_spark.functions.similarity import _hyperplane
+
+    terms = []
+    for b in range(planes):
+        hp = ", ".join(repr(x) for x in _hyperplane(dim, b))
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{hp}]) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH b AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {bucket} AS bucket
+          FROM embeddings
+        ),
+        q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 4)
+                    AS DECIMAL(10,4)) AS cos_r
+        FROM b
+        WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST((SELECT qb FROM q) AS BIGINT))) <= 1
+        ORDER BY list_cosine_similarity(e, (SELECT qe FROM q)) DESC, vec_id
+        LIMIT 10
+    """
 
 
 _NORM_TEXT_SQL = (
@@ -688,6 +859,57 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(ROUND(list_cosine_similarity(
                      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
                    ), 4) AS DECIMAL(10,4)) >= 0.3
+        """,
+        "doc_simhash": _simhash_oracle_sql(),
+        "doc_ngram_jaccard": f"""
+            WITH s AS (
+              SELECT doc_id AS id, list_sort(list_distinct({shingles3})) AS sh
+              FROM documents
+            ),
+            s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+            inv AS (SELECT id, unnest(sh) AS g FROM s2),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM inv a JOIN inv b USING (g) WHERE a.id < b.id
+            ),
+            j AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / len(list_distinct(sa.sh || sb.sh)) AS jac
+              FROM cand
+              JOIN s2 sa ON sa.id = cand.id_a
+              JOIN s2 sb ON sb.id = cand.id_b
+            )
+            SELECT id_a, id_b, CAST(ROUND(jac, 4) AS DECIMAL(10,4)) AS jac_r
+            FROM j WHERE jac >= 0.1
+        """,
+        "emb_lsh_topk": _lsh_topk_oracle_sql(),
+        "cdc_outbox_route": """
+            SELECT 'outbox.event.' || event_type AS topic,
+                   user_id AS agg_key, props AS payload
+            FROM events
+        """,
+        "cdc_content_filter": """
+            SELECT event_id AS offset, event_type FROM events
+            WHERE value >= 100 AND event_type <> 'error'
+        """,
+        "cdc_snapshot_chunks": """
+            WITH r AS (
+              SELECT c_custkey,
+                     CAST((row_number() OVER (ORDER BY c_custkey) - 1) // 1024
+                          AS BIGINT) AS chunk_id
+              FROM customer
+            )
+            SELECT chunk_id, count(*) AS n_rows,
+                   min(c_custkey) AS min_key, max(c_custkey) AS max_key
+            FROM r GROUP BY chunk_id
+        """,
+        "cdc_cloudevents_attrs": f"""
+            SELECT event_id AS offset,
+                   'id:' || CAST(event_id AS VARCHAR) AS ce_id,
+                   'io.debezium.spark.datachangeevent.' || {_OP_CASE_SQL} AS ce_type,
+                   '1.0' AS ce_spec
+            FROM events
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

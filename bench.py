@@ -162,13 +162,23 @@ def single(cpus: int) -> dict:
 
 
 def scaling() -> dict:
-    """Run the replay-only job in two fresh JVMs (local[8], local[32])."""
+    """Run the replay-only job in two fresh JVMs (local[8], local[32]).
+
+    Uses the 10x WAL (sf=1, 20M events) by default so each run is minutes, not
+    seconds — at sf0.1 the whole replay is ~30s and fixed costs (JVM, driver
+    manifest ops, per-batch scheduling) swamp the parallel fraction. Override
+    with BENCH_SCALING_SF. The machine must be otherwise idle.
+    """
     here = os.path.abspath(__file__)
+    sf = os.environ.get("BENCH_SCALING_SF", "1")
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only")
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only",
+            SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+        )
         out = subprocess.run(
-            [sys.executable, here], env=env, capture_output=True, text=True, timeout=3600
+            [sys.executable, here], env=env, capture_output=True, text=True, timeout=5400
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)

@@ -123,7 +123,9 @@ def minhash_signature(col: Column, *, n: int = 3, num_perm: int = 32) -> Column:
     sh = shingles(col, n)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda g, p=p: _h64(g, salt=p)))
+            # closure keeps the lambda single-arg; a 2-param lambda would be
+            # bound as (element, index) and the index Column would shadow the salt
+            F.array_min(F.transform(sh, (lambda q: lambda g: _h64(g, salt=q))(p)))
             for p in range(num_perm)
         ]
     )
@@ -200,7 +202,10 @@ def simhash(col: Column) -> Column:
     hashes have bit b set — computed without exploding rows.
     """
     toks = F.array_distinct(F.split(normalize_text(col), " "))
-    th = F.transform(toks, _h64)
+    # Single-arg lambda: passing _h64 directly would make PySpark bind its
+    # (col, salt=0) signature as an (element, index) lambda, salting each token
+    # by the stringified index Column instead of 0.
+    th = F.transform(toks, lambda t: _h64(t))
     n = F.size(th)
     def bit_test(mask_val: int):
         # single-param lambda: PySpark treats 2-param lambdas as (element, index)
