@@ -467,6 +467,20 @@ def q_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("event_id").alias("offset"), "event_type")
 
 
+def q_tx_commit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 tx look-ahead buffer (EventBuffer.java:21-45): events of transactions
+    with no commit marker (here: no 'click' in the tx) are dropped via a
+    broadcast semi-join against the committed-tx set."""
+    from debezium_spark.operators.resolver import committed_tx_filter
+
+    ev = _events(spark, sf_dir).withColumn(
+        "tx_id", (F.col("event_id") / 8).cast("long")
+    )
+    commits = ev.where(F.col("event_type") == "click").select("tx_id")
+    kept = committed_tx_filter(ev, commits)
+    return kept.select(F.col("event_id").alias("offset"), "tx_id")
+
+
 def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 DBLog keyset chunking lineage: 1024-row chunks over the pk order with
     per-chunk bounds — the resumable chunk-position model
@@ -560,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dups": q_emb_near_dups,
         "cdc_outbox_route": q_outbox_route,
+        "cdc_tx_commit_filter": q_tx_commit_filter,
         "cdc_content_filter": q_content_filter,
         "cdc_snapshot_chunks": q_snapshot_chunks,
         "cdc_cloudevents_attrs": q_cloudevents_attrs,
@@ -888,6 +903,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'outbox.event.' || event_type AS topic,
                    user_id AS agg_key, props AS payload
             FROM events
+        """,
+        "cdc_tx_commit_filter": """
+            WITH e AS (
+              SELECT event_id, CAST(event_id // 8 AS BIGINT) AS tx_id, event_type
+              FROM events
+            )
+            SELECT event_id AS offset, tx_id FROM e
+            WHERE tx_id IN (SELECT DISTINCT tx_id FROM e WHERE event_type = 'click')
         """,
         "cdc_content_filter": """
             SELECT event_id AS offset, event_type FROM events

@@ -63,7 +63,15 @@ class EngineConfig:
     tombstones_on_delete: bool = True
     snapshot_mode: str = SNAPSHOT_INITIAL
     # event.processing.failure.handling.mode = fail|warn|skip (EventDispatcher.java:244-258)
+    # fail: raise on malformed events (null key); warn: quarantine to the _dlq
+    # dir + count in metrics; skip: silently drop (counted only).
     failure_handling: str = "fail"
+    # apply TRUNCATE ('t') events: drop all target rows below the truncate offset
+    # (Envelope.java:363-369 truncate(); RelationalChangeRecordEmitter emits them)
+    handle_truncate: bool = True
+    # in-band signal file (pipeline/signal/Signal.java analogue): JSONL rows
+    # {"type": "log"|"pause", ...} polled at each batch boundary
+    signal_path: str | None = None
     # provide transaction metadata block (pipeline/txmetadata/TransactionMonitor.java)
     provide_transaction_metadata: bool = False
 
@@ -83,3 +91,5 @@ class EngineConfig:
         bad = set(self.skipped_operations) - {"c", "u", "d", "t", "r"}
         if bad:
             raise ValueError(f"invalid skipped_operations {sorted(bad)}")
+        if self.failure_handling not in {"fail", "warn", "skip"}:
+            raise ValueError(f"invalid failure_handling {self.failure_handling!r}")

@@ -156,6 +156,26 @@ def resolve_lww(
     )
 
 
+def committed_tx_filter(
+    events: DataFrame,
+    commits: DataFrame,
+    *,
+    tx_col: str = "tx_id",
+    broadcast_commits: bool = True,
+) -> DataFrame:
+    """Transaction look-ahead buffer (S7, connector-mysql EventBuffer.java:21-45):
+    Debezium buffers in-flight transaction events and drops transactions that roll
+    back. Spark-first, the buffer is a semi-join: keep only events whose tx id
+    appears in the committed set. ``commits`` = one row per committed tx
+    (the XID-event stream); broadcast it when the per-batch tx count is small
+    (the common case — tx count << event count), else shuffle-join.
+    """
+    c = commits.select(F.col(tx_col)).distinct()
+    if broadcast_commits:
+        c = F.broadcast(c)
+    return events.join(c, on=tx_col, how="left_semi")
+
+
 def transaction_metadata(env: DataFrame) -> DataFrame:
     """Per-event transaction block (TransactionMonitor.java:56-72,122-135):
     transaction{id, total_order, data_collection_order} where total_order ranks events

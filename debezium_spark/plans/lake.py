@@ -246,6 +246,7 @@ class LakeTable:
         max_offset: int,
         stats: dict[str, Any] | None = None,
         touched_buckets: list[int] | None = None,
+        truncate_below: int | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write MERGE of resolved actions into the table.
 
@@ -256,10 +257,18 @@ class LakeTable:
         Only buckets whose keys appear in the batch are read/rewritten; the offset
         guard makes replays idempotent. Returns commit stats; ``{"applied": False}``
         if this batch_id was already committed (exactly-once on replay).
+
+        ``truncate_below``: a TRUNCATE event at that offset was observed — every
+        target row (incl. tombstones) with ``_offset < truncate_below`` is dropped,
+        all buckets are rewritten, and the watermark is persisted in the manifest so
+        replayed/out-of-order source rows below it are discarded forever after
+        (Envelope truncate semantics, order-tolerant).
         """
         m = self.manifest(refresh=True)
         if batch_id <= m["batch_id"]:
             return {"applied": False, "batch_id": batch_id}
+        trunc = max(m.get("truncate_below", 0), truncate_below or 0)
+        truncating = trunc > m.get("truncate_below", 0)
 
         key_cols = self.key_cols
         nb = m["n_buckets"]
@@ -283,13 +292,19 @@ class LakeTable:
             F.col("_ts_ms").cast("long"),
         ).withColumn("_bucket", bucket_expr(F.col(key_cols[0]), nb))
 
-        if touched_buckets is not None:
+        if trunc > 0:
+            src = src.where(F.col("_offset") >= trunc)
+        if truncating:
+            touched = list(range(nb))  # every bucket rewrites under the watermark
+        elif touched_buckets is not None:
             touched = list(touched_buckets)
         else:
             touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
         target = self.read(buckets=touched, include_deleted=True).withColumn(
             "_bucket", bucket_expr(F.col(key_cols[0]), nb)
         )
+        if trunc > 0:
+            target = target.where(F.col("_offset") >= trunc)
 
         t = target.alias("t")
         s = src.alias("s")
@@ -351,6 +366,7 @@ class LakeTable:
         new_manifest["batch_id"] = batch_id
         new_manifest["max_offset"] = max(max_offset, m["max_offset"])
         new_manifest["files"] = carried + new_files
+        new_manifest["truncate_below"] = trunc
         new_manifest["ts"] = time.time()
         new_manifest["stats"] = stats or {}
         self._commit_manifest(new_manifest)

@@ -72,6 +72,8 @@ class CdcEngine:
         self._metrics_path = os.path.join(work_dir, "_metrics.jsonl")
         self._schema_changes_df = schema_changes
         self._registry: SchemaRegistry | None = None
+        self._truncate_offsets: list[int] | None = None
+        self._signal_state_path = os.path.join(work_dir, "_signals_consumed")
 
     # ------------------------------------------------------------------ setup
     def _wal(self) -> DataFrame:
@@ -114,6 +116,52 @@ class CdcEngine:
             )
         return LakeTable(self.spark, self.target_path)
 
+    # ------------------------------------------------------------- control ops
+    def _truncates_in(self, lo: int, hi: int) -> int | None:
+        """Max TRUNCATE offset in (lo, hi], or None. The WAL is scanned for 't'
+        rows once per engine (column-pruned offset scan), not once per batch."""
+        if not self.config.handle_truncate:
+            return None
+        if self._truncate_offsets is None:
+            try:
+                rows = (
+                    self._wal().where(F.col("op") == "t").select("offset").collect()
+                )
+                self._truncate_offsets = sorted(int(r["offset"]) for r in rows)
+            except Exception:
+                self._truncate_offsets = []
+        hits = [o for o in self._truncate_offsets if lo < o <= hi]
+        return max(hits) if hits else None
+
+    def _poll_signals(self) -> dict[str, Any]:
+        """Signal table poll at the batch boundary (pipeline/signal/Signal.java:
+        in-band control rows). Supported: {"type": "log", "message": ...} appended
+        to _metrics; {"type": "pause"} stops the replay loop before the next batch
+        (resume = call run() again; consumed signals never re-fire — the consumed
+        count is durable in the work dir)."""
+        cfg = self.config
+        out: dict[str, Any] = {"pause": False}
+        if not cfg.signal_path or not os.path.exists(cfg.signal_path):
+            return out
+        consumed = 0
+        if os.path.exists(self._signal_state_path):
+            with open(self._signal_state_path) as f:
+                consumed = int(f.read().strip() or 0)
+        with open(cfg.signal_path) as f:
+            lines = [x for x in f if x.strip()]
+        for line in lines[consumed:]:
+            sig = json.loads(line)
+            if sig.get("type") == "log":
+                self._append_jsonl(
+                    self._metrics_path,
+                    [{"signal": "log", "message": sig.get("message", "")}],
+                )
+            elif sig.get("type") == "pause":
+                out["pause"] = True
+        with open(self._signal_state_path, "w") as f:
+            f.write(str(len(lines)))
+        return out
+
     # ------------------------------------------------------------- transforms
     def _transform(self, slice_df: DataFrame) -> DataFrame:
         """WAL slice -> resolved actions (one per key)."""
@@ -123,6 +171,14 @@ class CdcEngine:
             df = df.where(F.col("op") != E.OP_READ)  # stream-only start (S4)
         elif cfg.snapshot_mode == SNAPSHOT_INITIAL_ONLY:
             df = df.where(F.col("op") == E.OP_READ)
+        if cfg.handle_truncate:
+            df = df.where(F.col("op") != "t")  # control event, applied in merge
+        # Malformed events (unresolvable key) never reach the resolver; the
+        # failure-handling mode decides fail/quarantine/skip in _apply_batch.
+        valid = F.lit(True)
+        for c in cfg.key_columns:
+            valid = valid & F.col(c).isNotNull()
+        df = df.where(valid)
         # No dropDuplicates here: duplicate offsets are identical re-deliveries and
         # the per-key max_by((offset,seq)) reduce is invariant to them, so the LWW
         # phase subsumes dedup-by-offset (S8) without its full-width shuffle.
@@ -156,6 +212,31 @@ class CdcEngine:
         self, lake: LakeTable, slice_df: DataFrame, *, batch_id: int, lo: int, hi: int
     ) -> dict[str, Any]:
         t0 = time.time()
+        cfg = self.config
+        # P18 event-failure handling (EventDispatcher.java:244-258): malformed =
+        # key not resolvable. fail -> raise; warn -> quarantine rows to _dlq +
+        # metrics; skip -> drop and count.
+        invalid_cond = F.col("op") != "t"  # truncate is keyless by design
+        key_null = F.lit(False)
+        for c in cfg.key_columns:
+            key_null = key_null | F.col(c).isNull()
+        bad = slice_df.where(invalid_cond & key_null)
+        n_bad = bad.count()
+        if n_bad:
+            if cfg.failure_handling == "fail":
+                raise ValueError(
+                    f"batch {batch_id}: {n_bad} malformed events (null key); "
+                    "set failure_handling='warn'|'skip' to quarantine/drop"
+                )
+            if cfg.failure_handling == "warn":
+                bad.write.mode("append").parquet(
+                    os.path.join(self.work_dir, "_dlq")
+                )
+            self._append_jsonl(
+                self._metrics_path,
+                [{"batch_id": batch_id, "malformed_skipped": int(n_bad)}],
+            )
+        truncate_below = self._truncates_in(lo, hi)
         reg = self.registry()
         for change in reg.pending_between(lo, hi):
             reg.apply_to_lake(lake, change)      # Iceberg-DDL analogue, idempotent
@@ -195,6 +276,7 @@ class CdcEngine:
             res = lake.merge(
                 actions, batch_id=batch_id, max_offset=hi, stats=stats,
                 touched_buckets=[int(r["_bucket"]) for r in lineage_rows],
+                truncate_below=truncate_below,
             )
         finally:
             actions.unpersist()
@@ -257,6 +339,8 @@ class CdcEngine:
         batch_id = lake.committed_batch_id + 1
         n = 0
         while lo < bounds["hi"]:
+            if self._poll_signals()["pause"]:
+                break  # P17 pause signal; resume = call run() again
             hi = lo + step
             slice_df = wal.where((F.col("offset") > lo) & (F.col("offset") <= hi))
             results.append(
@@ -318,10 +402,14 @@ class CdcEngine:
     def metrics(self) -> DataFrame:
         schema = (
             "batch_id bigint, lo bigint, hi bigint, keys_touched bigint, "
-            "rows_applied bigint, rows_deleted bigint, wall_ms bigint"
+            "rows_applied bigint, rows_deleted bigint, wall_ms bigint, "
+            "malformed_skipped bigint, signal string, message string"
         )
+        keys = [f.strip().split(" ")[0] for f in schema.split(",")]
         rows = []
         if os.path.exists(self._metrics_path):
             with open(self._metrics_path) as f:
-                rows = [json.loads(x) for x in f if x.strip()]
+                rows = [
+                    {k: json.loads(x).get(k) for k in keys} for x in f if x.strip()
+                ]
         return self.spark.createDataFrame(rows, schema)
