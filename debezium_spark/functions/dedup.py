@@ -121,14 +121,19 @@ def ngram_jaccard_pairs(
 def minhash_signature(col: Column, *, n: int = 3, num_perm: int = 32) -> Column:
     """MinHash signature: per permutation p, min over shingles of h(p, shingle)."""
     sh = shingles(col, n)
-    return F.array(
-        *[
-            # closure keeps the lambda single-arg; a 2-param lambda would be
-            # bound as (element, index) and the index Column would shadow the salt
-            F.array_min(F.transform(sh, (lambda q: lambda g: _h64(g, salt=q))(p)))
-            for p in range(num_perm)
-        ]
-    )
+
+    # Bind the shingle array once (CSE-exclusion trap, see shingles()); the
+    # per-permutation closure keeps each inner lambda single-arg — a 2-param
+    # lambda would bind as (element, index) and shadow the salt with the index.
+    def mins(t):
+        return F.array(
+            *[
+                F.array_min(F.transform(t, (lambda q: lambda g: _h64(g, salt=q))(p)))
+                for p in range(num_perm)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(sh), mins), 1)
 
 
 def minhash_lsh_dedup(
@@ -206,19 +211,31 @@ def simhash(col: Column) -> Column:
     # (col, salt=0) signature as an (element, index) lambda, salting each token
     # by the stringified index Column instead of 0.
     th = F.transform(toks, lambda t: _h64(t))
-    n = F.size(th)
-    def bit_test(mask_val: int):
-        # single-param lambda: PySpark treats 2-param lambdas as (element, index)
-        return lambda h: h.bitwiseAND(F.lit(mask_val).cast("long")) != F.lit(0).cast("long")
 
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        mask = 1 << b
-        set_cnt = F.size(F.filter(th, bit_test(mask)))
-        out = out.bitwiseOR(
-            F.when(set_cnt * 2 > n, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    # Bind the hash array ONCE as a lambda variable (outer transform over a
+    # 1-element wrapper): referencing `th` directly in all 60 bit tests would
+    # re-hash every token 60x — lambda-bound subexpressions are excluded from
+    # Catalyst CSE (same trap as shingles()).
+    def fold_bits(t):
+        n = F.size(t)
+        out = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            mask = 1 << b
+            set_cnt = F.size(
+                F.filter(
+                    t,
+                    lambda h: h.bitwiseAND(F.lit(mask).cast("long"))
+                    != F.lit(0).cast("long"),
+                )
+            )
+            out = out.bitwiseOR(
+                F.when(set_cnt * 2 > n, F.lit(mask).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return out
+
+    return F.element_at(F.transform(F.array(th), fold_bits), 1)
 
 
 def simhash_near_dups(

@@ -56,7 +56,6 @@ def stopword_ratio(col: Column) -> Column:
     toks = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+")
     n = F.size(toks)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
-    hits = F.size(F.array_intersect(toks, sw))  # distinct-hit approximation
     hits_full = F.aggregate(
         toks,
         F.lit(0),

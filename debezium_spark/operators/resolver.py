@@ -116,42 +116,65 @@ def resolve_lww(
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
     Tombstones (value IS NULL) and deletes both resolve to ACTION_DELETE; everything
-    else upserts its ``after`` image. Two-phase salted reduce (SURVEY.md §4.1):
+    else upserts its ``after`` image.
 
-      phase 1: groupBy(key, salt) . agg(max_by(event, (offset, seq)))   -- partial
-      phase 2: groupBy(key)       . agg(max_by(event, (offset, seq)))   -- final
+    Implementation: argmax via **packed-string max()**, not max_by(struct) and not
+    a ranking window. Each event is encoded as one string — a fixed-width
+    zero-padded ``(offset, seq)`` prefix (string order == numeric order for the
+    non-negative offsets a WAL/LSN guarantees) followed by the JSON of the slim
+    payload — and reduced with plain ``max()``:
+
+      * ``max()`` over strings compiles to **HashAggregate with a map-side
+        partial** (at most one surviving row per key per input partition before
+        any shuffle). ``max_by`` carries a struct aggregation buffer, which hash
+        aggregation cannot hold, so Catalyst falls back to SortAggregate — two
+        full sorts of the batch and no pre-shuffle reduction for unique-ish keys.
+      * The map-side combine is also the hot-key/skew answer (SURVEY.md §4.1): a
+        key with millions of duplicate events still ships at most one row per
+        input partition, so no explicit salting phase is needed; ``salt_buckets``
+        is retained for API compatibility only.
+      * Duplicate re-deliveries tie on the entire packed string (identical
+        payload) and collapse deterministically.
 
     Returns: key_cols*, action, after(payload struct), _offset, _ts_ms.
     """
-    seq = F.col("seq") if "seq" in env.columns else F.lit(0)
-    ordk = F.struct(F.col("offset").alias("o"), seq.cast("int").alias("s"))
+    from pyspark.sql import types as T
+
+    seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("int")
     val0 = F.col("value")
     is_del0 = val0.isNull() | (val0.getField("op") == "d")
-    # Shuffle only what the resolved action needs (after/is_delete/ts_ms/offset) —
-    # dropping before/source/transaction roughly halves the shuffled bytes.
+    slim = F.struct(
+        F.when(~is_del0, val0.getField("after")).alias("after"),
+        is_del0.alias("is_delete"),
+        F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
+    )
+    packed = F.concat(
+        F.lpad(F.col("offset").cast("string"), 19, "0"),
+        F.lpad(seq.cast("string"), 2, "0"),
+        F.to_json(slim),
+    )
     ev = env.select(
         *[F.col("key").getField(c).alias(c) for c in key_cols],
-        F.struct(
-            F.when(~is_del0, val0.getField("after")).alias("after"),
-            is_del0.alias("is_delete"),
-            F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
-            F.col("offset").alias("offset"),
-        ).alias("_ev"),
-        ordk.alias("_ord"),
-        F.pmod(F.xxhash64(F.col("offset"), F.lit(7)), F.lit(salt_buckets)).alias("_salt"),
+        packed.alias("_packed"),
     )
-    phase1 = ev.groupBy(*key_cols, "_salt").agg(
-        F.max_by("_ev", "_ord").alias("_ev"), F.max("_ord").alias("_ord")
-    )
-    phase2 = phase1.groupBy(*key_cols).agg(F.max_by("_ev", "_ord").alias("_ev"))
+    agg = ev.groupBy(*key_cols).agg(F.max("_packed").alias("_packed"))
 
-    win = F.col("_ev")
-    is_delete = win.getField("is_delete")
-    return phase2.select(
+    payload_t = env.schema["value"].dataType["after"].dataType
+    slim_schema = T.StructType(
+        [
+            T.StructField("after", payload_t),
+            T.StructField("is_delete", T.BooleanType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    win = F.from_json(F.substring(F.col("_packed"), 22, 1 << 30), slim_schema)
+    return agg.select(
         *key_cols,
-        F.when(is_delete, F.lit(ACTION_DELETE)).otherwise(F.lit(ACTION_UPSERT)).alias("action"),
+        F.when(win.getField("is_delete"), F.lit(ACTION_DELETE))
+        .otherwise(F.lit(ACTION_UPSERT))
+        .alias("action"),
         win.getField("after").alias("after"),
-        win.getField("offset").alias("_offset"),
+        F.substring(F.col("_packed"), 1, 19).cast("long").alias("_offset"),
         win.getField("ts_ms").alias("_ts_ms"),
     )
 

@@ -369,6 +369,8 @@ class CdcEngine:
             # order, and restart may replay the last epoch. Both are safe — the
             # per-row offset guard + retained delete tombstones make merge
             # idempotent and order-tolerant (plans/lake.py module docstring).
+            if self._poll_signals()["pause"]:
+                raise _PauseSignal()  # surfaces as query stop; resume = restart
             rng = df.agg(
                 F.min("offset").alias("lo"), F.max("offset").alias("hi")
             ).collect()[0]
@@ -385,7 +387,11 @@ class CdcEngine:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception as e:  # pause is a clean stop, not a failure
+            if "_PauseSignal" not in str(e):
+                raise
 
     # ------------------------------------------------------------- inspection
     def checkpoints(self) -> DataFrame:
@@ -413,3 +419,8 @@ class CdcEngine:
                     {k: json.loads(x).get(k) for k in keys} for x in f if x.strip()
                 ]
         return self.spark.createDataFrame(rows, schema)
+
+
+class _PauseSignal(Exception):
+    """In-band pause signal received; the streaming query stops cleanly before
+    the paused epoch commits, so a restart resumes exactly there."""
