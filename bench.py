@@ -94,12 +94,14 @@ def run_replay(spark, sf: str) -> dict:
     n_rows = spark.read.parquet(wal_dir).count()  # warms FS cache, outside timing
     work = tempfile.mkdtemp(prefix="dbzbench-")
     spec = W.WalSpec(n_keys=n_keys, n_events=n_events, seed=42)
+    batches = int(os.environ.get("BENCH_BATCHES", "4"))
     eng = CdcEngine(
         spark,
         # target_buckets fixed at 32 for BOTH scaling runs (identical job plan);
         # 32 buckets parallelize the copy-on-write merge writes across local[32].
         EngineConfig(
-            max_offsets_per_batch=(n_events * 8) // 4 + n_keys, target_buckets=32
+            max_offsets_per_batch=(n_events * 8) // batches + n_keys,
+            target_buckets=32,
         ),
         wal_path=wal_dir,
         target_path=os.path.join(work, "target"),
@@ -195,6 +197,10 @@ def scaling() -> dict:
             env = dict(
                 os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only",
                 SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+                # 2 batches: per-batch driver-serial cost (plan analysis, job
+                # scheduling, manifest commit) is the Amdahl term; still >1
+                # batch so the multi-batch resume machinery is exercised
+                BENCH_BATCHES=os.environ.get("BENCH_BATCHES", "2"),
             )
             # Pin the process to exactly `cpus` CPUs: local[N] only bounds task
             # slots — GC/JIT/shuffle helper threads otherwise spill onto idle

@@ -2,8 +2,9 @@
 
 Pipeline per micro-batch (offset-range slice of the WAL):
 
-    read WAL slice -> op/table filters -> dedup-by-offset -> envelope wrap
-      -> PK-change split -> SMT column transforms -> LWW resolve (salted two-phase)
+    read WAL slice -> op/table/malformed filters -> envelope wrap
+      -> PK-change split -> SMT column transforms -> LWW resolve (packed-string
+      max(), hash-partial; duplicate offsets collapse here, so no separate dedup)
       -> schema DDL (if the batch crosses a schema-change offset)
       -> offset-guarded copy-on-write MERGE into the lake table
       -> lineage checkpoint (_checkpoints) + metrics (_metrics)
@@ -173,12 +174,10 @@ class CdcEngine:
             df = df.where(F.col("op") == E.OP_READ)
         if cfg.handle_truncate:
             df = df.where(F.col("op") != "t")  # control event, applied in merge
-        # Malformed events (unresolvable key) never reach the resolver; the
-        # failure-handling mode decides fail/quarantine/skip in _apply_batch.
-        valid = F.lit(True)
-        for c in cfg.key_columns:
-            valid = valid & F.col(c).isNotNull()
-        df = df.where(valid)
+        # Malformed events (unresolvable key) flow through the resolver under
+        # their null key and surface as action rows with a null key column —
+        # detected for free in the lineage aggregation (no dedicated scan job)
+        # and excluded from the merge; see _apply_batch for the P18 modes.
         # No dropDuplicates here: duplicate offsets are identical re-deliveries and
         # the per-key max_by((offset,seq)) reduce is invariant to them, so the LWW
         # phase subsumes dedup-by-offset (S8) without its full-width shuffle.
@@ -213,29 +212,6 @@ class CdcEngine:
     ) -> dict[str, Any]:
         t0 = time.time()
         cfg = self.config
-        # P18 event-failure handling (EventDispatcher.java:244-258): malformed =
-        # key not resolvable. fail -> raise; warn -> quarantine rows to _dlq +
-        # metrics; skip -> drop and count.
-        invalid_cond = F.col("op") != "t"  # truncate is keyless by design
-        key_null = F.lit(False)
-        for c in cfg.key_columns:
-            key_null = key_null | F.col(c).isNull()
-        bad = slice_df.where(invalid_cond & key_null)
-        n_bad = bad.count()
-        if n_bad:
-            if cfg.failure_handling == "fail":
-                raise ValueError(
-                    f"batch {batch_id}: {n_bad} malformed events (null key); "
-                    "set failure_handling='warn'|'skip' to quarantine/drop"
-                )
-            if cfg.failure_handling == "warn":
-                bad.write.mode("append").parquet(
-                    os.path.join(self.work_dir, "_dlq")
-                )
-            self._append_jsonl(
-                self._metrics_path,
-                [{"batch_id": batch_id, "malformed_skipped": int(n_bad)}],
-            )
         truncate_below = self._truncates_in(lo, hi)
         reg = self.registry()
         for change in reg.pending_between(lo, hi):
@@ -251,10 +227,16 @@ class CdcEngine:
         nb = lake.n_buckets
         from debezium_spark.plans.lake import bucket_expr
 
-        # Per-partition lineage + batch metrics in one aggregation pass.
-        lineage_rows = (
+        # Per-partition lineage + batch metrics + malformed detection in ONE
+        # aggregation pass (a dedicated malformed-scan job per batch costs more
+        # driver-serial time than the whole check is worth).
+        key_null = F.lit(False)
+        for c in cfg.key_columns:
+            key_null = key_null | F.col(c).isNull()
+        lineage_all = (
             actions.withColumn(
-                "_bucket", bucket_expr(F.col(self.config.key_columns[0]), nb)
+                "_bucket",
+                F.when(~key_null, bucket_expr(F.col(cfg.key_columns[0]), nb)),
             )
             .groupBy("_bucket")
             .agg(
@@ -268,13 +250,44 @@ class CdcEngine:
             )
             .collect()
         )
+        # _bucket NULL row = resolved actions whose key had a null column (P18,
+        # EventDispatcher.java:244-258). Count is per distinct malformed key.
+        lineage_rows = [r for r in lineage_all if r["_bucket"] is not None]
+        n_bad = sum(
+            r["rows_applied"] + r["rows_deleted"]
+            for r in lineage_all
+            if r["_bucket"] is None
+        )
+        if n_bad:
+            if cfg.failure_handling == "fail":
+                actions.unpersist()
+                raise ValueError(
+                    f"batch {batch_id}: {n_bad} malformed key(s) (null key column); "
+                    "set failure_handling='warn'|'skip' to quarantine/drop"
+                )
+            if cfg.failure_handling == "warn":
+                invalid_src = F.lit(False)
+                for c in cfg.key_columns:
+                    invalid_src = invalid_src | F.col(c).isNull()
+                (
+                    slice_df.where((F.col("op") != "t") & invalid_src)
+                    .write.mode("append")
+                    .parquet(os.path.join(self.work_dir, "_dlq"))
+                )
+            self._append_jsonl(
+                self._metrics_path,
+                [{"batch_id": batch_id, "malformed_skipped": int(n_bad)}],
+            )
+            actions_valid = actions.where(~key_null)
+        else:
+            actions_valid = actions
         stats = {
             "rows_applied": int(sum(r["rows_applied"] for r in lineage_rows)),
             "rows_deleted": int(sum(r["rows_deleted"] for r in lineage_rows)),
         }
         try:
             res = lake.merge(
-                actions, batch_id=batch_id, max_offset=hi, stats=stats,
+                actions_valid, batch_id=batch_id, max_offset=hi, stats=stats,
                 touched_buckets=[int(r["_bucket"]) for r in lineage_rows],
                 truncate_below=truncate_below,
             )
