@@ -248,9 +248,12 @@ def q_schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = ev.where(F.col("event_id") < 5000).drop("value")
     v2 = ev.where(F.col("event_id") >= 5000)
     merged = v1.unionByName(v2, allowMissingColumns=True)
+    # Fixed-point BIGINT (floor(x*100+0.5)) instead of decimal-from-double:
+    # Spark HALF_UPs double->decimal casts while DuckDB rounds half-even, so a
+    # decimal output column can never hash-match across engines.
     return merged.select(
         F.col("event_id").alias("offset"),
-        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("value_r"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_c"),
     )
 
 
@@ -369,73 +372,76 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.1) via inverted-index
-    candidate join; similarity at 1e-4 precision."""
+    candidate join with posting lists capped at doc-freq 256 (skew guard: a
+    shingle shared by k docs otherwise yields k^2 candidates); similarity
+    reported as fixed-point 1e-4 BIGINT (engine-portable, see dedup docstring)."""
     d = _docs(spark, sf_dir)
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.1)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.1, max_doc_freq=256)
     return pairs.select(
         "id_a", "id_b",
-        F.round(F.col("jaccard"), 4).cast("decimal(10,4)").alias("jac_r"),
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias("jac_c"),
     )
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): sign-LSH over 8 hyperplanes, multi-probe
     Hamming<=1, cosine top-10 for vec_id=0's embedding. At scale the bucket column
-    is materialized + partition-pruned; here the filter prunes candidates."""
-    from debezium_spark.functions.similarity import lsh_topk
+    is materialized + partition-pruned; here the filter prunes candidates.
+    order_scale=1e4 ranks by the fixed-point score so the selected rows are
+    deterministic across engines with different float-summation order."""
+    from debezium_spark.functions.similarity import lsh_topk, scaled
 
     v = _emb(spark, sf_dir)
     query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
-    topk = lsh_topk(v, query, k=10, planes=8, probe_hamming=1)
-    return topk.select(
-        "vec_id", F.round(F.col("cos_sim"), 4).cast("decimal(10,4)").alias("cos_r")
-    )
+    topk = lsh_topk(v, query, k=10, planes=8, probe_hamming=1, order_scale=10000)
+    return topk.select("vec_id", scaled(F.col("cos_sim")).alias("cos_c"))
 
 
 def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: 10 nearest to vec_id=0's embedding; similarity
-    reported at 1e-4 decimal precision to be engine-portable."""
-    from debezium_spark.functions.similarity import cosine
+    as fixed-point 1e-4 BIGINT (floor(x*1e4+0.5) — portable, unlike
+    double->decimal casts whose rounding mode differs across engines)."""
+    from debezium_spark.functions.similarity import brute_force_topk, scaled
 
     v = _emb(spark, sf_dir)
-    q = F.array(*[F.lit(float(x)) for x in v.where("vec_id = 0").first()["embedding"]])
-    scored = v.select(
-        "vec_id",
-        F.round(cosine(F.col("embedding").cast("array<double>"), q), 4)
-        .cast("decimal(10,4)")
-        .alias("cos_r"),
-    )
-    return scored.orderBy(F.desc("cos_r"), F.col("vec_id")).limit(10)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    topk = brute_force_topk(v, query, k=10, order_scale=10000)
+    return topk.select("vec_id", scaled(F.col("cos_sim")).alias("cos_c"))
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above cosine 0.3 (these embeddings are near-random,
-    so 0.3 is the near-dup band), reported at 1e-4 precision."""
-    from debezium_spark.functions.similarity import cosine
+    """Embedding near-dup pairs above cosine 0.3 via the LSH-bucketed self-join
+    (similarity.embedding_near_dups): pairs are scored only inside a shared
+    sign-LSH bucket — O(sum bucket^2) candidates, never the O(n^2) cross product
+    a naive pair join would cost at 100 TB. Threshold applied on the fixed-point
+    score (cos_c >= 3000) so the boundary is engine-portable; the library
+    pre-filter at 0.29 can only drop pairs already below the reported band."""
+    from debezium_spark.functions.similarity import embedding_near_dups, scaled
 
-    v = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(cosine(F.col("a.e"), F.col("b.e")), 4).cast("decimal(10,4)").alias("cos_r"),
-    )
-    return pairs.where(F.col("cos_r") >= 0.3)
+    v = _emb(spark, sf_dir)
+    pairs = embedding_near_dups(v, cosine_threshold=0.29, planes=8)
+    return pairs.select(
+        "id_a", "id_b", scaled(F.col("cos_sim")).alias("cos_c")
+    ).where(F.col("cos_c") >= 3000)
 
 
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary (decimal-exact aggregation)."""
+    """TPC-H Q1-style pricing summary with exact integer-cents arithmetic:
+    quantity/price/discount are quantized to BIGINT hundredths up front
+    (exact — TPC-H money columns carry 2 decimal digits), so every sum is pure
+    int64 math, overflow-safe to ~10^18 (sf100k), and bit-identical across
+    engines. sum_disc_price_c is in 1e-4 units (cents x (100 - discount_c))."""
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    d18 = "decimal(18,4)"
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(d18)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(d18)).alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice").cast(d18) * (F.lit(1).cast(d18) - F.col("l_discount").cast(d18))).cast("decimal(28,8)")
-            ).alias("sum_disc_price"),
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(ep_c).alias("sum_base_price_c"),
+            F.sum(ep_c * (F.lit(100) - disc_c)).alias("sum_disc_price_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -606,8 +612,8 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _lsh_topk_oracle_sql(dim: int = 64, planes: int = 8) -> str:
-    """Sign-LSH multi-probe ANN in DuckDB with the engine's deterministic
+def _bucket_sql(dim: int = 64, planes: int = 8) -> str:
+    """Sign-LSH bucket expression in DuckDB with the engine's deterministic
     hyperplanes inlined as literals (functions/similarity._hyperplane)."""
     from debezium_spark.functions.similarity import _hyperplane
 
@@ -618,19 +624,29 @@ def _lsh_topk_oracle_sql(dim: int = 64, planes: int = 8) -> str:
             f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{hp}]) >= 0 "
             f"THEN {1 << b} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+# Fixed-point 1e-4 quantization (similarity.scaled analogue) — floor(x*1e4+0.5)
+# is pure IEEE double math, bit-identical in Spark and DuckDB, unlike
+# double->DECIMAL casts whose rounding mode differs between the engines.
+def _scaled_sql(expr: str, scale: int = 10000) -> str:
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, planes: int = 8) -> str:
+    """Sign-LSH multi-probe ANN in DuckDB, ranked by the fixed-point score."""
+    cos = "list_cosine_similarity(e, (SELECT qe FROM q))"
     return f"""
         WITH b AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {bucket} AS bucket
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {_bucket_sql(dim, planes)} AS bucket
           FROM embeddings
         ),
         q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
-        SELECT vec_id,
-               CAST(ROUND(list_cosine_similarity(e, (SELECT qe FROM q)), 4)
-                    AS DECIMAL(10,4)) AS cos_r
+        SELECT vec_id, {_scaled_sql(cos)} AS cos_c
         FROM b
         WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST((SELECT qb FROM q) AS BIGINT))) <= 1
-        ORDER BY list_cosine_similarity(e, (SELECT qe FROM q)) DESC, vec_id
+        ORDER BY cos_c DESC, vec_id
         LIMIT 10
     """
 
@@ -739,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution_nullfill": """
             SELECT event_id AS offset,
                    CASE WHEN event_id < 5000 THEN NULL
-                        ELSE CAST(ROUND(value, 2) AS DECIMAL(18,2)) END AS value_r
+                        ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS value_c
             FROM events
         """,
         "cdc_metrics_rollup": """
@@ -852,28 +868,24 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(list_transform(sh, g -> md5('3:' || g)), 'min') AS mh3
             FROM s WHERE len(sh) > 0
         """,
-        "emb_topk_cosine": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        "emb_topk_cosine": f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   CAST(ROUND(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]), CAST((SELECT qv FROM q) AS DOUBLE[])
-                   ), 4) AS DECIMAL(10,4)) AS cos_r
+                   {_scaled_sql("list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))")} AS cos_c
             FROM embeddings
-            ORDER BY cos_r DESC, vec_id
+            ORDER BY cos_c DESC, vec_id
             LIMIT 10
         """,
-        "emb_near_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(ROUND(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-                   ), 4) AS DECIMAL(10,4)) AS cos_r
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(
-                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-                  ) >= 0.29995
-              AND CAST(ROUND(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-                   ), 4) AS DECIMAL(10,4)) >= 0.3
+        "emb_near_dups": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     {_bucket_sql(64, 8)} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} AS cos_c
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} >= 3000
         """,
         "doc_simhash": _simhash_oracle_sql(),
         "doc_ngram_jaccard": f"""
@@ -882,7 +894,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
-            inv AS (SELECT id, unnest(sh) AS g FROM s2),
+            inv AS (
+              SELECT id, g FROM (SELECT id, unnest(sh) AS g FROM s2)
+              QUALIFY count(*) OVER (PARTITION BY g) <= 256
+            ),
             cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
               FROM inv a JOIN inv b USING (g) WHERE a.id < b.id
@@ -895,7 +910,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN s2 sa ON sa.id = cand.id_a
               JOIN s2 sb ON sb.id = cand.id_b
             )
-            SELECT id_a, id_b, CAST(ROUND(jac, 4) AS DECIMAL(10,4)) AS jac_r
+            SELECT id_a, id_b, {_scaled_sql("jac")} AS jac_c
             FROM j WHERE jac >= 0.1
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
@@ -935,15 +950,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "tpch_q1_pricing": """
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+                     CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                       AS DECIMAL(28,8))) AS sum_disc_price,
+                   CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(ep_c) AS BIGINT) AS sum_base_price_c,
+                   CAST(sum(ep_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_c,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            FROM c
             GROUP BY l_returnflag, l_linestatus
         """,
     }

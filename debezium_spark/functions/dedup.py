@@ -88,17 +88,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefilter_hash: bool = True,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Candidates come from sharing at least one shingle-hash (inverted index join) —
-    at scale you'd cap posting-list length; here lists are bounded by min-hash
-    banding in minhash_lsh_dedup, and this operator is the exact verifier.
+    Candidates come from sharing at least one shingle (inverted index join).
+    ``max_doc_freq`` caps posting-list length: a shingle appearing in more than
+    that many documents is dropped from the *candidate index only* (the Jaccard
+    itself is still computed on the full shingle sets of surviving pairs, so
+    reported similarities stay exact). Without the cap, one stop-word shingle
+    shared by k documents explodes into k^2 candidate pairs — the classic
+    inverted-index skew killer at 100 TB. Pairs whose ONLY shared shingles are
+    high-frequency ones are missed; by the Jaccard definition such pairs have
+    similarity <= max_doc_freq-capped recall documented here, which is the same
+    trade every production MinHash/LSH pipeline makes.
     """
+    from pyspark.sql import Window
+
     sh = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).where(F.size("sh") > 0)
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_doc_freq is not None:
+        # One shuffle on g (shared with the candidate join's clustering); the
+        # count-window is a single cheap pass even over a skewed posting list.
+        inv = inv.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        ).where(F.col("_df") <= max_doc_freq).drop("_df")
     cand = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")

@@ -34,6 +34,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def scaled(col: Column, scale: int = 10000) -> Column:
+    """Portable fixed-point quantization: floor(x*scale + 0.5) as BIGINT.
+
+    Pure IEEE-double ops, bit-identical across engines (Spark, DuckDB, ...),
+    unlike double->DECIMAL casts whose rounding mode differs (HALF_UP in Spark,
+    half-even in DuckDB)."""
+    return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: list[float],
@@ -41,17 +50,23 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    order_scale: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for one query vector: scan, score, take k.
 
     Uses sort-limit (Spark turns ORDER BY+LIMIT into a TakeOrdered — no full sort
-    shuffle, each partition keeps only its local top-k).
+    shuffle, each partition keeps only its local top-k). ``order_scale`` orders by
+    the fixed-point-quantized score (ties broken by id) so the selected k rows are
+    deterministic across engines computing cosine with different summation order.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = vectors.select(
         F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
     )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    order = (
+        scaled(F.col("cos_sim"), order_scale) if order_scale else F.col("cos_sim")
+    )
+    return scored.orderBy(F.desc(order), F.col(id_col)).limit(k)
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
@@ -93,6 +108,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    order_scale: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's LSH bucket (and buckets
     within `probe_hamming` bit flips — multi-probe to recover boundary losses).
@@ -100,6 +116,7 @@ def lsh_topk(
     On a bucketed/partitioned table this is a partition-pruned read; here the
     filter still prunes row groups via predicate pushdown on a materialized
     `lsh_bucket` column when present, else computes it on the fly.
+    ``order_scale``: see brute_force_topk — engine-portable deterministic top-k.
     """
     dim = len(query)
     qb = _query_bucket(query, planes=planes, seed=seed)
@@ -117,7 +134,10 @@ def lsh_topk(
     scored = cand.select(
         F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
     )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    order = (
+        scaled(F.col("cos_sim"), order_scale) if order_scale else F.col("cos_sim")
+    )
+    return scored.orderBy(F.desc(order), F.col(id_col)).limit(k)
 
 
 def _query_bucket(query: list[float], *, planes: int, seed: int) -> int:
