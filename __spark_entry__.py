@@ -196,20 +196,19 @@ def q_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_snapshot_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 snapshot markers first/true/last over a consistent scan of customer
-    (RelationalSnapshotChangeEventSource.java:404-428)."""
-    from pyspark.sql import Window
+    (RelationalSnapshotChangeEventSource.java:404-428). Row numbering is
+    range-partitioned (sources/snapshot.ranged_row_number): parallel shuffles +
+    a tiny per-partition-count collect, never the single-task
+    Exchange SinglePartition a global Window.orderBy would cost at 100 TB."""
+    from debezium_spark.sources.snapshot import ranged_row_number
 
-    c = _customer(spark, sf_dir)
-    w = Window.orderBy("c_custkey")
-    n = c.count()
-    return c.select(
-        F.col("c_custkey"),
-        F.row_number().over(w).alias("rn"),
-    ).select(
+    c = _customer(spark, sf_dir).select("c_custkey")
+    numbered, total = ranged_row_number(c, ("c_custkey",))
+    return numbered.select(
         "c_custkey",
         (
-            F.when(F.col("rn") == 1, "first")
-            .when(F.col("rn") == n, "last")
+            F.when(F.col("_rn") == 1, "first")
+            .when(F.col("_rn") == total, "last")
             .otherwise("true")
         ).alias("snapshot_marker"),
     )
@@ -491,13 +490,12 @@ def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 DBLog keyset chunking lineage: 1024-row chunks over the pk order with
     per-chunk bounds — the resumable chunk-position model
     (AbstractIncrementalSnapshotChangeEventSource.java:199-259)."""
-    from pyspark.sql import Window
+    from debezium_spark.sources.snapshot import ranged_row_number
 
-    c = _customer(spark, sf_dir)
-    w = Window.orderBy("c_custkey")
-    chunked = c.select(
-        "c_custkey",
-        ((F.row_number().over(w) - 1) / 1024).cast("long").alias("chunk_id"),
+    c = _customer(spark, sf_dir).select("c_custkey")
+    numbered, _ = ranged_row_number(c, ("c_custkey",))
+    chunked = numbered.select(
+        "c_custkey", ((F.col("_rn") - 1) / 1024).cast("long").alias("chunk_id")
     )
     return chunked.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -27,6 +27,64 @@ from pyspark.sql import functions as F
 from debezium_spark.functions import envelope as E
 
 
+def ranged_row_number(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    *,
+    num_partitions: int | None = None,
+    rn_col: str = "_rn",
+) -> tuple[DataFrame, int]:
+    """Scale-safe global row numbering in key order.
+
+    A plain ``Window.orderBy(key)`` funnels the whole table through ONE task
+    (Exchange SinglePartition) — correct at sf0.1, a wall at 100 TB. Instead:
+
+      1. range-partition on the keys (parallel shuffle; partition i holds keys
+         strictly below partition i+1),
+      2. number rows *within* each partition with an ordinary window,
+      3. add the cumulative row count of the preceding partitions — a
+         per-partition count that is collected to the driver (n_partitions rows,
+         negligible at any scale) and folded back in as a literal map.
+
+    The ranged frame is persisted so the count pass and the numbering pass see
+    the same (sampled) range boundaries; on a real cluster this is a cheap
+    DISK_ONLY spill of an already-shuffled dataset.
+
+    Returns (df + rn_col [1-based], total_row_count).
+
+    Mirrors the scan-position semantics of the reference's snapshot reader
+    (RelationalSnapshotChangeEventSource.java:404-428) without its single-cursor
+    bottleneck.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = total
+        total += r["n"]
+    if offsets:
+        base = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+    else:
+        base = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    out = ranged.withColumn(
+        rn_col, (F.row_number().over(w) + F.coalesce(base, F.lit(0))).cast("long")
+    ).drop("_pid")
+    return out, total
+
+
 def snapshot_events(
     seed: DataFrame,
     *,
@@ -45,13 +103,10 @@ def snapshot_events(
     """
     if where:
         seed = seed.where(F.expr(where))  # snapshot.select.statement.overrides (S2)
-    w = Window.orderBy(*key_cols)
-    numbered = seed.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    numbered, total = ranged_row_number(seed, key_cols)
     marker = (
         F.when(F.col("_rn") == 1, F.lit(E.SNAPSHOT_FIRST))
-        .when(F.col("_rn") == F.col("_n"), F.lit(E.SNAPSHOT_LAST))
+        .when(F.col("_rn") == total, F.lit(E.SNAPSHOT_LAST))
         .otherwise(F.lit(E.SNAPSHOT_TRUE))
     )
     offset = (F.lit(base_offset) + F.col("_rn") - 1).cast("long")
@@ -114,10 +169,10 @@ def incremental_snapshot(
     touched = stream_window.select(*key_cols).distinct()
     deduped = chunk_source.join(F.broadcast(touched), on=list(key_cols), how="left_anti")
 
-    w = Window.orderBy(*key_cols)
-    chunked = deduped.withColumn(
-        "_chunk", ((F.row_number().over(w) - 1) / chunk_size).cast("long")
-    )
+    numbered, _ = ranged_row_number(deduped, key_cols)
+    chunked = numbered.withColumn(
+        "_chunk", ((F.col("_rn") - 1) / chunk_size).cast("long")
+    ).drop("_rn")
     lineage = chunked.groupBy("_chunk").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.max(F.struct(*[F.col(c) for c in key_cols])).alias("max_key"),
