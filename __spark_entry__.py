@@ -70,26 +70,27 @@ def q_envelope_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lww_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core materialization: per-key last-writer-wins over the offset order, delete
-    removes the key — the compacted-topic state (SURVEY.md §2.4). Two-phase salted
-    max_by reduce (operators/resolver.py) expressed on the events mapping."""
-    ev = _events(spark, sf_dir).select(
-        F.col("user_id"),
+    removes the key — the compacted-topic state (SURVEY.md §2.4). Drives the
+    engine's shipped operator (operators/resolver.resolve_lww): single-phase
+    max_by(slim, packed-prefix) reduce — one partial SortAggregate (map-side
+    combine = the hot-key answer), one slim exchange, one final merge."""
+    from debezium_spark.operators.resolver import ACTION_DELETE, resolve_lww
+
+    ev = _events(spark, sf_dir)
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
         F.struct(
-            F.col("event_id").alias("offset"),
+            F.struct(F.col("event_type")).alias("after"),
             _op_col().alias("op"),
-            F.col("event_type").alias("event_type"),
-        ).alias("_ev"),
-        F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
     )
-    p1 = ev.groupBy("user_id", "_salt").agg(F.max_by("_ev", F.col("_ev.offset")).alias("_ev"))
-    p2 = p1.groupBy("user_id").agg(F.max_by("_ev", F.col("_ev.offset")).alias("_ev"))
-    return (
-        p2.where(F.col("_ev.op") != "d")
-        .select(
-            "user_id",
-            F.col("_ev.offset").alias("last_offset"),
-            F.col("_ev.event_type").alias("last_event_type"),
-        )
+    res = resolve_lww(env, key_cols=("user_id",))
+    return res.where(F.col("action") != ACTION_DELETE).select(
+        "user_id",
+        F.col("_offset").alias("last_offset"),
+        F.col("after.event_type").alias("last_event_type"),
     )
 
 

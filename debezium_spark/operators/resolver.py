@@ -118,30 +118,32 @@ def resolve_lww(
     Tombstones (value IS NULL) and deletes both resolve to ACTION_DELETE; everything
     else upserts its ``after`` image.
 
-    Implementation: argmax via **packed-string max()**, not max_by(struct) and not
-    a ranking window. Each event is encoded as one string — a fixed-width
-    zero-padded ``(offset, seq)`` prefix (string order == numeric order for the
-    non-negative offsets a WAL/LSN guarantees) followed by the JSON of the slim
-    payload — and reduced with plain ``max()``:
+    Implementation: argmax via **max_by(slim_struct, packed_prefix)**, not a
+    ranking window and not a two-phase salted reduce. The ordering key is one
+    fixed-width zero-padded ``(offset, seq)`` string (string order == numeric
+    order for the non-negative offsets a WAL/LSN guarantees); the carried value
+    is a slim (after, is_delete, ts_ms, offset) struct:
 
-      * Both max_by(struct) and max(string) carry non-fixed-width aggregation
-        buffers, so either way Catalyst picks SortAggregate — but the packed
-        form does it in ONE phase over a single slim string column instead of
-        two phases over a wide struct: one partial sort-agg per input partition
-        (map-side combine to at most one row per key), one exchange of the
-        already-reduced slim rows, one final merge. Measured ~30% faster on a
-        6M-event batch and far less shuffle than the two-phase struct reduce.
+      * max_by is a declarative aggregate with a partial-merge phase, so it
+        map-side combines: ONE partial SortAggregate per input partition
+        (buffer is non-fixed-width either way, so SortAggregate is the pick),
+        one exchange of at-most-one-slim-row per (key, partition), one final
+        merge. Same single-phase shape the packed-string max() had, minus two
+        full JSON serialization passes over every payload.
+      * No serialization round-trip: an earlier packed-string variant carried
+        the payload through to_json/from_json, where a non-finite double
+        (NaN/Infinity) produced unparseable JSON and PERMISSIVE from_json
+        nulled the whole slim struct — silently upserting a null ``after``
+        over good data. The struct path carries payload bytes verbatim.
       * The map-side combine is also the hot-key/skew answer (SURVEY.md §4.1): a
         key with millions of duplicate events still ships at most one row per
         input partition, so no explicit salting phase is needed; ``salt_buckets``
         is retained for API compatibility only.
-      * Duplicate re-deliveries tie on the entire packed string (identical
-        payload) and collapse deterministically.
+      * Duplicate re-deliveries tie on the packed prefix with identical
+        payloads, so whichever one max_by keeps, the output is deterministic.
 
     Returns: key_cols*, action, after(payload struct), _offset, _ts_ms.
     """
-    from pyspark.sql import types as T
-
     seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("int")
     val0 = F.col("value")
     is_del0 = val0.isNull() | (val0.getField("op") == "d")
@@ -149,35 +151,27 @@ def resolve_lww(
         F.when(~is_del0, val0.getField("after")).alias("after"),
         is_del0.alias("is_delete"),
         F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
+        F.col("offset").cast("long").alias("offset"),
     )
     packed = F.concat(
         F.lpad(F.col("offset").cast("string"), 19, "0"),
         F.lpad(seq.cast("string"), 2, "0"),
-        F.to_json(slim),
     )
     ev = env.select(
         *[F.col("key").getField(c).alias(c) for c in key_cols],
-        packed.alias("_packed"),
+        slim.alias("_slim"),
+        packed.alias("_ord"),
     )
-    agg = ev.groupBy(*key_cols).agg(F.max("_packed").alias("_packed"))
-
-    payload_t = env.schema["value"].dataType["after"].dataType
-    slim_schema = T.StructType(
-        [
-            T.StructField("after", payload_t),
-            T.StructField("is_delete", T.BooleanType()),
-            T.StructField("ts_ms", T.LongType()),
-        ]
-    )
-    win = F.from_json(F.substring(F.col("_packed"), 22, 1 << 30), slim_schema)
+    agg = ev.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
+    w = F.col("_w")
     return agg.select(
         *key_cols,
-        F.when(win.getField("is_delete"), F.lit(ACTION_DELETE))
+        F.when(w.getField("is_delete"), F.lit(ACTION_DELETE))
         .otherwise(F.lit(ACTION_UPSERT))
         .alias("action"),
-        win.getField("after").alias("after"),
-        F.substring(F.col("_packed"), 1, 19).cast("long").alias("_offset"),
-        win.getField("ts_ms").alias("_ts_ms"),
+        w.getField("after").alias("after"),
+        w.getField("offset").alias("_offset"),
+        w.getField("ts_ms").alias("_ts_ms"),
     )
 
 

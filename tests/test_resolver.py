@@ -100,6 +100,37 @@ def test_lww_winner_is_max_offset(spark):
     assert len(a2) == 1 and a2[0]["action"] == "delete" and a2[0]["_offset"] == 4
 
 
+def test_lww_nonfinite_and_temporal_payload(spark):
+    """Schema-evolved payloads can carry double/timestamp columns; a NaN/Infinity
+    double must survive the LWW reduce verbatim (the old packed-JSON variant
+    round-tripped the payload through to_json/from_json, where non-finite
+    doubles produced unparseable JSON and PERMISSIVE parsing nulled the whole
+    winner — silently upserting a null after-image)."""
+    import math
+
+    rows = [(1, "c", "r1", float("nan")), (2, "u", "r1", float("inf")),
+            (1, "c", "r2", 1.5)]
+    df = spark.createDataFrame(rows, "offset long, op string, repo string, score double")
+    env = df.select(
+        F.struct(F.col("repo"), F.lit("p").alias("path")).alias("key"),
+        F.struct(
+            F.struct(
+                "repo", F.lit("p").alias("path"), F.col("score"),
+                F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("mtime"),
+            ).alias("after"),
+            F.col("op").alias("op"),
+            (F.col("offset") * 1000).alias("ts_ms"),
+        ).alias("value"),
+        F.col("offset"),
+    )
+    out = {r["repo"]: r for r in R.resolve_lww(env).collect()}
+    assert out["r1"]["action"] == "upsert" and out["r1"]["after"] is not None
+    assert math.isinf(out["r1"]["after"]["score"])  # winner = offset 2
+    assert out["r1"]["_offset"] == 2
+    assert out["r2"]["after"]["score"] == 1.5
+    assert out["r2"]["after"]["mtime"] is not None
+
+
 def test_transaction_metadata_ordering(spark):
     spec = W.WalSpec(n_keys=100, n_events=500, seed=9)
     wal = R.dedup_by_offset(W.wal_events(spark, spec).where("op != 'r'"))
