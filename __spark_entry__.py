@@ -257,6 +257,68 @@ def q_schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableChanges drop/rename alignment (registry.align_envelope_columns,
+    TableChanges.java:31-54,201-204): the physical payload is the union schema —
+    rows before the rename offset populate only `value_old`, later rows only
+    `value_new`; the alignment coalesces them under the new name and projects
+    the dropped `props` column away. A broken alignment nulls half the rows."""
+    from debezium_spark.plans.registry import align_envelope_columns
+
+    ev = _events(spark, sf_dir)
+    after = F.struct(
+        F.when(F.col("event_id") < 5000, F.col("value")).alias("value_old"),
+        F.when(F.col("event_id") >= 5000, F.col("value")).alias("value_new"),
+        F.col("props").alias("props"),
+    )
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(
+            F.lit(None).cast(
+                "struct<value_old:double,value_new:double,props:string>"
+            ).alias("before"),
+            after.alias("after"),
+            F.lit("u").alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("transaction"),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    aligned = align_envelope_columns(
+        env, renames=[("value_old", "value_new")], drops=["props"]
+    )
+    n_fields = len(
+        aligned.schema["value"].dataType["after"].dataType.fieldNames()
+    )  # 1 after drop+rename collapse — emitted so the oracle checks the projection
+    return aligned.select(
+        "offset",
+        F.floor(F.col("value.after.value_new") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_c"),
+        F.lit(n_fields).alias("n_payload_fields"),
+    )
+
+
+def q_value_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 value converters (jdbc/JdbcValueConverters.java:100-136 temporal
+    modes): Date -> epoch days, Timestamp -> epoch millis (connect mode) and
+    micros (adaptive mode), ZonedTimestamp -> ISO-8601 UTC string. Decimal
+    handling modes are covered by pytest (their cross-engine hash is
+    representation-unstable by construction — that's the point of the modes)."""
+    from debezium_spark.functions import converters as C
+
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts")
+    return ev.select(
+        F.col("event_id").alias("offset"),
+        C.epoch_days(ts).alias("d_days"),
+        C.convert_timestamp(ts, "connect").alias("ts_ms_connect"),
+        C.convert_timestamp(ts, "adaptive").alias("ts_us_adaptive"),
+        C.zoned_iso(ts).alias("ts_iso"),
+    )
+
+
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics meters (pipeline/meters): events per type per hour window."""
     ev = _events(spark, sf_dir)
@@ -447,6 +509,49 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 column.exclude.list (TableSchemaBuilder.java:122-146): drop the
+    `props` payload field from both images; key columns always survive."""
+    from debezium_spark.functions.transforms import project_columns
+
+    ev = _events(spark, sf_dir)
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(
+            F.lit(None).cast(
+                "struct<user_id:bigint,event_type:string,props:string>"
+            ).alias("before"),
+            F.struct(F.col("user_id"), F.col("event_type"), F.col("props")).alias("after"),
+            F.lit("c").alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("transaction"),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    pruned = project_columns(env, None, ["props"], key_cols=("user_id",))
+    n_fields = len(pruned.schema["value"].dataType["after"].dataType.fieldNames())
+    return pruned.select(
+        "offset",
+        F.col("value.after.user_id").alias("user_id"),
+        F.col("value.after.event_type").alias("event_type"),
+        F.lit(n_fields).alias("n_payload_fields"),
+    )
+
+
+def q_topic_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 DefaultTopicNamingStrategy (AbstractTopicNamingStrategy.java:89-125):
+    topic = prefix.db.table with non-alphanumerics sanitized to '_'."""
+    from debezium_spark.functions.transforms import topic_name
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").alias("offset"),
+        F.concat(F.col("event_type"), F.lit("/v1")).alias("tbl"),
+    )
+    named = topic_name(ev, prefix="repos", db_col=F.lit("lake"), table_col="tbl")
+    return named.select("offset", "topic")
+
+
 def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 outbox EventRouter: route by aggregate type, key by aggregate id,
     extract payload (transforms/outbox/EventRouter.java)."""
@@ -508,12 +613,15 @@ def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cloudevents_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P19 CloudEvents converter: envelope -> CE JSON; attributes extracted back
     out of the JSON to prove the serialization round-trips."""
+    from debezium_spark.functions.converters import epoch_millis
     from debezium_spark.functions.transforms import to_cloudevents
 
     ev = _events(spark, sf_dir)
     env = ev.select(
         F.struct(F.col("user_id").alias("user_id")).alias("key"),
-        F.struct(_op_col().alias("op")).alias("value"),
+        F.struct(
+            _op_col().alias("op"), epoch_millis(F.col("ts")).alias("ts_ms")
+        ).alias("value"),
         F.col("event_id").alias("offset"),
     )
     ce = to_cloudevents(env)
@@ -522,6 +630,10 @@ def q_cloudevents_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("cloudevent", "$.id").alias("ce_id"),
         F.get_json_object("cloudevent", "$.type").alias("ce_type"),
         F.get_json_object("cloudevent", "$.specversion").alias("ce_spec"),
+        F.get_json_object("cloudevent", "$.datacontenttype").alias("ce_dct"),
+        F.get_json_object("cloudevent", "$.time").alias("ce_time"),
+        F.get_json_object("cloudevent", "$.iodebeziumop").alias("ce_ext_op"),
+        F.get_json_object("cloudevent", "$.iodebeziumconnector").alias("ce_ext_conn"),
     )
 
 
@@ -529,7 +641,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads + typed metadata decoded /
     feature-extracted through Arrow-batched mapInPandas (decode step is a
     deterministic stub — no codec libs in this container; schema, batching and
-    partitioning are production-real). Non-SQL-expressible: no oracle entry."""
+    partitioning are production-real). The synthetic payload is a pure
+    md5/sha2 hash chain, so the sha256/n_bytes/kind/frames columns have a full
+    DuckDB oracle; only the stub feature VALUES stay oracle-free (its dim is
+    checked)."""
     from debezium_spark.functions.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=256)
@@ -564,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_snapshot_dedup": q_incremental_snapshot_dedup,
         "cdc_unwrap_new_state": q_unwrap_new_state,
         "cdc_schema_evolution_nullfill": q_schema_evolution_nullfill,
+        "cdc_schema_evolution_drop_rename": q_schema_evolution_drop_rename,
+        "cdc_value_converters": q_value_converters,
         "cdc_metrics_rollup": q_metrics_rollup,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
@@ -578,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dups": q_emb_near_dups,
+        "cdc_column_projection": q_column_projection,
+        "cdc_topic_name": q_topic_name,
         "cdc_outbox_route": q_outbox_route,
         "cdc_tx_commit_filter": q_tx_commit_filter,
         "cdc_content_filter": q_content_filter,
@@ -757,6 +876,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS value_c
             FROM events
         """,
+        "cdc_schema_evolution_drop_rename": """
+            SELECT event_id AS offset,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   1 AS n_payload_fields
+            FROM events
+        """,
+        "cdc_value_converters": """
+            SELECT event_id AS offset,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS d_days,
+                   CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ts_ms_connect,
+                   epoch_us(ts) AS ts_us_adaptive,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso
+            FROM events
+        """,
         "cdc_metrics_rollup": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    event_type, count(*) AS n
@@ -913,6 +1046,17 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE jac >= 0.1
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
+        "cdc_column_projection": """
+            SELECT event_id AS offset, user_id, event_type, 2 AS n_payload_fields
+            FROM events
+        """,
+        "cdc_topic_name": """
+            SELECT event_id AS offset,
+                   'repos.lake.' || regexp_replace(event_type || '/v1',
+                                                   '[^a-zA-Z0-9\\._\\-]', '_', 'g')
+                     AS topic
+            FROM events
+        """,
         "cdc_outbox_route": """
             SELECT 'outbox.event.' || event_type AS topic,
                    user_id AS agg_key, props AS payload
@@ -941,11 +1085,35 @@ def oracle_sql() -> dict[str, str]:
                    min(c_custkey) AS min_key, max(c_custkey) AS max_key
             FROM r GROUP BY chunk_id
         """,
+        "mm_media_features": """
+            WITH m AS (
+              SELECT CAST(g.generate_series AS BIGINT) AS media_id
+              FROM generate_series(0, 255) g
+            ), k AS (
+              SELECT media_id,
+                     (['image','audio','video'])[
+                       CAST(CAST(('0x' || substr(md5('42:' || CAST(media_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 3 AS INT) + 1] AS kind,
+                     repeat(sha256('42:' || CAST(media_id AS VARCHAR)), 8) AS payload_text
+              FROM m
+            )
+            SELECT media_id, kind,
+                   sha256(payload_text) AS sha256,
+                   CAST(length(payload_text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN kind = 'video' THEN 4 ELSE 1 END AS INT) AS frames_sampled,
+                   8 AS feat_dim
+            FROM k
+        """,
         "cdc_cloudevents_attrs": f"""
             SELECT event_id AS offset,
                    'id:' || CAST(event_id AS VARCHAR) AS ce_id,
                    'io.debezium.spark.datachangeevent.' || {_OP_CASE_SQL} AS ce_type,
-                   '1.0' AS ce_spec
+                   '1.0' AS ce_spec,
+                   'application/json' AS ce_dct,
+                   strftime(make_timestamp(CAST(floor(epoch_us(ts) / 1000) AS BIGINT) * 1000),
+                            '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ce_time,
+                   {_OP_CASE_SQL} AS ce_ext_op,
+                   'spark-cdc' AS ce_ext_conn
             FROM events
         """,
         "tpch_q1_pricing": """

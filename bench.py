@@ -11,8 +11,10 @@ fresh lake table — envelope wrap -> dedup -> PK split -> salted LWW -> buckete
 copy-on-write MERGE. Throughput = change events applied per second.
 
 Scaling mode (north rule evidence): `python bench.py --scaling` runs the identical
-replay in two fresh JVMs at local[8] and local[32] and reports throughput at both
-plus efficiency = (thr32/thr8)/4; results appended to BENCH.md.
+replay taskset-pinned at local[2] and local[8] (N -> 4N cores; see scaling()'s
+docstring for why not 8->32 on this VM), 3 consecutive run pairs, one fresh JVM
+per leg, and reports the MEDIAN efficiency = (thr8/thr2)/4 across runs; per-run
+legs and the median are appended to BENCH.md.
 """
 
 from __future__ import annotations
@@ -170,83 +172,93 @@ def single(cpus: int) -> dict:
 
 
 def scaling() -> dict:
-    """Run the replay-only job in two fresh JVMs (local[8], local[32]).
+    """North-rule evidence: N -> 4N cores scaling, median of consecutive runs.
 
-    Default pair: local[2] vs local[8] (N -> 4N cores). This box reports 32
-    hardware threads but a GIL-free hashing canary scales only ~1.8x from 8 ->
-    32 threads (SMT pairs / VM contention), so no job can demonstrate 0.8
-    efficiency on the 8->32 pair; 1 -> 8 threads scales ~7.9x, so the 4x-core
-    comparison is run inside that linear region. Override with
-    BENCH_SCALING_CPUS="8,32". The WAL (BENCH_SCALING_SF, default 0.3 = 6M
-    events) is sized so each leg runs minutes, not seconds, and the machine
-    must be otherwise idle.
+    Default pair: local[2] vs local[8] (N -> 4N cores), each leg `taskset`-pinned
+    to exactly that many CPUs. This box reports 32 hardware threads but a
+    GIL-free hashing canary scales only ~1.8x from 8 -> 32 threads (SMT pairs /
+    VM contention), so no job can demonstrate 0.8 efficiency on the 8->32 pair;
+    1 -> 8 threads scales ~7.9x, so the 4x-core comparison runs inside that
+    linear region. Override with BENCH_SCALING_CPUS="8,32".
+
+    Methodology (deliberately NOT best-of): BENCH_ROUNDS (default 3) complete
+    lo->hi run pairs are executed back-to-back on the 20M-event sf=1 WAL
+    (BENCH_SCALING_SF), one fresh JVM per leg, legs interleaved; each run pair
+    yields one efficiency figure and the REPORTED number is the median across
+    runs. Per-run legs and the median land in BENCH.md + the returned JSON.
+    The machine must be otherwise idle.
     """
     here = os.path.abspath(__file__)
-    sf = os.environ.get("BENCH_SCALING_SF", "0.3")
+    sf = os.environ.get("BENCH_SCALING_SF", "1")
     pair = tuple(
         int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(",")
     )
-    results = {}
-    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
-    # Interleave the two levels across rounds and keep the best per level: this
-    # VM's deliverable CPU fluctuates (a pure-CPU canary varies ±20-30%
-    # run-to-run), and alternating legs samples that noise fairly instead of
-    # letting one leg land entirely in a throttled window.
-    for _ in range(rounds):
-        for cpus in pair:
-            env = dict(
-                os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only",
-                SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
-                # 2 batches: per-batch driver-serial cost (plan analysis, job
-                # scheduling, manifest commit) is the Amdahl term; still >1
-                # batch so the multi-batch resume machinery is exercised
-                BENCH_BATCHES=os.environ.get("BENCH_BATCHES", "2"),
-            )
-            # Pin the process to exactly `cpus` CPUs: local[N] only bounds task
-            # slots — GC/JIT/shuffle helper threads otherwise spill onto idle
-            # cores and inflate the small leg's throughput, understating
-            # efficiency. Pinning makes "N cores vs 4N cores" physically true.
-            cmd = [sys.executable, here]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, timeout=5400,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if cpus not in results or r["events_per_sec"] > results[cpus]["events_per_sec"]:
-                results[cpus] = r
     lo_c, hi_c = pair
-    thr_lo = results[lo_c]["events_per_sec"]
-    thr_hi = results[hi_c]["events_per_sec"]
     ratio = hi_c / lo_c
-    eff = (thr_hi / thr_lo) / ratio
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+
+    def leg(cpus: int) -> dict:
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only",
+            SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+            # 2 batches: per-batch driver-serial cost (plan analysis, job
+            # scheduling, manifest commit) is the Amdahl term; still >1
+            # batch so the multi-batch resume machinery is exercised
+            BENCH_BATCHES=os.environ.get("BENCH_BATCHES", "2"),
+            BENCH_TRIALS=os.environ.get("BENCH_TRIALS", "1"),
+        )
+        # Pin the process to exactly `cpus` CPUs: local[N] only bounds task
+        # slots — GC/JIT/shuffle helper threads otherwise spill onto idle
+        # cores and inflate the small leg's throughput, understating
+        # efficiency. Pinning makes "N cores vs 4N cores" physically true.
+        cmd = [sys.executable, here]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=5400)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    runs = []
+    for _ in range(rounds):
+        r_lo = leg(lo_c)
+        r_hi = leg(hi_c)
+        eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / ratio
+        runs.append({"lo": r_lo, "hi": r_hi, "eff": round(eff, 3)})
+    effs = sorted(r["eff"] for r in runs)
+    median_eff = effs[len(effs) // 2]
     report = {
-        "metric": f"scaling efficiency local[{lo_c}]->local[{hi_c}]",
-        f"throughput_local{lo_c}": thr_lo,
-        f"throughput_local{hi_c}": thr_hi,
-        "scaling_efficiency": round(eff, 3),
-        "pass_north_rule": eff >= 0.8,
-        "events": results[hi_c]["replay_events"],
+        "metric": f"scaling efficiency local[{lo_c}]->local[{hi_c}], median of {rounds} runs",
+        "per_run_efficiency": [r["eff"] for r in runs],
+        f"throughput_local{lo_c}": [r["lo"]["events_per_sec"] for r in runs],
+        f"throughput_local{hi_c}": [r["hi"]["events_per_sec"] for r in runs],
+        "scaling_efficiency": median_eff,
+        "pass_north_rule": median_eff >= 0.8,
+        "events": runs[0]["hi"]["replay_events"],
     }
     with open(os.path.join(os.path.dirname(here), "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} (sf={sf})\n\n"
-            f"| parallelism | events | wall (s) | events/s |\n|---|---|---|---|\n"
-            f"| local[{lo_c}] | {results[lo_c]['replay_events']} | {results[lo_c]['queries']['cdc_replay']} | {thr_lo:,.0f} |\n"
-            f"| local[{hi_c}] | {results[hi_c]['replay_events']} | {results[hi_c]['queries']['cdc_replay']} | {thr_hi:,.0f} |\n\n"
-            f"Scaling efficiency (thr{hi_c}/thr{lo_c})/{ratio:.0f} = **{eff:.3f}** "
-            f"({'PASS' if eff >= 0.8 else 'FAIL'} vs north-rule >= 0.8)\n"
+            f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} (sf={sf}, "
+            f"median of {rounds} consecutive pinned run pairs)\n\n"
+            f"| run | local[{lo_c}] events/s | local[{hi_c}] events/s | efficiency |\n"
+            f"|---|---|---|---|\n"
+            + "".join(
+                f"| {i + 1} | {r['lo']['events_per_sec']:,.0f} | "
+                f"{r['hi']['events_per_sec']:,.0f} | {r['eff']:.3f} |\n"
+                for i, r in enumerate(runs)
+            )
+            + f"\nMedian efficiency (thr{hi_c}/thr{lo_c})/{ratio:.0f} = **{median_eff:.3f}** "
+            f"({'PASS' if median_eff >= 0.8 else 'FAIL'} vs north-rule >= 0.8); "
+            f"{runs[0]['hi']['replay_events']:,} events per leg, one fresh JVM per leg.\n"
         )
     return report
 
 
 def replay_only(cpus: int) -> dict:
-    """Replay BENCH_TRIALS times (default 3) in one JVM and report the best —
-    this box is a noisy VM (±20% run-to-run on a pure-CPU canary), and the
-    fastest trial is the closest estimate of actual capacity at each level."""
+    """One replay leg in one JVM. BENCH_TRIALS (default 1) > 1 keeps the best
+    trial within this JVM — the scaling harness leaves it at 1 so the reported
+    median across runs is never a best-of statistic."""
     sf = sf_of(SF_DIR)
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_TRIALS", "1"))
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     replay = run_replay(spark, sf)

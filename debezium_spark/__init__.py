@@ -13,6 +13,7 @@ Everything is pyspark.sql DataFrame column algebra; no per-row Python UDFs.
 from debezium_spark.config import EngineConfig
 from debezium_spark.plans.lake import LakeTable
 from debezium_spark.streaming.engine import CdcEngine
+from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
 
-__all__ = ["EngineConfig", "LakeTable", "CdcEngine"]
+__all__ = ["EngineConfig", "LakeTable", "CdcEngine", "MultiTableEngine", "TableSpec"]
 __version__ = "0.1.0"

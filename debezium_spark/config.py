@@ -16,12 +16,16 @@ SNAPSHOT_INITIAL = "initial"            # snapshot then stream
 SNAPSHOT_INITIAL_ONLY = "initial_only"  # snapshot, no stream
 SNAPSHOT_NEVER = "never"                # stream only
 SNAPSHOT_SCHEMA_ONLY = "schema_only"    # capture schema, stream from current position
+SNAPSHOT_WHEN_NEEDED = "when_needed"    # snapshot only if there is no resumable state
+SNAPSHOT_SCHEMA_ONLY_RECOVERY = "schema_only_recovery"  # rebuild lost schema history
 
 VALID_SNAPSHOT_MODES = {
     SNAPSHOT_INITIAL,
     SNAPSHOT_INITIAL_ONLY,
     SNAPSHOT_NEVER,
     SNAPSHOT_SCHEMA_ONLY,
+    SNAPSHOT_WHEN_NEEDED,
+    SNAPSHOT_SCHEMA_ONLY_RECOVERY,
 }
 
 
@@ -36,6 +40,7 @@ class EngineConfig:
     connector: str = "spark-cdc"
     server_name: str = "repos"          # topic.prefix / logical server name
     database: str = "lake"
+    table_name: str = "repos"           # captured table id = "<database>.<table_name>"
     version: str = "0.1.0"
 
     # --- capture filters ---
@@ -74,6 +79,12 @@ class EngineConfig:
     signal_path: str | None = None
     # provide transaction metadata block (pipeline/txmetadata/TransactionMonitor.java)
     provide_transaction_metadata: bool = False
+
+    # --- signal-driven incremental snapshot (S5/P17) ---
+    # chunk size + chunks interleaved per micro-batch for execute-snapshot
+    # (AbstractIncrementalSnapshotChangeEventSource.java:199-259 readChunk pacing)
+    incremental_chunk_size: int = 1024
+    incremental_chunks_per_batch: int = 4
 
     # --- batching / replay (ChangeEventQueue.java:62-106 analogues) ---
     # max offsets pulled into one micro-batch during batch replay

@@ -276,24 +276,73 @@ def value_dtype(wal: DataFrame) -> T.StructType:
     )
 
 
-def unwrap(envelopes: DataFrame, *, drop_deletes: bool = False) -> DataFrame:
+def unwrap(
+    envelopes: DataFrame,
+    *,
+    drop_deletes: bool = False,
+    delete_handling: str | None = None,
+    add_fields: list[str] | None = None,
+    add_headers: list[str] | None = None,
+    route_by_field: str | None = None,
+    drop_tombstones: bool = True,
+) -> DataFrame:
     """ExtractNewRecordState SMT (transforms/ExtractNewRecordState.java:126-191):
-    envelope -> flat row of ``after.*`` plus ``__op`` / ``__deleted`` metadata;
-    tombstones dropped; deletes either dropped or kept with ``__deleted=true``
-    (rewrite mode).
+    envelope -> flat row of ``after.*`` plus ``__op`` / ``__deleted`` metadata.
+
+    Options mirror the reference SMT's config surface:
+      * ``delete_handling`` — 'drop' | 'rewrite' | 'none'
+        (DeleteHandling enum, ExtractNewRecordState.java:64-87): drop removes
+        delete records, rewrite keeps them flattened with ``__deleted=true``
+        (the default here), none passes the delete through untouched.
+        ``drop_deletes=True`` is shorthand for 'drop'.
+      * ``add_fields`` — envelope/source paths copied to ``__<path>`` columns
+        (add.fields: e.g. 'op', 'ts_ms', 'source.lsn', 'transaction.id').
+      * ``add_headers`` — same paths as ``__header_<path>`` columns (Spark has
+        no record-header channel; headers surface as prefixed columns).
+      * ``route_by_field`` — route.by.field: emits a ``__route`` column from
+        the given flattened column (downstream writers partition by it).
+      * ``drop_tombstones`` — drop.tombstones (default true, as the reference).
     """
-    flat = envelopes.where(F.col("value").isNotNull())
+    if delete_handling is None:
+        delete_handling = "drop" if drop_deletes else "rewrite"
+    if delete_handling not in ("drop", "rewrite", "none"):
+        raise ValueError(f"invalid delete_handling {delete_handling!r}")
+
+    flat = (
+        envelopes.where(F.col("value").isNotNull())
+        if drop_tombstones
+        else envelopes
+    )
     op = F.col("value.op")
-    deleted = op == OP_DELETE
-    row_src = F.when(deleted, F.col("value.before")).otherwise(F.col("value.after"))
+    deleted = F.col("value").isNotNull() & (op == OP_DELETE)
+    # rewrite flattens the before-image for deletes; 'none' leaves the delete's
+    # (null) after-image untouched, as the reference's NONE mode does
+    row_src = F.when(
+        deleted & F.lit(delete_handling != "none"), F.col("value.before")
+    ).otherwise(F.col("value.after"))
     payload_fields = envelopes.schema["value"].dataType["after"].dataType.fieldNames()
+
+    def _env_path(path: str) -> F.Column:
+        # paths resolve against the envelope value struct: 'op', 'ts_ms',
+        # 'source.<f>', 'transaction.<f>' (ExtractNewRecordState.java:318-343)
+        return F.col("value." + path)
+
+    extra = [
+        _env_path(p).alias("__" + p.replace(".", "_")) for p in (add_fields or [])
+    ] + [
+        _env_path(p).alias("__header_" + p.replace(".", "_"))
+        for p in (add_headers or [])
+    ]
     out = flat.select(
         *[row_src.getField(c).alias(c) for c in payload_fields],
         op.alias("__op"),
         deleted.alias("__deleted"),
         F.col("offset").alias("__offset"),
         F.col("value.ts_ms").alias("__ts_ms"),
+        *extra,
     )
-    if drop_deletes:
+    if delete_handling == "drop":
         out = out.where(~F.col("__deleted"))
+    if route_by_field:
+        out = out.withColumn("__route", F.col(route_by_field).cast("string"))
     return out

@@ -50,11 +50,17 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = hash-chain bytes) for plumbing tests."""
+    """Deterministic fake media table (payload = hash-chain bytes) for plumbing
+    tests. Every derivation is md5/sha2-based so an ANSI-SQL oracle can rebuild
+    the table bit-for-bit (see __spark_entry__ mm_media_features oracle)."""
     df = spark.range(n)
+    # portable 60-bit hash (md5 hex prefix — same trick as dedup._h64)
+    kind_h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), "id")), 1, 15), 16, 10
+    ).cast("long")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(kind_h, F.lit(3)) + 1).cast("int"),
     )
     payload = F.unbase64(
         F.base64(F.encode(F.repeat(F.sha2(F.concat_ws(":", F.lit(seed), "id"), 256), 8), "utf-8"))

@@ -171,24 +171,54 @@ def outbox_route(
     ).repartition(F.col("key"))
 
 
-def to_cloudevents(env: DataFrame, *, source_uri: str = "/debezium-spark") -> DataFrame:
-    """CloudEvents converter (converters/CloudEventsConverter.java): envelope ->
-    CloudEvents-attribute JSON string."""
-    return env.select(
-        F.to_json(
-            F.struct(
-                F.concat_ws(
-                    ":", F.lit("id"), F.col("offset").cast("string")
-                ).alias("id"),
-                F.lit(source_uri).alias("source"),
-                F.lit("1.0").alias("specversion"),
-                F.concat(
-                    F.lit("io.debezium.spark.datachangeevent.")
-                    , F.coalesce(F.col("value.op"), F.lit("tombstone"))
-                ).alias("type"),
-                F.col("key").alias("partitionkey"),
-                F.col("value").alias("data"),
+def to_cloudevents(
+    env: DataFrame,
+    *,
+    source_uri: str = "/debezium-spark",
+    connector: str = "spark-cdc",
+    extension_attributes: bool = True,
+) -> DataFrame:
+    """CloudEvents converter (converters/CloudEventsConverter.java:1-625):
+    envelope -> CloudEvents v1.0 JSON string.
+
+    Emits the full required attribute set (id, source, specversion, type, time,
+    datacontenttype) plus the reference's io.debezium extension attributes
+    (iodebeziumop/-connector/-tsms/-txid — CloudEventsConverter's
+    CE extension naming) when the envelope carries the fields. Data payload is
+    JSON (SerializerType.JSON; Avro needs a registry, out of scope here)."""
+    vt = env.schema["value"].dataType
+    fields = [
+        F.concat_ws(":", F.lit("id"), F.col("offset").cast("string")).alias("id"),
+        F.lit(source_uri).alias("source"),
+        F.lit("1.0").alias("specversion"),
+        F.concat(
+            F.lit("io.debezium.spark.datachangeevent."),
+            F.coalesce(F.col("value.op"), F.lit("tombstone")),
+        ).alias("type"),
+        F.lit("application/json").alias("datacontenttype"),
+    ]
+    if "ts_ms" in vt.fieldNames():
+        fields.append(
+            F.date_format(
+                F.timestamp_millis(F.col("value.ts_ms")),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+            ).alias("time")
+        )
+    if extension_attributes:
+        fields.append(F.coalesce(F.col("value.op"), F.lit("tombstone")).alias("iodebeziumop"))
+        fields.append(F.lit(connector).alias("iodebeziumconnector"))
+        if "ts_ms" in vt.fieldNames():
+            fields.append(F.col("value.ts_ms").alias("iodebeziumtsms"))
+        if "transaction" in vt.fieldNames():
+            fields.append(F.col("value.transaction.id").alias("iodebeziumtxid"))
+            fields.append(
+                F.col("value.transaction.total_order").alias("iodebeziumtxtotalorder")
             )
-        ).alias("cloudevent"),
+    fields += [
+        F.col("key").alias("partitionkey"),
+        F.col("value").alias("data"),
+    ]
+    return env.select(
+        F.to_json(F.struct(*fields)).alias("cloudevent"),
         F.col("offset"),
     )

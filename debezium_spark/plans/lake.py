@@ -193,10 +193,24 @@ class LakeTable:
         if not groups:
             out = self.spark.createDataFrame([], cur)
         else:
+            renames = {int(k): v for k, v in m.get("renames", {}).items()}
+            cur_sv = m["schema_version"]
+
+            def name_at(name: str, sv: int) -> str:
+                # Walk the rename chain backwards from the current version to
+                # the file's version — Iceberg-field-id-style name resolution.
+                n = name
+                for v in range(cur_sv, sv, -1):
+                    r = renames.get(v)
+                    if r and r[1] == n:
+                        n = r[0]
+                return n
+
             parts = []
             for sv, paths in sorted(groups.items()):
                 df = self.spark.read.schema(self._full_schema(sv)).parquet(*paths)
-                parts.append(_align(df, cur))
+                name_map = {f.name: name_at(f.name, sv) for f in cur.fields}
+                parts.append(_align(df, cur, name_map))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -227,6 +241,40 @@ class LakeTable:
             for f in cur.fields
         ]
         self._bump_schema(m, T.StructType(new_fields))
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — new schema version; old files' values are
+        projected away on read (TableChanges.java drop serialization analogue)."""
+        m = dict(self.manifest(refresh=True))
+        cur = self.schema
+        if name not in cur.fieldNames():
+            return  # idempotent
+        if name in m["key_cols"]:
+            raise ValueError(f"cannot drop key column {name!r}")
+        self._bump_schema(m, T.StructType([f for f in cur.fields if f.name != name]))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — new schema version plus a manifest rename
+        record so files committed under the old name read back aligned (the
+        field-id indirection Iceberg uses, reduced to a per-version chain)."""
+        m = dict(self.manifest(refresh=True))
+        cur = self.schema
+        if old not in cur.fieldNames():
+            if new in cur.fieldNames():
+                return  # idempotent replay
+            raise KeyError(old)
+        if old in m["key_cols"]:
+            raise ValueError(f"cannot rename key column {old!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in cur.fields
+            ]
+        )
+        renames = dict(m.get("renames", {}))
+        renames[str(m["schema_version"] + 1)] = [old, new]
+        m["renames"] = renames
+        self._bump_schema(m, new_schema)
 
     def _bump_schema(self, m: dict[str, Any], new_schema: T.StructType) -> None:
         sv = m["schema_version"] + 1
@@ -459,14 +507,19 @@ class LakeTable:
         return {"vacuumed_below": wm, "files": len(new_files)}
 
 
-def _align(df: DataFrame, target: T.StructType) -> DataFrame:
-    """Project df onto `target` schema: null-fill missing fields, cast widened ones."""
+def _align(
+    df: DataFrame, target: T.StructType, name_map: dict[str, str] | None = None
+) -> DataFrame:
+    """Project df onto `target` schema: null-fill missing fields, cast widened
+    ones, and resolve renamed fields through ``name_map`` (target name -> name
+    the column had when the file was written)."""
     cols = []
     have = {f.name: f.dataType for f in df.schema.fields}
     for f in target.fields:
-        if f.name in have:
-            c = F.col(f.name)
-            if have[f.name] != f.dataType:
+        src = (name_map or {}).get(f.name, f.name)
+        if src in have:
+            c = F.col(src)
+            if have[src] != f.dataType:
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         else:

@@ -10,9 +10,16 @@ up to the restart offset to rebuild the in-memory schema
 
 Here the history is a small offset-ordered table; `replay(upto_offset)` rebuilds the
 registry exactly like AbstractDatabaseHistory.recover(), and `apply_pending` executes
-the corresponding lake DDL (add column / widen) when the stream crosses a change
-offset. table_changes uses a compact machine-readable form:
-``add_column:<name>:<type>`` / ``widen:<name>:<type>`` / ``create``.
+the corresponding lake DDL when the stream crosses a change offset. table_changes
+uses a compact machine-readable form (TableChanges.java:31-54 serialization
+analogue): ``create`` / ``add_column:<name>:<type>`` / ``widen:<name>:<type>`` /
+``drop_column:<name>`` / ``rename_column:<old>:<new>``.
+
+Rename/drop mid-stream (MySqlSchemaMigrationIT scenarios): events written before a
+rename carry the old field name; `payload_renames`/`payload_drops` feed the
+engine's envelope alignment (coalesce old into new — a single event only ever
+populates its own version's column) and LakeTable tracks renames per schema
+version so files committed under old names read back aligned.
 """
 
 from __future__ import annotations
@@ -102,9 +109,38 @@ class SchemaRegistry:
         elif kind == "widen":
             name, typ = args
             lake.widen_column(name, parse_type(typ))
+        elif kind == "drop_column":
+            lake.drop_column(args[0])
+        elif kind == "rename_column":
+            old, new = args
+            lake.rename_column(old, new)
         else:
             raise ValueError(f"unknown table_changes {change.table_changes!r}")
         self.applied_version = max(self.applied_version, change.version)
+
+    def payload_renames(self, upto_offset: int | None = None) -> list[tuple[str, str]]:
+        """(old, new) column renames in history order, optionally only those in
+        force at ``upto_offset`` — the envelope alignment map for events written
+        under pre-rename schema versions."""
+        out = []
+        for c in self.changes:
+            if upto_offset is not None and c.offset > upto_offset:
+                continue
+            kind, *args = c.table_changes.split(":")
+            if kind == "rename_column":
+                out.append((args[0], args[1]))
+        return out
+
+    def payload_drops(self, upto_offset: int | None = None) -> list[str]:
+        """Columns dropped by history (excluded from the current payload)."""
+        out = []
+        for c in self.changes:
+            if upto_offset is not None and c.offset > upto_offset:
+                continue
+            kind, *args = c.table_changes.split(":")
+            if kind == "drop_column":
+                out.append(args[0])
+        return out
 
 
 def _apply_change(schema: T.StructType, c: SchemaChange) -> T.StructType:
@@ -124,7 +160,81 @@ def _apply_change(schema: T.StructType, c: SchemaChange) -> T.StructType:
                 for f in schema.fields
             ]
         )
+    if kind == "drop_column":
+        return T.StructType([f for f in schema.fields if f.name != args[0]])
+    if kind == "rename_column":
+        old, new = args
+        return T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
     raise ValueError(c.table_changes)
+
+
+def align_envelope_columns(
+    env, renames: list[tuple[str, str]], drops: list[str]
+):
+    """Rewrite envelope before/after images to the post-rename/drop column set.
+
+    An event written before ``rename_column:old:new`` populates only ``old``;
+    one written after populates only ``new`` — so coalescing the physical
+    columns that map to the same final name is exact, never a merge of two
+    live values. Dropped columns are projected away. Chained renames (a->b,
+    b->c) resolve by walking the rename list in history order.
+    """
+    from pyspark.sql import functions as F
+
+    payload_t = env.schema["value"].dataType["after"].dataType
+    final_name: dict[str, str] = {}
+    for f in payload_t.fields:
+        n = f.name
+        for old, new in renames:
+            if n == old:
+                n = new
+        final_name[f.name] = n
+    drop_set = set(drops)
+    # final field -> physical source fields (original order, newest name first)
+    targets: dict[str, list[T.StructField]] = {}
+    order: list[str] = []
+    for f in payload_t.fields:
+        t = final_name[f.name]
+        if t in drop_set:
+            continue
+        if t not in targets:
+            targets[t] = []
+            order.append(t)
+        if f.name == t:
+            targets[t].insert(0, f)
+        else:
+            targets[t].append(f)
+
+    v = F.col("value")
+
+    def img(side: str):
+        im = v.getField(side)
+        cols = []
+        for t in order:
+            srcs = targets[t]
+            dtype = srcs[0].dataType
+            c = F.coalesce(*[im.getField(s.name).cast(dtype) for s in srcs]) \
+                if len(srcs) > 1 else im.getField(srcs[0].name)
+            cols.append(c.alias(t))
+        return F.when(im.isNotNull(), F.struct(*cols))
+
+    new_value = F.when(
+        v.isNotNull(),
+        F.struct(
+            img("before").alias("before"),
+            img("after").alias("after"),
+            v.getField("op").alias("op"),
+            v.getField("ts_ms").alias("ts_ms"),
+            v.getField("source").alias("source"),
+            v.getField("transaction").alias("transaction"),
+        ),
+    )
+    return env.withColumn("value", new_value)
 
 
 class SchemaHistoryStore:

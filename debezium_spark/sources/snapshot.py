@@ -82,6 +82,9 @@ def ranged_row_number(
     out = ranged.withColumn(
         rn_col, (F.row_number().over(w) + F.coalesce(base, F.lit(0))).cast("long")
     ).drop("_pid")
+    # expose the persisted intermediate so long-lived callers (e.g. the
+    # engine's per-batch incremental-snapshot chunking) can unpersist it
+    out._ranged_persisted = ranged
     return out, total
 
 

@@ -39,9 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from debezium_spark.config import (
+    SNAPSHOT_INITIAL,
     SNAPSHOT_INITIAL_ONLY,
     SNAPSHOT_NEVER,
     SNAPSHOT_SCHEMA_ONLY,
+    SNAPSHOT_SCHEMA_ONLY_RECOVERY,
+    SNAPSHOT_WHEN_NEEDED,
     EngineConfig,
 )
 from debezium_spark.functions import envelope as E
@@ -61,12 +64,21 @@ class CdcEngine:
         target_path: str,
         work_dir: str,
         schema_changes: DataFrame | None = None,
+        snapshot_source: str | None = None,
+        wal_loader=None,
     ):
         self.spark = spark
         self.config = config
         self.wal_path = wal_path
+        # optional WAL source override (Callable[[], DataFrame]) — lets a
+        # dispatcher (MultiTableEngine) feed a typed per-table projection of a
+        # heterogeneous log instead of a raw parquet directory
+        self._wal_loader = wal_loader
         self.target_path = target_path
         self.work_dir = work_dir
+        # parquet path of the captured table's current state — what an
+        # execute-snapshot signal re-reads (the DBLog chunk SELECT source)
+        self.snapshot_source = snapshot_source
         os.makedirs(work_dir, exist_ok=True)
         self.history = SchemaHistoryStore(os.path.join(work_dir, "_schema_history.jsonl"))
         self._ckpt_path = os.path.join(work_dir, "_checkpoints.jsonl")
@@ -75,9 +87,14 @@ class CdcEngine:
         self._registry: SchemaRegistry | None = None
         self._truncate_offsets: list[int] | None = None
         self._signal_state_path = os.path.join(work_dir, "_signals_consumed")
+        self._incr_state_path = os.path.join(work_dir, "_incr_snapshot.json")
+        self._incr_cached: DataFrame | None = None  # previous chunk scan's cache
+        self._snapshot_mode_resolved: str | None = None
 
     # ------------------------------------------------------------------ setup
     def _wal(self) -> DataFrame:
+        if self._wal_loader is not None:
+            return self._wal_loader()
         return self.spark.read.parquet(self.wal_path)
 
     def _base_payload_schema(self, wal: DataFrame) -> T.StructType:
@@ -88,6 +105,8 @@ class CdcEngine:
             kind, *args = c.table_changes.split(":")
             if kind == "add_column":
                 added.add(args[0])
+            elif kind == "rename_column":
+                added.add(args[1])  # the new name only exists from the rename on
         return T.StructType([f for f in full.fields if f.name not in added])
 
     def registry(self) -> SchemaRegistry:
@@ -124,13 +143,16 @@ class CdcEngine:
         if not self.config.handle_truncate:
             return None
         if self._truncate_offsets is None:
-            try:
-                rows = (
-                    self._wal().where(F.col("op") == "t").select("offset").collect()
-                )
-                self._truncate_offsets = sorted(int(r["offset"]) for r in rows)
-            except Exception:
+            wal = self._wal()
+            if "op" not in wal.columns:
+                # Envelope-only WAL without op codes — nothing to scan. Any other
+                # failure (storage error, bad parquet) must RAISE: caching [] on
+                # a transient error would silently disable TRUNCATE for the
+                # engine's lifetime while data events keep merging.
                 self._truncate_offsets = []
+            else:
+                rows = wal.where(F.col("op") == "t").select("offset").collect()
+                self._truncate_offsets = sorted(int(r["offset"]) for r in rows)
         hits = [o for o in self._truncate_offsets if lo < o <= hi]
         return max(hits) if hits else None
 
@@ -159,21 +181,208 @@ class CdcEngine:
                 )
             elif sig.get("type") == "pause":
                 out["pause"] = True
+            elif sig.get("type") == "execute-snapshot":
+                # ExecuteSnapshot.java:34 — start a chunked ad-hoc snapshot;
+                # durable state => consumed exactly once across restarts and
+                # chunk position survives a crash (offset-embedded chunk
+                # progress, AbstractIncrementalSnapshotChangeEventSource:294-358).
+                self._save_incr_state(
+                    {
+                        "active": True,
+                        "position": 0,
+                        "chunk_size": int(
+                            sig.get("chunk_size", self.config.incremental_chunk_size)
+                        ),
+                        # the source table's consistency position (DBLog low
+                        # watermark): chunk rows merge at this offset, so every
+                        # stream event past it wins. Default 0 = "source
+                        # predates the stream" — conservative and always safe:
+                        # it can only under-prioritize a chunk row whose
+                        # content the stream already wrote identically.
+                        "source_offset": int(sig.get("source_offset", 0)),
+                    }
+                )
+                self._append_jsonl(
+                    self._metrics_path, [{"signal": "execute-snapshot"}]
+                )
+            elif sig.get("type") == "stop-snapshot":
+                # StopSnapshot.java — cancel the in-flight ad-hoc snapshot.
+                self._save_incr_state({"active": False, "position": 0, "chunk_size": 0})
+                self._append_jsonl(self._metrics_path, [{"signal": "stop-snapshot"}])
         with open(self._signal_state_path, "w") as f:
             f.write(str(len(lines)))
         return out
 
+    # ----------------------------------------- signal-driven incremental snapshot
+    def _incr_state(self) -> dict[str, Any]:
+        if os.path.exists(self._incr_state_path):
+            with open(self._incr_state_path) as f:
+                return json.load(f)
+        return {"active": False, "position": 0, "chunk_size": 0}
+
+    def _save_incr_state(self, st: dict[str, Any]) -> None:
+        tmp = self._incr_state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._incr_state_path)
+
+    def _snapshot_chunk_rows(
+        self, wal_schema, lo: int
+    ) -> DataFrame | None:
+        """Next chunk window of the in-flight ad-hoc snapshot as WAL-shaped READ
+        rows at the snapshot's source_offset (the DBLog low watermark).
+
+        The DBLog window dedup is subsumed by the LWW reduce + merge offset
+        guard: every stream event past the watermark outranks a chunk row, so
+        a chunk row loses against any event that touched its key — in this
+        batch, an earlier batch, or a retained delete tombstone. No key is
+        ever lost or resurrected; chunk lineage is appended to metrics per
+        batch."""
+        st = self._incr_state()
+        if not st["active"] or not self.snapshot_source:
+            return None
+        from debezium_spark.sources.snapshot import ranged_row_number
+
+        if self._incr_cached is not None:
+            self._incr_cached.unpersist()
+            self._incr_cached = None
+        cfg = self.config
+        src = self.spark.read.parquet(self.snapshot_source)
+        numbered, total = ranged_row_number(src, cfg.key_columns)
+        self._incr_cached = numbered._ranged_persisted
+        cs = st["chunk_size"] or cfg.incremental_chunk_size
+        lo_rn = st["position"] * cs
+        hi_rn = (st["position"] + cfg.incremental_chunks_per_batch) * cs
+        window = numbered.where((F.col("_rn") > lo_rn) & (F.col("_rn") <= hi_rn))
+        chunk_id = ((F.col("_rn") - 1) / cs).cast("long")
+
+        lineage = (
+            window.groupBy(chunk_id.alias("chunk_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(F.struct(*[F.col(c) for c in cfg.key_columns])).alias("max_key"),
+            )
+            .collect()
+        )
+        self._append_jsonl(
+            self._metrics_path,
+            [
+                {
+                    "incremental_chunk": int(r["chunk_id"]),
+                    "n_rows": int(r["n_rows"]),
+                    "max_key": list(r["max_key"]),
+                }
+                for r in lineage
+            ],
+        )
+        # Advance the durable position only AFTER the batch commits (run()
+        # saves _incr_pending_state post-merge): a crash in between re-reads
+        # the same chunks, and re-merging them is a no-op under the strict
+        # offset guard — at-least-once chunks + idempotent merge = exactly-once.
+        done = hi_rn >= total
+        self._incr_pending_state = {
+            "active": not done,
+            "position": st["position"] + cfg.incremental_chunks_per_batch,
+            "chunk_size": cs,
+            "source_offset": int(st.get("source_offset", 0)),
+        }
+        after_t = wal_schema["after"].dataType
+        src_cols = set(window.columns)
+        after = F.struct(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in src_cols
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in after_t.fields
+            ]
+        )
+        src_off = int(st.get("source_offset", 0))
+        rows = window.select(
+            F.lit(src_off).cast("long").alias("offset"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.lit(E.OP_READ).alias("op"),
+            *[F.col(c) for c in cfg.key_columns],
+            F.lit(None).cast(wal_schema["before"].dataType).alias("before"),
+            after.alias("after"),
+            F.lit(False).alias("is_tombstone"),
+            F.lit(0).cast("long").alias("tx_id"),
+            F.lit(self.registry().version_at_offset(src_off)).alias("schema_version"),
+            F.lit(True).alias("_adhoc"),
+        )
+        return rows
+
     # ------------------------------------------------------------- transforms
-    def _transform(self, slice_df: DataFrame) -> DataFrame:
-        """WAL slice -> resolved actions (one per key)."""
+    def _effective_snapshot_mode(self) -> str:
+        """Resolve when_needed/schema_only_recovery to a concrete mode, decided
+        once per engine lifetime (the reference decides at connector start —
+        MySqlConnectorConfig.java:131-167).
+
+          * when_needed -> initial if there is no resumable lake state, else
+            never (snapshot only when required);
+          * schema_only_recovery -> schema_only for event filtering; the
+            history rebuild happens at run() start.
+        """
+        if self._snapshot_mode_resolved is None:
+            mode = self.config.snapshot_mode
+            if mode == SNAPSHOT_WHEN_NEEDED:
+                resumable = (
+                    LakeTable.exists(self.target_path)
+                    and LakeTable(self.spark, self.target_path).committed_batch_id >= 0
+                )
+                mode = SNAPSHOT_NEVER if resumable else SNAPSHOT_INITIAL
+            elif mode == SNAPSHOT_SCHEMA_ONLY_RECOVERY:
+                mode = SNAPSHOT_SCHEMA_ONLY
+            self._snapshot_mode_resolved = mode
+        return self._snapshot_mode_resolved
+
+    def _prefilter(self, slice_df: DataFrame) -> DataFrame:
+        """Pre-envelope WAL row filters: table include/exclude, snapshot mode,
+        truncate control rows. Shared by the envelope pipeline and the DLQ
+        quarantine so a row the pipeline would never process is never DLQ'd."""
         cfg = self.config
         df = slice_df
-        if cfg.snapshot_mode in (SNAPSHOT_NEVER, SNAPSHOT_SCHEMA_ONLY):
-            df = df.where(F.col("op") != E.OP_READ)  # stream-only start (S4)
-        elif cfg.snapshot_mode == SNAPSHOT_INITIAL_ONLY:
-            df = df.where(F.col("op") == E.OP_READ)
+        if cfg.table_include or cfg.table_exclude:
+            # Dispatcher-level table filter (EventDispatcher.java:189-196). A WAL
+            # with a `table` column filters per event; the single-table WAL
+            # filters on the configured table id — constant-folded by Catalyst.
+            tbl = (
+                F.col("table")
+                if "table" in df.columns
+                else F.lit(f"{cfg.database}.{cfg.table_name}")
+            )
+            df = X.table_filter(
+                df.withColumn("_tbl", tbl), cfg.table_include, cfg.table_exclude,
+                col="_tbl",
+            ).drop("_tbl")
+        # Ad-hoc (signal-driven) snapshot chunks bypass the snapshot-mode op
+        # filter: execute-snapshot exists precisely for snapshot.mode=never
+        # (AbstractIncrementalSnapshotChangeEventSource is the never-mode path).
+        adhoc = (
+            F.coalesce(F.col("_adhoc"), F.lit(False))
+            if "_adhoc" in df.columns
+            else F.lit(False)
+        )
+        mode = self._effective_snapshot_mode()
+        if mode in (SNAPSHOT_NEVER, SNAPSHOT_SCHEMA_ONLY):
+            df = df.where((F.col("op") != E.OP_READ) | adhoc)  # stream-only (S4)
+        elif mode == SNAPSHOT_INITIAL_ONLY:
+            df = df.where((F.col("op") == E.OP_READ) | adhoc)
         if cfg.handle_truncate:
             df = df.where(F.col("op") != "t")  # control event, applied in merge
+        if "_adhoc" in df.columns:
+            df = df.drop("_adhoc")
+        return df
+
+    def _envelope(
+        self, slice_df: DataFrame, *, upto_offset: int | None = None
+    ) -> DataFrame:
+        """WAL slice -> filtered, SMT-transformed envelope stream (what Debezium
+        would publish to Kafka). ``upto_offset``: the batch's high watermark —
+        only schema renames/drops already in force are applied, so the envelope
+        always matches the lake schema the merge will see."""
+        cfg = self.config
+        df = self._prefilter(slice_df)
         # Malformed events (unresolvable key) flow through the resolver under
         # their null key and surface as action rows with a null key column —
         # detected for free in the lineage aggregation (no dedicated scan job)
@@ -190,6 +399,21 @@ class CdcEngine:
             db=cfg.database,
             version=cfg.version,
         )
+        reg = self.registry()
+        renames = reg.payload_renames(upto_offset)
+        drops = reg.payload_drops(upto_offset)
+        if renames or drops:
+            # Pre-rename events carry the old column name; coalesce them into
+            # the current name and project dropped columns away (TableChanges
+            # drop/rename — see registry.align_envelope_columns).
+            from debezium_spark.plans.registry import align_envelope_columns
+
+            env = align_envelope_columns(env, renames, drops)
+        if not cfg.tombstones_on_delete:
+            # tombstones.on.delete=false (EventDispatcher.java:119,408-420):
+            # suppress the (key, null) companion records. Lake state is
+            # unaffected — the delete itself still resolves to ACTION_DELETE.
+            env = env.where(F.col("value").isNotNull())
         env = X.op_skip_filter(env, cfg.skipped_operations)
         env = R.split_pk_changes(env, cfg.key_columns)
         for col, mask in cfg.mask_columns.items():
@@ -202,8 +426,33 @@ class CdcEngine:
             env = X.project_columns(
                 env, cfg.column_include, cfg.column_exclude, cfg.key_columns
             )
+        if cfg.provide_transaction_metadata:
+            # TransactionMonitor.java:56-72: attach transaction{id, total_order,
+            # data_collection_order}. Opt-in — it costs a per-tx ranking window.
+            env = R.transaction_metadata(env)
+        return env
+
+    def envelope_stream(
+        self, lo: int | None = None, hi: int | None = None
+    ) -> DataFrame:
+        """Public envelope stream over a WAL offset range — the record stream a
+        Kafka sink would see, honoring table filters, skipped ops, SMTs,
+        tombstones_on_delete, and provide_transaction_metadata."""
+        wal = self._wal()
+        if lo is not None:
+            wal = wal.where(F.col("offset") > lo)
+        if hi is not None:
+            wal = wal.where(F.col("offset") <= hi)
+        return self._envelope(wal, upto_offset=hi)
+
+    def _transform(
+        self, slice_df: DataFrame, *, upto_offset: int | None = None
+    ) -> DataFrame:
+        """WAL slice -> resolved actions (one per key)."""
         return R.resolve_lww(
-            env, key_cols=cfg.key_columns, salt_buckets=cfg.lww_salt_buckets
+            self._envelope(slice_df, upto_offset=upto_offset),
+            key_cols=self.config.key_columns,
+            salt_buckets=self.config.lww_salt_buckets,
         )
 
     # ------------------------------------------------------------- batch apply
@@ -223,7 +472,7 @@ class CdcEngine:
         # The resolved actions feed three consumers (lineage aggregation, the
         # merge's touched-bucket probe, and the merge join itself); persist so the
         # WAL-scan -> dedup -> envelope -> LWW pipeline runs once, not three times.
-        actions = self._transform(slice_df).persist()
+        actions = self._transform(slice_df, upto_offset=hi).persist()
         nb = lake.n_buckets
         from debezium_spark.plans.lake import bucket_expr
 
@@ -269,10 +518,13 @@ class CdcEngine:
                 invalid_src = F.lit(False)
                 for c in cfg.key_columns:
                     invalid_src = invalid_src | F.col(c).isNull()
+                # Batch-scoped overwrite => replaying a crashed batch rewrites
+                # (not duplicates) its quarantine; _prefilter keeps rows the
+                # pipeline would have excluded anyway out of the DLQ.
                 (
-                    slice_df.where((F.col("op") != "t") & invalid_src)
-                    .write.mode("append")
-                    .parquet(os.path.join(self.work_dir, "_dlq"))
+                    self._prefilter(slice_df).where(invalid_src)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.work_dir, "_dlq", f"batch_id={batch_id}"))
                 )
             self._append_jsonl(
                 self._metrics_path,
@@ -340,6 +592,17 @@ class CdcEngine:
         (predicate pushdown on `offset`).
         """
         lake = self.target()
+        if self.config.snapshot_mode == SNAPSHOT_SCHEMA_ONLY_RECOVERY:
+            # History store was lost/corrupted: re-record every already-crossed
+            # schema delta from the schema-change source before streaming
+            # (MySqlConnectorConfig schema_only_recovery; replay() dedups by
+            # version, so recovery is idempotent).
+            for c in self.registry().changes:
+                if (
+                    c.offset <= lake.committed_max_offset
+                    and c.table_changes != "create"
+                ):
+                    self.history.record(c)
         wal = self._wal()
         bounds = wal.agg(
             F.min("offset").alias("lo"), F.max("offset").alias("hi")
@@ -356,12 +619,36 @@ class CdcEngine:
                 break  # P17 pause signal; resume = call run() again
             hi = lo + step
             slice_df = wal.where((F.col("offset") > lo) & (F.col("offset") <= hi))
+            chunks = self._snapshot_chunk_rows(wal.schema, lo)
+            if chunks is not None:
+                slice_df = slice_df.unionByName(chunks, allowMissingColumns=True)
             results.append(
                 self._apply_batch(lake, slice_df, batch_id=batch_id, lo=lo, hi=hi)
             )
+            if chunks is not None:
+                self._save_incr_state(self._incr_pending_state)
             lo, batch_id, n = hi, batch_id + 1, n + 1
             if max_batches is not None and n >= max_batches:
                 break
+        # WAL exhausted but an ad-hoc snapshot may still have chunks to drain —
+        # keep emitting chunk-only batches until the snapshot completes.
+        while (
+            self._incr_state()["active"]
+            and self.snapshot_source
+            and (max_batches is None or n < max_batches)
+            and not self._poll_signals()["pause"]
+        ):
+            chunks = self._snapshot_chunk_rows(wal.schema, lo)
+            if chunks is None:
+                break
+            results.append(
+                self._apply_batch(lake, chunks, batch_id=batch_id, lo=lo, hi=lo)
+            )
+            self._save_incr_state(self._incr_pending_state)
+            batch_id, n = batch_id + 1, n + 1
+        if self._incr_cached is not None:
+            self._incr_cached.unpersist()
+            self._incr_cached = None
         return results
 
     def run_streaming(self, *, max_files_per_trigger: int | None = None) -> None:
@@ -377,12 +664,16 @@ class CdcEngine:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(self.wal_path)
 
+        self._pause_requested = False
+
         def handle(df: DataFrame, epoch_id: int) -> None:
             # No offset pre-filter: the file source may deliver segments in any
             # order, and restart may replay the last epoch. Both are safe — the
             # per-row offset guard + retained delete tombstones make merge
             # idempotent and order-tolerant (plans/lake.py module docstring).
             if self._poll_signals()["pause"]:
+                self._pause_requested = True  # flag, not string-matching: a real
+                # failure whose message mentions _PauseSignal must still raise
                 raise _PauseSignal()  # surfaces as query stop; resume = restart
             rng = df.agg(
                 F.min("offset").alias("lo"), F.max("offset").alias("hi")
@@ -402,8 +693,8 @@ class CdcEngine:
         )
         try:
             q.awaitTermination()
-        except Exception as e:  # pause is a clean stop, not a failure
-            if "_PauseSignal" not in str(e):
+        except Exception:  # pause is a clean stop, not a failure
+            if not self._pause_requested:
                 raise
 
     # ------------------------------------------------------------- inspection

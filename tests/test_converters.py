@@ -1,0 +1,57 @@
+"""Value converters: decimal.handling.mode + time.precision.mode parity
+(jdbc/JdbcValueConverters.java:73-136, io.debezium.time.*)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.functions import converters as C
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [("123.456789", "2024-01-02 03:04:05.678901"),
+         ("-0.000000000000000015", "1970-01-01 00:00:00"),
+         (None, None)],
+        "dec_s string, ts_s string",
+    ).select(
+        F.col("dec_s"), F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def test_decimal_modes(frame):
+    out = frame.select(
+        C.convert_decimal(F.col("dec_s"), "precise").alias("p"),
+        C.convert_decimal(F.col("dec_s"), "double").alias("d"),
+        C.convert_decimal(F.col("dec_s"), "string").alias("s"),
+    ).collect()
+    r = out[0]
+    assert r["p"] == Decimal("123.456789000000000000")
+    assert abs(r["d"] - 123.456789) < 1e-9
+    assert r["s"] == "123.456789000000000000"
+    # precise mode keeps sub-double precision exactly
+    assert out[1]["p"] == Decimal("-1.5E-17")
+    assert out[2]["p"] is None and out[2]["s"] is None
+    with pytest.raises(ValueError):
+        C.convert_decimal(F.col("dec_s"), "bogus")
+
+
+def test_temporal_modes(frame):
+    out = frame.where(F.col("ts").isNotNull()).select(
+        C.epoch_days(F.col("ts")).alias("days"),
+        C.convert_timestamp(F.col("ts"), "connect").alias("ms"),
+        C.convert_timestamp(F.col("ts"), "adaptive").alias("us"),
+        C.convert_timestamp(F.col("ts"), "adaptive_time_microseconds").alias("us2"),
+        C.zoned_iso(F.col("ts")).alias("iso"),
+    ).collect()
+    r = out[0]
+    assert r["days"] == 19724                       # 2024-01-02
+    assert r["us"] == 1704164645678901 and r["us2"] == r["us"]
+    assert r["ms"] == 1704164645678                 # floor to millis
+    assert r["iso"] == "2024-01-02T03:04:05.678901Z"
+    epoch = out[1]
+    assert epoch["days"] == 0 and epoch["ms"] == 0 and epoch["us"] == 0
+    with pytest.raises(ValueError):
+        C.convert_timestamp(F.col("ts"), "bogus")

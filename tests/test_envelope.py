@@ -93,6 +93,28 @@ def test_snapshot_markers_first_true_last(spark):
     assert by_off[min(by_off)] == "first" and by_off[max(by_off)] == "last"
 
 
+def test_snapshot_select_override(spark):
+    """S2 snapshot.select.statement.overrides
+    (RelationalSnapshotChangeEventSource.java:457-468): per-table predicate
+    restricts the snapshot scan; markers/offsets stay dense over the subset."""
+    from debezium_spark.sources.snapshot import snapshot_events
+
+    seed = W.seed_table(spark, W.WalSpec(n_keys=80, n_events=0, seed=4))
+    n_py = seed.where("lang = 'py'").count()
+    assert 0 < n_py < 80
+    env = snapshot_events(seed, where="lang = 'py'")
+    rows = env.select(
+        "offset",
+        F.col("value.after.lang").alias("lang"),
+        F.col("value.source.snapshot").alias("m"),
+    ).collect()
+    assert len(rows) == n_py
+    assert all(r["lang"] == "py" for r in rows)
+    marks = [r["m"] for r in rows]
+    assert marks.count("first") == 1 and marks.count("last") == 1
+    assert sorted(r["offset"] for r in rows) == list(range(n_py))
+
+
 def test_unwrap_extract_new_record_state(spark):
     env, _ = _env(spark)
     flat = E.unwrap(env)
@@ -104,3 +126,29 @@ def test_unwrap_extract_new_record_state(spark):
     assert d.count() > 0 and d.where(F.col("repo").isNull()).count() == 0
     # drop_deletes mode removes them
     assert E.unwrap(env, drop_deletes=True).where("__deleted").count() == 0
+
+
+def test_unwrap_options(spark):
+    """add.fields / add.headers / route.by.field / delete.handling.mode /
+    drop.tombstones (ExtractNewRecordState.java:64-87,126-191,318-343)."""
+    env, _ = _env(spark)
+    flat = E.unwrap(
+        env,
+        add_fields=["op", "ts_ms", "source.sequence", "transaction.id"],
+        add_headers=["op"],
+        route_by_field="lang",
+    )
+    for c in ("__op", "__ts_ms", "__source_sequence", "__transaction_id",
+              "__header_op", "__route"):
+        assert c in flat.columns, c
+    assert flat.where(F.col("__source_sequence").isNull()).count() == 0
+    # route column mirrors the flattened payload field
+    assert flat.where(F.col("__route") != F.col("lang").cast("string")).count() == 0
+
+    # delete_handling='none': delete rows keep the (null) after-image
+    none = E.unwrap(env, delete_handling="none")
+    d = none.where("__deleted")
+    assert d.count() > 0 and d.where(F.col("repo").isNotNull()).count() == 0
+    # drop_tombstones=False keeps tombstones (null-value rows, null __op)
+    kept = E.unwrap(env, drop_tombstones=False)
+    assert kept.where(F.col("__op").isNull()).count() > 0
