@@ -14,8 +14,9 @@ Scaling mode (north rule evidence): `python bench.py --scaling` runs the identic
 replay taskset-pinned at local[2] and local[8] (N -> 4N cores; see scaling()'s
 docstring for why not 8->32 on this VM) over a 60M-event WAL on tmpfs
 (compute-bound — the VM disk is burst-throttled), 3 consecutive run pairs, one
-fresh JVM per leg, and reports the MEDIAN efficiency = (thr8/thr2)/4 across
-runs; per-run legs and the median are appended to BENCH.md.
+fresh 24g JVM per leg warmed on the smaller sf=1 WAL, each leg deferred until
+no foreign Spark JVM is running, and reports the MEDIAN efficiency =
+(thr8/thr2)/4 across runs; per-run legs and the median are appended to BENCH.md.
 """
 
 from __future__ import annotations
@@ -69,10 +70,30 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
         # codegen (measured: sha2-per-row canary 2->8 cores, 0.85 vs 0.62 eff)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         # 4x cores: finer tasks pack stage tails under bucket/key skew; AQE
-        # coalesces the small ones back, so the overhead is bounded
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 4))
+        # coalesces the small ones back, so the overhead is bounded. Scaling
+        # legs pin BENCH_SHUFFLE_PARTITIONS instead so both legs run the
+        # IDENTICAL plan (and the 2-core leg isn't forced into 8 giant
+        # spill-heavy shuffle partitions at 60M events).
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("BENCH_SHUFFLE_PARTITIONS")
+            or str(shuffle_partitions or cpus * 4),
+        )
+        # A pinned 2-core leg under transient foreign load (the session
+        # driver's periodic smoke-check JVMs use every core) can starve the
+        # executor<->driver heartbeat thread; defaults (10s interval, 60
+        # failures) then KILL the context mid-replay. Tolerate stalls instead
+        # of dying — correctness is unaffected, and the median-of-3 absorbs
+        # the polluted timing.
+        .config("spark.executor.heartbeatInterval", "30s")
+        .config("spark.executor.heartbeat.maxFailures", "500")
+        .config("spark.network.timeout", "36000s")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        # 48g for the wide default bench; scaling legs override to a smaller
+        # heap (BENCH_DRIVER_MEM) — the replay needs far less, and two fresh
+        # 48g JVMs back-to-back plus a 25G tmpfs WAL cache flirt with the VM's
+        # 128G ceiling.
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         # shuffle/spill files follow the bench root (tmpfs): shuffle I/O on the
         # burst-throttled disk would otherwise cap the high-core leg
         .config("spark.local.dir", os.path.join(BENCH_ROOT, "spark_local"))
@@ -223,16 +244,33 @@ def scaling() -> dict:
     ratio = hi_c / lo_c
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
+    def wait_quiet(max_wait: int = 1200) -> None:
+        """Block until no foreign Spark JVM is running (the session driver runs
+        periodic smoke checks in full-width local[*] JVMs; measuring a pinned
+        leg while one is live understates that leg's throughput)."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            probe = subprocess.run(
+                ["pgrep", "-f", "SparkSubmit"], capture_output=True, text=True
+            )
+            if not probe.stdout.strip():
+                return
+            time.sleep(20)
+
     def leg(cpus: int) -> dict:
+        wait_quiet()
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="replay_only",
             SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+            BENCH_DRIVER_MEM=os.environ.get("BENCH_DRIVER_MEM", "24g"),
             # 1 batch: per-batch driver-serial cost (plan analysis, job
             # scheduling, manifest commit) is the Amdahl term and identical
             # at both parallelism levels; the multi-batch resume machinery
             # is exercised by the test suite, not the scaling measurement
             BENCH_BATCHES=os.environ.get("BENCH_BATCHES", "1"),
             BENCH_TRIALS=os.environ.get("BENCH_TRIALS", "1"),
+            # identical plan on both legs: same shuffle partition count
+            BENCH_SHUFFLE_PARTITIONS=os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"),
         )
         # Pin the process to exactly `cpus` CPUs: local[N] only bounds task
         # slots — GC/JIT/shuffle helper threads otherwise spill onto idle
@@ -241,9 +279,23 @@ def scaling() -> dict:
         cmd = [sys.executable, here]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=5400)
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        last_err = None
+        for attempt in range(2):  # one retry: a leg lost to transient foreign
+            # load / JVM death re-runs once before failing the whole run
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=5400
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            last_err = (
+                f"leg local[{cpus}] attempt {attempt + 1} produced no result "
+                f"(rc={out.returncode}); stdout tail: {out.stdout[-2000:]!r};"
+                f" stderr tail: {out.stderr[-4000:]!r}"
+            )
+            sys.stderr.write(last_err + "\n")
+            wait_quiet()
+        raise RuntimeError(last_err)
 
     runs = []
     for _ in range(rounds):
@@ -292,10 +344,14 @@ def replay_only(cpus: int) -> dict:
     sf = sf_of(SF_DIR)
     trials = int(os.environ.get("BENCH_TRIALS", "1"))
     warmups = int(os.environ.get("BENCH_WARMUP", "1"))
+    # Warm up on a smaller WAL (default sf=1, 20M events): the JIT/codegen paths
+    # exercised are identical, both legs get the same treatment, and the timed
+    # 60M-event leg doesn't pay a full-size untimed replay.
+    warm_sf = os.environ.get("BENCH_WARMUP_SF", "1")
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     for _ in range(warmups):
-        run_replay(spark, sf)
+        run_replay(spark, warm_sf)
     replay = run_replay(spark, sf)
     for _ in range(trials - 1):
         r = run_replay(spark, sf)

@@ -147,12 +147,28 @@ def _event_key(i, spec: WalSpec):
     )
 
 
-def wal_events(spark: SparkSession, spec: WalSpec) -> DataFrame:
+def wal_events(
+    spark: SparkSession,
+    spec: WalSpec,
+    *,
+    stream_partitions: int | None = None,
+    snap_partitions: int | None = None,
+) -> DataFrame:
     """The full change log: snapshot READ events + streamed c/u/d/tombstone events.
 
     Columns: offset, ts_ms, op, repo, path, before, after, is_tombstone, tx_id,
     schema_version. Strictly one row per (offset, is_tombstone) except the injected
     duplicate-offset rows (exact duplicates, ~dup_frac).
+
+    Offset-ordered BY CONSTRUCTION, shuffle-free: offsets are monotone in the
+    generator row id, companion rows (each delete's tombstone at offset+1, the
+    ~dup_frac duplicated events) are emitted inline in the same pass via
+    array+inline, and union places the snapshot partitions (all offsets <
+    stream base) before the stream partitions. ``stream_partitions`` /
+    ``snap_partitions`` size the ordered ``spark.range`` slices so a direct
+    write needs no repartition — at 60M+ events the old
+    ``repartitionByRange`` exchange carried ~1.5 KB/row through a full
+    shuffle+sort and was the generation-time memory hot spot.
     """
     p_c = spec.pct_create
     p_u = p_c + spec.pct_update
@@ -162,7 +178,12 @@ def wal_events(spark: SparkSession, spec: WalSpec) -> DataFrame:
     base = stream_base(spec.n_keys)
 
     # ---- snapshot READ events: offsets [0, n_keys), op='r' -------------------
-    snap = spark.range(spec.n_keys).select(
+    snap_src = (
+        spark.range(0, spec.n_keys, 1, snap_partitions)
+        if snap_partitions
+        else spark.range(spec.n_keys)
+    )
+    snap = snap_src.select(
         F.col("id").alias("offset"),
         (F.lit(1_700_000_000_000) + F.col("id")).alias("ts_ms"),
         F.lit("r").alias("op"),
@@ -186,7 +207,12 @@ def wal_events(spark: SparkSession, spec: WalSpec) -> DataFrame:
     )
 
     # ---- streamed events ------------------------------------------------------
-    ev = spark.range(spec.n_events).select(F.col("id").alias("i"))
+    ev_src = (
+        spark.range(0, spec.n_events, 1, stream_partitions)
+        if stream_partitions
+        else spark.range(spec.n_events)
+    )
+    ev = ev_src.select(F.col("id").alias("i"))
     i = F.col("i")
     off = (F.lit(base) + i * _STRIDE).alias("offset")
     draw = F.pmod(_h(i, spec.seed, 20), F.lit(100))
@@ -239,7 +265,11 @@ def wal_events(spark: SparkSession, spec: WalSpec) -> DataFrame:
 
     tx_id = (i / 8).cast("long") + 1  # ~8 consecutive events per transaction
 
-    main = ev.select(
+    # Single-pass emission: each event i yields [main, tombstone-if-delete,
+    # dup-if-selected] inline — no second/third scan of the lineage and no
+    # later shuffle needed to restore offset order (tombstone at offset+1 sits
+    # next to its delete within the stride-8 grid).
+    m = F.struct(
         offc.alias("offset"),
         (F.lit(1_700_000_000_000) + offc * 3).alias("ts_ms"),
         op.alias("op"),
@@ -251,25 +281,28 @@ def wal_events(spark: SparkSession, spec: WalSpec) -> DataFrame:
         tx_id.alias("tx_id"),
         schema_version.alias("schema_version"),
     )
-
+    row_t = (
+        "struct<offset:bigint,ts_ms:bigint,op:string,repo:string,path:string,"
+        f"before:{payload_t},after:{payload_t},"
+        "is_tombstone:boolean,tx_id:bigint,schema_version:int>"
+    )
     # tombstone companion for each delete: same key, null before/after, offset+1
     # (EventDispatcher.java:408-420: tombstone record follows the delete)
-    tombs = main.where(F.col("op") == "d").select(
-        (F.col("offset") + 1).alias("offset"),
-        F.col("ts_ms"),
-        F.lit("d").alias("op"),
-        "repo", "path",
-        F.lit(None).cast(main.schema["before"].dataType).alias("before"),
-        F.lit(None).cast(main.schema["after"].dataType).alias("after"),
-        F.lit(True).alias("is_tombstone"),
-        "tx_id", "schema_version",
-    )
-
+    tomb = F.when(
+        op == "d",
+        m.withField("offset", offc + 1)
+        .withField("before", F.lit(None).cast(payload_t))
+        .withField("after", F.lit(None).cast(payload_t))
+        .withField("is_tombstone", F.lit(True)),
+    ).otherwise(F.lit(None).cast(row_t))
     # duplicate-offset injection: re-emit ~dup_frac of events verbatim
     dup_cut = int(spec.dup_frac * 1000)
-    dups = main.where(F.pmod(_h(F.col("offset"), spec.seed, 30), F.lit(1000)) < dup_cut)
+    dup = F.when(
+        F.pmod(_h(offc, spec.seed, 30), F.lit(1000)) < dup_cut, m
+    ).otherwise(F.lit(None).cast(row_t))
+    stream = ev.select(F.inline(F.array_compact(F.array(m, tomb, dup))))
 
-    return snap.unionByName(main).unionByName(tombs).unionByName(dups)
+    return snap.unionByName(stream)
 
 
 def schema_history(spark: SparkSession, spec: WalSpec) -> DataFrame:
@@ -291,19 +324,19 @@ def schema_history(spark: SparkSession, spec: WalSpec) -> DataFrame:
 def write_wal(spark: SparkSession, spec: WalSpec, out_dir: str, *, n_files: int | None = None) -> None:
     """Materialize the WAL as offset-ordered parquet files (binlog segments).
 
-    Files are range-partitioned by offset so that lexicographic file order == offset
-    order — the property a real binlog/WAL directory has, and what the streaming
-    reader relies on for cross-batch ordering.
+    Lexicographic file order == offset order — the property a real binlog/WAL
+    directory has, and what the streaming reader relies on for cross-batch
+    ordering. Achieved with zero shuffle: offsets are monotone in the ordered
+    generation ranges, so the files come straight out of the range partitions.
     """
-    wal = wal_events(spark, spec)
     files = n_files or max(8, spec.n_events // 250_000)
-    total_span = stream_base(spec.n_keys) + spec.n_events * _STRIDE + _STRIDE
-    seg = (F.col("offset") * files / total_span).cast("int")
-    (
-        wal.withColumn("_seg", seg)
-        .repartitionByRange(files, "_seg", "offset")
-        .sortWithinPartitions("offset")
-        .drop("_seg")
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    # Offset order is already the generation order (see wal_events): the
+    # snapshot partitions (all offsets < stream base) precede the ordered
+    # stream range slices, so a direct write of those partitions yields
+    # lexicographic file order == offset order with ZERO shuffle — no range
+    # sampling pass, no exchange, no sort buffers, at any scale.
+    snap_files = max(1, min(files, spec.n_keys // 250_000 + 1))
+    wal = wal_events(
+        spark, spec, stream_partitions=files, snap_partitions=snap_files
     )
+    wal.write.mode("overwrite").parquet(out_dir)
