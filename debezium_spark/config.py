@@ -91,6 +91,11 @@ class EngineConfig:
     max_offsets_per_batch: int = 5_000_000
     # salt fan-out for the two-phase LWW reduce over hot keys (SURVEY.md §4.1)
     lww_salt_buckets: int = 32
+    # LWW physical strategy: "ordinal" shuffles (key, ordinal) only and
+    # broadcast-filters the payload rows (payload shuffle ∝ live keys);
+    # "aggregate" is the one-shuffle max_by fallback for when the per-batch
+    # winner set is too large to broadcast (see resolver.resolve_lww).
+    lww_strategy: str = "ordinal"
 
     # --- target layout ---
     target_buckets: int = 16            # bucket(16, repo) partitioning (FIXTURES.md §4)

@@ -10,11 +10,13 @@ Pieces:
   * PK-change split — an UPDATE whose key changed becomes DELETE(old key) +
     CREATE(new key), per RelationalChangeRecordEmitter.java:111-118,160-174. The two
     derived events share the source offset and are ordered by a sub-sequence column.
-  * salted two-phase max_by reduce — hot repos skew a single groupBy(key); phase 1
-    reduces within (key, salt) partitions (map-side-combine friendly), phase 2 reduces
-    the at-most-`salt_buckets` survivors per key. Window-over-offset ranking
-    (row_number DESC = 1) is semantically identical but cannot partial-aggregate;
-    max_by can, which is what survives 10^10 events.
+  * last-writer-wins argmax — default "ordinal" strategy shuffles only (key,
+    long-ordinal) pairs and broadcast-filters the payload rows, so payload bytes
+    shuffled scale with live keys, not events; "aggregate" fallback is a single
+    map-side-combining max_by groupBy (the hot-key/skew answer — at most one row
+    per key per input partition crosses the wire). Window-over-offset ranking
+    (row_number DESC = 1) is semantically identical but cannot partial-aggregate,
+    which is what rules it out at 10^10 events.
 
 All pure DataFrame ops — no Python in the row path.
 """
@@ -112,39 +114,53 @@ def resolve_lww(
     *,
     key_cols: tuple[str, ...] = ("repo", "path"),
     salt_buckets: int = 32,
+    strategy: str = "ordinal",
 ) -> DataFrame:
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
     Tombstones (value IS NULL) and deletes both resolve to ACTION_DELETE; everything
-    else upserts its ``after`` image.
+    else upserts its ``after`` image. The ordering key is one LONG ordinal
+    ``offset * 128 + seq`` (WAL/LSN offsets are non-negative and the per-offset
+    sub-sequence is < 128 — PK-split emits seq 0/1), and the carried value is a
+    slim (after, is_delete, ts_ms, offset) struct.
 
-    Implementation: argmax via **max_by(slim_struct, packed_prefix)**, not a
-    ranking window and not a two-phase salted reduce. The ordering key is one
-    fixed-width zero-padded ``(offset, seq)`` string (string order == numeric
-    order for the non-negative offsets a WAL/LSN guarantees); the carried value
-    is a slim (after, is_delete, ts_ms, offset) struct:
+    Two physical strategies, same result:
 
-      * max_by is a declarative aggregate with a partial-merge phase, so it
-        map-side combines: ONE partial SortAggregate per input partition
-        (buffer is non-fixed-width either way, so SortAggregate is the pick),
-        one exchange of at-most-one-slim-row per (key, partition), one final
-        merge. Same single-phase shape the packed-string max() had, minus two
-        full JSON serialization passes over every payload.
-      * No serialization round-trip: an earlier packed-string variant carried
-        the payload through to_json/from_json, where a non-finite double
-        (NaN/Infinity) produced unparseable JSON and PERMISSIVE from_json
-        nulled the whole slim struct — silently upserting a null ``after``
-        over good data. The struct path carries payload bytes verbatim.
-      * The map-side combine is also the hot-key/skew answer (SURVEY.md §4.1): a
-        key with millions of duplicate events still ships at most one row per
-        input partition, so no explicit salting phase is needed; ``salt_buckets``
-        is retained for API compatibility only.
-      * Duplicate re-deliveries tie on the packed prefix with identical
-        payloads, so whichever one max_by keeps, the output is deterministic.
+      * ``strategy="ordinal"`` (default) — **shuffle ordinals, not payloads.**
+        Phase 1 aggregates only (key, ordinal) to each key's winning ordinal:
+        a shuffle of a few dozen bytes per event instead of the full row
+        payload (~KB per event: at 10^8+ events per batch the payload shuffle
+        is memory-/network-bandwidth-bound and dominates the replay). Phase 2
+        broadcasts the winning-ordinal set (8-byte longs; one per live key —
+        a LongHashedRelation, ~100 MB per 6M keys) and LEFT SEMI-joins the
+        envelope on the ordinal: payload rows are filtered map-side with NO
+        exchange, because a WAL ordinal is globally unique up to exact
+        duplicate re-deliveries. Phase 3 collapses those duplicate winners
+        with a per-key max_by — a shuffle of at most one payload row per key.
+        Total payload bytes shuffled ∝ live keys, not events.
+      * ``strategy="aggregate"`` — single ``max_by(slim_struct, ordinal)``
+        groupBy. One partial-aggregating SortAggregate per input partition,
+        one exchange carrying at-most-one slim row per (key, partition). This
+        is the fallback for the regime where the winner set itself is too big
+        to broadcast (10^9+ live keys on small executors): payload moves
+        through ONE shuffle, never two, and the map-side combine is the
+        hot-key/skew answer — a key with millions of duplicate events still
+        ships at most one row per input partition (no salting needed;
+        ``salt_buckets`` retained for API compatibility only).
+
+    Phase 1 of the ordinal strategy touches only offset/seq/key columns, so
+    Catalyst's nested-schema pruning keeps the payload columns out of that
+    scan entirely (verify: ReadSchema in PLANS.md §CDC replay).
+
+    No serialization round-trip in either strategy: an earlier packed-string
+    variant carried the payload through to_json/from_json, where a non-finite
+    double (NaN/Infinity) produced unparseable JSON and PERMISSIVE from_json
+    nulled the whole slim struct — silently upserting a null ``after`` over
+    good data. The struct path carries payload bytes verbatim.
 
     Returns: key_cols*, action, after(payload struct), _offset, _ts_ms.
     """
-    seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("int")
+    seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("long")
     val0 = F.col("value")
     is_del0 = val0.isNull() | (val0.getField("op") == "d")
     slim = F.struct(
@@ -153,16 +169,20 @@ def resolve_lww(
         F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
         F.col("offset").cast("long").alias("offset"),
     )
-    packed = F.concat(
-        F.lpad(F.col("offset").cast("string"), 19, "0"),
-        F.lpad(seq.cast("string"), 2, "0"),
-    )
-    ev = env.select(
-        *[F.col("key").getField(c).alias(c) for c in key_cols],
-        slim.alias("_slim"),
-        packed.alias("_ord"),
-    )
-    agg = ev.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
+    ordinal = (F.col("offset").cast("long") * 128 + seq).alias("_ord")
+    key_refs = [F.col("key").getField(c).alias(c) for c in key_cols]
+    if strategy == "ordinal":
+        win = (
+            env.select(*key_refs, ordinal)
+            .groupBy(*key_cols)
+            .agg(F.max("_ord").alias("_ord"))
+        )
+        ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
+        cand = ev.join(F.broadcast(win.select("_ord")), on="_ord", how="left_semi")
+        agg = cand.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
+    else:
+        ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
+        agg = ev.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
     w = F.col("_w")
     return agg.select(
         *key_cols,

@@ -453,6 +453,7 @@ class CdcEngine:
             self._envelope(slice_df, upto_offset=upto_offset),
             key_cols=self.config.key_columns,
             salt_buckets=self.config.lww_salt_buckets,
+            strategy=self.config.lww_strategy,
         )
 
     # ------------------------------------------------------------- batch apply

@@ -56,6 +56,26 @@ def test_lww_single_action_per_key(spark):
     assert actions.where("action = 'delete' and after is not null").count() == 0
 
 
+def test_lww_strategies_agree(spark):
+    """The broadcast-ordinal plan and the one-shuffle max_by plan are two
+    physical strategies for the same argmax — identical results on a WAL with
+    duplicates, tombstones, PK splits, and hot keys."""
+    spec = W.WalSpec(n_keys=120, n_events=3000, seed=11)
+    env = R.split_pk_changes(_env(spark, spec))
+    a = R.resolve_lww(env, strategy="ordinal")
+    b = R.resolve_lww(env, strategy="aggregate")
+    cols = ["repo", "path", "action", "_offset", "_ts_ms"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+    # payloads agree too (compare a content digest to keep rows small)
+    da = {(r["repo"], r["path"]): r["c"] for r in
+          a.select("repo", "path", F.sha2(F.col("after.content"), 256).alias("c")).collect()}
+    db = {(r["repo"], r["path"]): r["c"] for r in
+          b.select("repo", "path", F.sha2(F.col("after.content"), 256).alias("c")).collect()}
+    assert da == db
+
+
 def test_lww_winner_is_max_offset(spark):
     """Hand-built log: c@1, u@2, u@3 for one key -> winner offset 3; d@4 wins over all."""
     rows = [
