@@ -115,6 +115,7 @@ def resolve_lww(
     key_cols: tuple[str, ...] = ("repo", "path"),
     salt_buckets: int = 32,
     strategy: str = "ordinal",
+    bucket_into=None,
 ) -> DataFrame:
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
@@ -152,6 +153,19 @@ def resolve_lww(
     Catalyst's nested-schema pruning keeps the payload columns out of that
     scan entirely (verify: ReadSchema in PLANS.md §CDC replay).
 
+    ``bucket_into=(n_buckets, bucket_fn)`` (bucket_fn: first-key-column ->
+    bucket Column, e.g. the lake's bucket transform) clusters the FINAL
+    aggregation by the storage bucket instead of Spark's default key hash:
+    candidates are repartitioned once on ``_bucket`` and the per-key reduce
+    runs exchange-free on top (HashPartitioning(_bucket) satisfies
+    ClusteredDistribution(_bucket, key) — bucket is a function of the key),
+    so the output arrives ALREADY in the lake's write layout. One payload
+    shuffle end-to-end instead of two (key-hash agg + bucket repartition);
+    at 10^10 events that second payload pass through the wire is the
+    difference between shuffle-bound and scan-bound. Rows with a null key
+    column get a null ``_bucket`` (quarantine lane). Output gains a
+    ``_bucket`` column.
+
     No serialization round-trip in either strategy: an earlier packed-string
     variant carried the payload through to_json/from_json, where a non-finite
     double (NaN/Infinity) produced unparseable JSON and PERMISSIVE from_json
@@ -179,13 +193,22 @@ def resolve_lww(
         )
         ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
         cand = ev.join(F.broadcast(win.select("_ord")), on="_ord", how="left_semi")
-        agg = cand.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
     else:
-        ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
-        agg = ev.groupBy(*key_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
+        cand = env.select(*key_refs, slim.alias("_slim"), ordinal)
+    group_cols: list = list(key_cols)
+    if bucket_into is not None:
+        n_buckets, bucket_fn = bucket_into
+        key_null = F.lit(False)
+        for c in key_cols:
+            key_null = key_null | F.col(c).isNull()
+        cand = cand.withColumn(
+            "_bucket", F.when(~key_null, bucket_fn(F.col(key_cols[0])))
+        ).repartition(n_buckets, "_bucket")
+        group_cols = ["_bucket", *key_cols]
+    agg = cand.groupBy(*group_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
     w = F.col("_w")
     return agg.select(
-        *key_cols,
+        *group_cols,
         F.when(w.getField("is_delete"), F.lit(ACTION_DELETE))
         .otherwise(F.lit(ACTION_UPSERT))
         .alias("action"),

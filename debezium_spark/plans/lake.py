@@ -285,6 +285,130 @@ class LakeTable:
         m["ts"] = time.time()
         self._commit_manifest(m)
 
+    # ------------------------------------------------------- initial-load path
+    def stage_initial(
+        self,
+        actions: DataFrame,
+        *,
+        batch_id: int,
+        truncate_below: int | None = None,
+    ) -> dict[str, Any] | None:
+        """Stage a batch into an EMPTY table (no committed files): write only.
+
+        The initial consistent snapshot / whole-log replay into a fresh table is
+        the dominant batch by volume, and against an empty target every resolved
+        action wins by construction — no join, no pre-computed lineage, no
+        cache: one pipeline execution straight into the bucket-partitioned
+        staging layout. When ``actions`` carries a ``_bucket`` column (resolver
+        ``bucket_into``), the data is already clustered in the write layout and
+        no exchange happens here at all.
+
+        Rows whose key has a null column land in the null-bucket partition
+        (``_bucket=__HIVE_DEFAULT_PARTITION__``) — a quarantine lane the caller
+        inspects (cheap narrow scan of the staging files) BEFORE
+        :meth:`commit_staged` makes anything visible. Nothing is committed by
+        this method; a crash leaves only orphan staging files.
+
+        Returns {"staging", "staging_rel", "new_files", "has_malformed"}, or
+        None if ``batch_id`` was already committed (replay skip).
+        """
+        m = self.manifest(refresh=True)
+        if batch_id <= m["batch_id"]:
+            return None
+        if m["files"]:
+            raise ValueError("stage_initial requires an empty table; use merge()")
+        key_cols = self.key_cols
+        nb = m["n_buckets"]
+        payload = self.schema
+        payload_cols = payload.fieldNames()
+        pre_bucketed = "_bucket" in actions.columns
+        key_null = F.lit(False)
+        for c in key_cols:
+            key_null = key_null | F.col(c).isNull()
+        src = actions.select(
+            *key_cols,
+            *[
+                (
+                    F.col("after").getField(c).cast(payload[c].dataType)
+                    if c in actions.schema["after"].dataType.fieldNames()
+                    else F.lit(None).cast(payload[c].dataType)
+                ).alias(c)
+                for c in payload_cols
+                if c not in key_cols
+            ],
+            F.col("_offset").cast("long"),
+            F.col("_ts_ms").cast("long"),
+            (F.col("action") == ACTION_DELETE).alias("_deleted"),
+            (
+                F.col("_bucket")
+                if pre_bucketed
+                else F.when(~key_null, bucket_expr(F.col(key_cols[0]), nb))
+            ).alias("_bucket"),
+        )
+        trunc = max(m.get("truncate_below", 0), truncate_below or 0)
+        if trunc > 0:
+            src = src.where(F.col("_offset") >= trunc)
+        staging = f"{_DATA_DIR}/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
+        abs_staging = os.path.join(self.path, staging)
+        if not pre_bucketed:
+            src = src.repartition(nb, "_bucket")
+        src.write.partitionBy("_bucket").mode("overwrite").parquet(abs_staging)
+        new_files, has_malformed = [], False
+        sv = m["schema_version"]
+        for bdir in sorted(os.listdir(abs_staging)):
+            if not bdir.startswith("_bucket="):
+                continue
+            bval = bdir.split("=", 1)[1]
+            if not bval.isdigit():
+                has_malformed = True  # null-bucket quarantine partition
+                continue
+            for fn in sorted(os.listdir(os.path.join(abs_staging, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {"path": f"{staging}/{bdir}/{fn}", "bucket": int(bval),
+                         "schema_version": sv}
+                    )
+        return {
+            "staging": abs_staging,
+            "staging_rel": staging,
+            "new_files": new_files,
+            "has_malformed": has_malformed,
+            "truncate_below": trunc,
+        }
+
+    def commit_staged(
+        self,
+        staged: dict[str, Any],
+        *,
+        batch_id: int,
+        max_offset: int,
+        stats: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Atomically commit files staged by :meth:`stage_initial`. The
+        quarantine partition (if any) is never referenced by the manifest, so
+        malformed rows stay invisible to readers forever."""
+        m = self.manifest(refresh=True)
+        if batch_id <= m["batch_id"]:
+            return {"applied": False, "batch_id": batch_id}
+        new_manifest = dict(m)
+        new_manifest["version"] = m["version"] + 1
+        new_manifest["batch_id"] = batch_id
+        new_manifest["max_offset"] = max(max_offset, m["max_offset"])
+        new_manifest["files"] = list(m["files"]) + staged["new_files"]
+        new_manifest["truncate_below"] = max(
+            m.get("truncate_below", 0), staged.get("truncate_below", 0)
+        )
+        new_manifest["ts"] = time.time()
+        new_manifest["stats"] = stats or {}
+        self._commit_manifest(new_manifest)
+        touched = {fe["bucket"] for fe in staged["new_files"]}
+        return {
+            "applied": True,
+            "batch_id": batch_id,
+            "touched_buckets": len(touched),
+            "new_files": len(staged["new_files"]),
+        }
+
     # ------------------------------------------------------------- MERGE
     def merge(
         self,
@@ -348,43 +472,68 @@ class LakeTable:
             touched = list(touched_buckets)
         else:
             touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
-        target = self.read(buckets=touched, include_deleted=True).withColumn(
-            "_bucket", bucket_expr(F.col(key_cols[0]), nb)
-        )
-        if trunc > 0:
-            target = target.where(F.col("_offset") >= trunc)
-
-        t = target.alias("t")
-        s = src.alias("s")
-        joined = t.join(s, on=list(key_cols), how="full")
-
-        s_present = F.col("s.action").isNotNull()
-        t_present = F.col("t._offset").isNotNull()
-        # Strict '>' keeps re-delivery of the same event a no-op (idempotence) and
-        # makes a stale event lose against both live rows and delete tombstones.
-        s_wins = s_present & (
-            ~t_present | (F.col("s._offset") > F.col("t._offset"))
-        )
-        take_src = s_wins
-        is_src_delete = F.col("s.action") == ACTION_DELETE
-
         data_cols = [c for c in payload_cols if c not in key_cols]
-        result = joined.where(take_src | t_present).select(
-            *key_cols,
-            *[
-                F.when(take_src & is_src_delete, F.lit(None).cast(payload[c].dataType))
-                .when(take_src, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in data_cols
-            ],
-            F.when(take_src, F.col("s._offset")).otherwise(F.col("t._offset")).alias("_offset"),
-            F.when(take_src, F.col("s._ts_ms")).otherwise(F.col("t._ts_ms")).alias("_ts_ms"),
-            F.when(take_src, is_src_delete)
-            .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
-            .alias("_deleted"),
-            F.when(take_src, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
-        )
+        touched_set = set(touched)
+        target_has_files = any(fe["bucket"] in touched_set for fe in m["files"])
+        if not target_has_files:
+            # Initial-load fast path: none of the touched buckets has committed
+            # files, so every resolved action wins by construction — the
+            # full-outer join (a shuffle + build of BOTH sides; full outer can
+            # never broadcast) degenerates to a projection. This is the bulk of
+            # a whole-log replay into a fresh table and of any batch that only
+            # creates new buckets. Deletes keep their tombstone row (_deleted)
+            # exactly as the join path would.
+            is_src_delete = F.col("action") == ACTION_DELETE
+            result = src.select(
+                *key_cols,
+                *data_cols,  # resolver already nulls the payload for deletes
+                F.col("_offset"),
+                F.col("_ts_ms"),
+                is_src_delete.alias("_deleted"),
+                F.col("_bucket"),
+            )
+        else:
+            target = self.read(buckets=touched, include_deleted=True).withColumn(
+                "_bucket", bucket_expr(F.col(key_cols[0]), nb)
+            )
+            if trunc > 0:
+                target = target.where(F.col("_offset") >= trunc)
+
+            t = target.alias("t")
+            # Hint the per-key-unique source side as the hash-build side: a
+            # shuffled-hash full-outer join (Spark 3.1+) skips the two full
+            # sorts a SortMergeJoin would run over payload-width rows. Falls
+            # back to SMJ automatically where inapplicable.
+            s = src.hint("SHUFFLE_HASH").alias("s")
+            joined = t.join(s, on=list(key_cols), how="full")
+
+            s_present = F.col("s.action").isNotNull()
+            t_present = F.col("t._offset").isNotNull()
+            # Strict '>' keeps re-delivery of the same event a no-op (idempotence)
+            # and makes a stale event lose against both live rows and delete
+            # tombstones.
+            s_wins = s_present & (
+                ~t_present | (F.col("s._offset") > F.col("t._offset"))
+            )
+            take_src = s_wins
+            is_src_delete = F.col("s.action") == ACTION_DELETE
+
+            result = joined.where(take_src | t_present).select(
+                *key_cols,
+                *[
+                    F.when(take_src & is_src_delete, F.lit(None).cast(payload[c].dataType))
+                    .when(take_src, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in data_cols
+                ],
+                F.when(take_src, F.col("s._offset")).otherwise(F.col("t._offset")).alias("_offset"),
+                F.when(take_src, F.col("s._ts_ms")).otherwise(F.col("t._ts_ms")).alias("_ts_ms"),
+                F.when(take_src, is_src_delete)
+                .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
+                .alias("_deleted"),
+                F.when(take_src, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
+            )
 
         # Write rewritten buckets to a fresh staging area (copy-on-write).
         staging = f"{_DATA_DIR}/commit-{batch_id}-{uuid.uuid4().hex[:8]}"

@@ -446,14 +446,27 @@ class CdcEngine:
         return self._envelope(wal, upto_offset=hi)
 
     def _transform(
-        self, slice_df: DataFrame, *, upto_offset: int | None = None
+        self,
+        slice_df: DataFrame,
+        *,
+        upto_offset: int | None = None,
+        bucket_into: int | None = None,
     ) -> DataFrame:
-        """WAL slice -> resolved actions (one per key)."""
+        """WAL slice -> resolved actions (one per key). ``bucket_into``:
+        cluster the LWW output by the lake bucket transform (single payload
+        shuffle straight into the write layout — resolver docstring)."""
+        from debezium_spark.plans.lake import bucket_expr
+
         return R.resolve_lww(
             self._envelope(slice_df, upto_offset=upto_offset),
             key_cols=self.config.key_columns,
             salt_buckets=self.config.lww_salt_buckets,
             strategy=self.config.lww_strategy,
+            bucket_into=(
+                (bucket_into, lambda k: bucket_expr(k, bucket_into))
+                if bucket_into
+                else None
+            ),
         )
 
     # ------------------------------------------------------------- batch apply
@@ -470,6 +483,17 @@ class CdcEngine:
                 # The base CREATE is implicit in the registry's base schema;
                 # durable history (B5) records only lake-mutating deltas.
                 self.history.record(change)
+        if not lake.manifest(refresh=True)["files"]:
+            # Empty target (initial snapshot / whole-log replay / post-truncate):
+            # one pipeline execution, bucket-clustered end-to-end, staged first
+            # and committed only after lineage + failure handling ran against
+            # the staged files (so 'fail' aborts pre-commit and the warn-mode
+            # DLQ is written before the batch becomes visible, same ordering
+            # as the join path).
+            return self._apply_initial_batch(
+                lake, slice_df, batch_id=batch_id, lo=lo, hi=hi,
+                truncate_below=truncate_below, t0=t0,
+            )
         # The resolved actions feed three consumers (lineage aggregation, the
         # merge's touched-bucket probe, and the merge join itself); persist so the
         # WAL-scan -> dedup -> envelope -> LWW pipeline runs once, not three times.
@@ -546,6 +570,121 @@ class CdcEngine:
             )
         finally:
             actions.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+        if res.get("applied"):
+            self._append_jsonl(
+                self._ckpt_path,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "partition_id": int(r["_bucket"]),
+                        "max_offset": int(r["max_offset"]),
+                        "rows_applied": int(r["rows_applied"]),
+                        "rows_deleted": int(r["rows_deleted"]),
+                        "wall_ms": wall_ms,
+                    }
+                    for r in lineage_rows
+                ],
+            )
+            self._append_jsonl(
+                self._metrics_path,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "lo": lo,
+                        "hi": hi,
+                        "keys_touched": stats["rows_applied"] + stats["rows_deleted"],
+                        "rows_applied": stats["rows_applied"],
+                        "rows_deleted": stats["rows_deleted"],
+                        "wall_ms": wall_ms,
+                    }
+                ],
+            )
+        return {**res, **stats, "wall_ms": wall_ms}
+
+    def _apply_initial_batch(
+        self,
+        lake: LakeTable,
+        slice_df: DataFrame,
+        *,
+        batch_id: int,
+        lo: int,
+        hi: int,
+        truncate_below: int | None,
+        t0: float,
+    ) -> dict[str, Any]:
+        """Empty-target batch: transform -> stage (one job) -> lineage from a
+        narrow scan of the staged files -> failure handling -> atomic commit.
+
+        vs the generic path this runs ONE pipeline execution with ONE payload
+        shuffle (resolver ``bucket_into``), no persist/columnar cache, no
+        merge join — the per-event cost that dominates a 10^10-event replay.
+        """
+        cfg = self.config
+        actions = self._transform(
+            slice_df, upto_offset=hi, bucket_into=lake.n_buckets
+        )
+        staged = lake.stage_initial(
+            actions, batch_id=batch_id, truncate_below=truncate_below
+        )
+        if staged is None:  # replayed batch (batch_id already committed)
+            return {"applied": False, "batch_id": batch_id,
+                    "rows_applied": 0, "rows_deleted": 0, "wall_ms": 0}
+        # One narrow aggregation over the staged files (offset/_deleted columns
+        # + the _bucket partition value) yields lineage, batch stats, AND the
+        # malformed count — the null-bucket partition rows.
+        if staged["new_files"] or staged["has_malformed"]:
+            st = self.spark.read.parquet(staged["staging"])
+            lineage_all = (
+                st.groupBy("_bucket")
+                .agg(
+                    F.max("_offset").alias("max_offset"),
+                    F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias(
+                        "rows_applied"
+                    ),
+                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias(
+                        "rows_deleted"
+                    ),
+                )
+                .collect()
+            )
+        else:  # empty batch: nothing staged beyond the _SUCCESS marker
+            lineage_all = []
+        lineage_rows = [r for r in lineage_all if r["_bucket"] is not None]
+        n_bad = sum(
+            r["rows_applied"] + r["rows_deleted"]
+            for r in lineage_all
+            if r["_bucket"] is None
+        )
+        if n_bad:
+            if cfg.failure_handling == "fail":
+                # abort BEFORE commit: staging files stay orphaned (the same
+                # crash contract as a mid-write failure), table unchanged
+                raise ValueError(
+                    f"batch {batch_id}: {n_bad} malformed key(s) (null key "
+                    "column); set failure_handling='warn'|'skip' to "
+                    "quarantine/drop"
+                )
+            if cfg.failure_handling == "warn":
+                invalid_src = F.lit(False)
+                for c in cfg.key_columns:
+                    invalid_src = invalid_src | F.col(c).isNull()
+                (
+                    self._prefilter(slice_df).where(invalid_src)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.work_dir, "_dlq", f"batch_id={batch_id}"))
+                )
+            self._append_jsonl(
+                self._metrics_path,
+                [{"batch_id": batch_id, "malformed_skipped": int(n_bad)}],
+            )
+        stats = {
+            "rows_applied": int(sum(r["rows_applied"] for r in lineage_rows)),
+            "rows_deleted": int(sum(r["rows_deleted"] for r in lineage_rows)),
+        }
+        res = lake.commit_staged(
+            staged, batch_id=batch_id, max_offset=hi, stats=stats
+        )
         wall_ms = int((time.time() - t0) * 1000)
         if res.get("applied"):
             self._append_jsonl(
