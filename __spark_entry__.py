@@ -71,9 +71,11 @@ def q_envelope_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lww_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core materialization: per-key last-writer-wins over the offset order, delete
     removes the key — the compacted-topic state (SURVEY.md §2.4). Drives the
-    engine's shipped operator (operators/resolver.resolve_lww): single-phase
-    max_by(slim, packed-prefix) reduce — one partial SortAggregate (map-side
-    combine = the hot-key answer), one slim exchange, one final merge."""
+    engine's shipped operator (operators/resolver.resolve_lww, default
+    "ordinal" strategy): the winner ordinal is aggregated map-side (the
+    hot-key answer), payload rows are broadcast-semi-filtered on it, and the
+    final collapse shuffles at most one slim row per key — payload bytes
+    shuffled scale with live keys, not events."""
     from debezium_spark.operators.resolver import ACTION_DELETE, resolve_lww
 
     ev = _events(spark, sf_dir)
@@ -212,6 +214,25 @@ def q_snapshot_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("_rn") == total, "last")
             .otherwise("true")
         ).alias("snapshot_marker"),
+    )
+
+
+def q_snapshot_select_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 snapshot.select.statement.overrides
+    (RelationalSnapshotChangeEventSource.java:457-468): the initial snapshot
+    scans only rows matching the per-table predicate; markers + dense offsets
+    are assigned over the FILTERED scan (range-partitioned numbering — no
+    single-task window)."""
+    from debezium_spark.sources.snapshot import snapshot_events
+
+    c = _customer(spark, sf_dir).select("c_custkey", "c_mktsegment")
+    env = snapshot_events(
+        c, key_cols=("c_custkey",), where="c_mktsegment = 'BUILDING'"
+    )
+    return env.select(
+        F.col("offset"),
+        F.col("key.c_custkey").alias("c_custkey"),
+        F.col("value.source.snapshot").alias("snapshot_marker"),
     )
 
 
@@ -471,6 +492,23 @@ def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", scaled(F.col("cos_sim")).alias("cos_c"))
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the partition-pruned scale path alongside sign-LSH): coarse
+    cells = nearest of 16 deterministic centroids (first 16 vectors — a
+    training-free quantizer); probe the 4 cells nearest vec_id=0's embedding;
+    exact cosine top-10 within the probed cells. At 100 TB the table is
+    written partitioned by ivf_cell, so a probe is a 4-partition read. All
+    ranking is fixed-point (1e-4) with id tie-breaks — engine-portable."""
+    from debezium_spark.functions.similarity import ivf_topk, scaled
+
+    v = _emb(spark, sf_dir)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    topk = ivf_topk(v, query, k=10, n_cells=16, nprobe=4, order_scale=10000)
+    return topk.select(
+        "vec_id", "ivf_cell", scaled(F.col("cos_sim")).alias("cos_c")
+    )
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above cosine 0.3 via the LSH-bucketed self-join
     (similarity.embedding_near_dups): pairs are scored only inside a shared
@@ -676,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pk_change_split": q_pk_change_split,
         "cdc_tx_metadata": q_tx_metadata,
         "cdc_snapshot_markers": q_snapshot_markers,
+        "cdc_snapshot_select_override": q_snapshot_select_override,
         "cdc_incremental_snapshot_dedup": q_incremental_snapshot_dedup,
         "cdc_unwrap_new_state": q_unwrap_new_state,
         "cdc_schema_evolution_nullfill": q_schema_evolution_nullfill,
@@ -694,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dups": q_emb_near_dups,
         "cdc_column_projection": q_column_projection,
         "cdc_topic_name": q_topic_name,
@@ -855,6 +895,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    CASE WHEN rn = 1 THEN 'first'
                         WHEN rn = (SELECT total FROM n) THEN 'last'
+                        ELSE 'true' END AS snapshot_marker
+            FROM r
+        """,
+        "cdc_snapshot_select_override": """
+            WITH f AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ),
+            r AS (
+              SELECT c_custkey,
+                     row_number() OVER (ORDER BY c_custkey) AS rn,
+                     count(*) OVER () AS total
+              FROM f
+            )
+            SELECT CAST(rn - 1 AS BIGINT) AS offset, c_custkey,
+                   CASE WHEN rn = 1 THEN 'first'
+                        WHEN rn = total THEN 'last'
                         ELSE 'true' END AS snapshot_marker
             FROM r
         """,
@@ -1046,6 +1102,41 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE jac >= 0.1
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
+        "emb_ivf_topk": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 16
+            ),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            asgn AS (
+              SELECT vec_id, cid AS ivf_cell FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY {_scaled_sql("list_cosine_similarity(v.e, c.cv)")} DESC,
+                                  c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                         ORDER BY {_scaled_sql("list_cosine_similarity((SELECT qe FROM q), c.cv)")} DESC,
+                                  c.cid
+                       ) AS rn
+                FROM c
+              ) WHERE rn <= 4
+            )
+            SELECT v.vec_id, CAST(asgn.ivf_cell AS INT) AS ivf_cell,
+                   {_scaled_sql("list_cosine_similarity(v.e, (SELECT qe FROM q))")} AS cos_c
+            FROM v JOIN asgn USING (vec_id)
+            WHERE asgn.ivf_cell IN (SELECT cid FROM probes)
+            ORDER BY cos_c DESC, vec_id
+            LIMIT 10
+        """,
         "cdc_column_projection": """
             SELECT event_id AS offset, user_id, event_type, 2 AS n_payload_fields
             FROM events

@@ -230,16 +230,23 @@ def wrap_wal(
         if "is_tombstone" in wal.columns
         else F.lit(False)
     )
-    key_src = F.when(F.col("op") == OP_DELETE, F.col("before")).otherwise(
-        F.coalesce(F.col("after"), F.col("before"))
-    )
-    # key falls back to top-level repo/path columns (always present in the WAL).
-    key = F.struct(
-        *[
-            F.coalesce(key_src.getField(c), F.col(c)).alias(c)
-            for c in key_cols
-        ]
-    )
+    # Per-field extraction BEFORE the op branch: getField over a
+    # coalesce/when of whole structs defeats Catalyst's nested-schema pruning
+    # (the scan then reads every payload column — content included — into the
+    # winner-ordinal aggregation, which only needs the key). With
+    # GetStructField applied directly to the before/after attributes, the
+    # phase-1 scan prunes to the key fields (PLANS.md §CDC replay ReadSchema).
+    # Semantics identical: delete keys come from before; otherwise after when
+    # the after image exists (even if its field is null — same as selecting
+    # the after struct), else before; top-level repo/path as the last resort.
+    def _key_field(c: str) -> Column:
+        b, a = F.col("before").getField(c), F.col("after").getField(c)
+        src = F.when(F.col("op") == OP_DELETE, b).otherwise(
+            F.when(F.col("after").isNotNull(), a).otherwise(b)
+        )
+        return F.coalesce(src, F.col(c))
+
+    key = F.struct(*[_key_field(c).alias(c) for c in key_cols])
     out = wal.select(
         key.alias("key"),
         F.when(is_tomb, F.lit(None).cast(value_dtype(wal))).otherwise(value).alias(

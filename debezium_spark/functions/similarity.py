@@ -149,6 +149,101 @@ def _query_bucket(query: list[float], *, planes: int, seed: int) -> int:
     return b
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid cell.
+
+    ``centroids`` is a small [(cell_id, vector)] list (broadcast as literals —
+    at 100 TB the centroid set is still tiny and ships with the plan; the
+    expensive part, the per-row argmax, stays JVM-side column algebra with no
+    shuffle). Cell choice is deterministic and engine-portable: maximize the
+    fixed-point-quantized cosine, ties broken toward the SMALLEST cell id —
+    encoded as array_max over (scaled_cos, -cell_id) structs so float
+    summation-order drift can never flip the winner.
+
+    At scale the table is written partitioned/bucketed by ``ivf_cell`` so a
+    probe reads only nprobe partitions (partition pruning), the IVF analogue of
+    lsh_topk's bucket pruning.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    ranked = F.array(
+        *[
+            F.struct(
+                scaled(cosine(e, F.array(*[F.lit(float(x)) for x in cv])), scale).alias("s"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_max(ranked)
+    return vectors.withColumn("ivf_cell", (-best.getField("negcid")).cast("int"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    order_scale: int = 10000,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: probe only the nprobe cells nearest the query.
+
+    Centroids are the embeddings of the first ``n_cells`` ids — a deterministic,
+    training-free coarse quantizer (k-means would drop in unchanged: the engine
+    only needs SOME fixed centroid set; sampling rows as centroids is the
+    standard no-model bootstrap). The centroid fetch collects n_cells rows
+    (tiny); everything per-row is column algebra. Probe order and the final
+    top-k both rank by the fixed-point score with id tie-breaks, so results are
+    deterministic across engines.
+    """
+    cent_rows = (
+        vectors.where(F.col(id_col) < n_cells)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
+    # probe set: nprobe cells ranked by (scaled cos to query) desc, cell id asc
+    qv = query
+    probe_rank = sorted(
+        (
+            (-_scaled_py(_cos_py(qv, cv), order_scale), cid)
+            for cid, cv in centroids
+        ),
+    )[:nprobe]
+    probes = [cid for _, cid in probe_rank]
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, scale=order_scale)
+    cand = assigned.where(F.col("ivf_cell").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        F.col(id_col),
+        F.col("ivf_cell"),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(
+        F.desc(scaled(F.col("cos_sim"), order_scale)), F.col(id_col)
+    ).limit(k)
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def _scaled_py(x: float, scale: int = 10000) -> int:
+    return int(math.floor(x * scale + 0.5))
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     *,

@@ -56,19 +56,47 @@ def split_pk_changes(
     (RelationalChangeRecordEmitter.java:160-174: delete first, then create).
     """
     v = F.col("value")
-    before_key = F.struct(*[v.getField("before").getField(c).alias(c) for c in key_cols])
-    after_key = F.struct(*[v.getField("after").getField(c).alias(c) for c in key_cols])
-    is_split = (
-        v.isNotNull()
-        & (v.getField("op") == "u")
-        & v.getField("before").isNotNull()
-        & v.getField("after").isNotNull()
-        & (before_key != after_key)
-    )
-
     vt = env.schema["value"].dataType
     payload_t = vt["after"].dataType
     kt = env.schema["key"].dataType
+
+    # --- slim pre-projection -------------------------------------------------
+    # Everything the split DECISION needs (op + the key fields of both images)
+    # is lifted into top-level single-reference alias columns first. Three
+    # Catalyst facts make this the shape that keeps nested-schema pruning
+    # alive all the way to the parquet scan:
+    #   1. presence checks must go through FIELDS — IsNotNull(value) or
+    #      IsNotNull(value.before) references the whole struct and forces the
+    #      scan to read every payload column;
+    #   2. CollapseProject only inlines an alias referenced ONCE (inlining a
+    #      multi-referenced complex expression would duplicate work), so a
+    #      split-array expression that extracts from `value` many times pins
+    #      the full value struct in the child projection;
+    #   3. the generator-pruning rule only rewrites Generate over an
+    #      attribute, so the array is aliased before the explode.
+    # Result: the LWW winner aggregation (key+ordinal only) reads just the
+    # key/op/offset columns — not `content` — from the WAL (PLANS.md §CDC).
+    slim = {"_op": v.getField("op")}
+    for c in key_cols:
+        slim[f"_bk_{c}"] = v.getField("before").getField(c)
+        slim[f"_ak_{c}"] = v.getField("after").getField(c)
+    extra0 = [c for c in env.columns if c not in ("key", "value", "offset")]
+    pre = env.select(
+        "offset", *extra0, "key", "value",
+        *[e.alias(n) for n, e in slim.items()],
+    )
+    before_key = F.struct(*[F.col(f"_bk_{c}").alias(c) for c in key_cols])
+    after_key = F.struct(*[F.col(f"_ak_{c}").alias(c) for c in key_cols])
+    bk_some = F.lit(False)
+    ak_some = F.lit(False)
+    for c in key_cols:
+        bk_some = bk_some | F.col(f"_bk_{c}").isNotNull()
+        ak_some = ak_some | F.col(f"_ak_{c}").isNotNull()
+    # op=='u' already implies the value is present; an image participates in a
+    # key-change split iff it carries at least one key field.
+    is_split = (
+        (F.col("_op") == "u") & bk_some & ak_some & (before_key != after_key)
+    )
 
     delete_value = F.struct(
         v.getField("before").alias("before"),
@@ -87,25 +115,33 @@ def split_pk_changes(
         v.getField("transaction").alias("transaction"),
     ).cast(vt)
 
-    # One source scan: each row explodes into its delete+create pair (split) or
-    # itself (passthrough) — vs three filtered scans of a content-heavy slice.
-    def elem(key_c, value_c, seq: int):
+    # One source scan, SLIM explode: only (key, seq, split) ride through the
+    # Generate; the payload value is re-derived AFTER it from the carried
+    # `value` column (which consumers that only need key+ordinal never touch,
+    # so it prunes away entirely for them).
+    def elem(key_c, seq: int, split: bool):
         return F.struct(
-            key_c.cast(kt).alias("key"), value_c.alias("value"),
+            key_c.cast(kt).alias("key"),
             F.lit(seq).alias("seq"),
+            F.lit(split).alias("split"),
         )
 
     arr = F.when(
         F.coalesce(is_split, F.lit(False)),
-        F.array(elem(before_key, delete_value, 0), elem(after_key, create_value, 1)),
-    ).otherwise(F.array(elem(F.col("key"), F.col("value").cast(vt), 0)))
+        F.array(elem(before_key, 0, True), elem(after_key, 1, True)),
+    ).otherwise(F.array(elem(F.col("key"), 0, False)))
 
-    extra = [c for c in env.columns if c not in ("key", "value", "offset")]
-    return env.select(
-        F.col("offset"), *extra, F.explode(arr).alias("_e")
-    ).select(
-        F.col("_e.key").alias("key"), F.col("_e.value").alias("value"),
-        F.col("offset"), *extra, F.col("_e.seq").alias("seq"),
+    mid = pre.withColumn("_splits", arr).select(
+        F.col("offset"), *extra0, F.col("value"), F.explode("_splits").alias("_e")
+    )
+    new_value = (
+        F.when(F.col("_e.split") & (F.col("_e.seq") == 0), delete_value)
+        .when(F.col("_e.split") & (F.col("_e.seq") == 1), create_value)
+        .otherwise(v.cast(vt))
+    )
+    return mid.select(
+        F.col("_e.key").alias("key"), new_value.alias("value"),
+        F.col("offset"), *extra0, F.col("_e.seq").alias("seq"),
     )
 
 
@@ -116,6 +152,7 @@ def resolve_lww(
     salt_buckets: int = 32,
     strategy: str = "ordinal",
     bucket_into=None,
+    winner_source: DataFrame | None = None,
 ) -> DataFrame:
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
@@ -176,18 +213,32 @@ def resolve_lww(
     """
     seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("long")
     val0 = F.col("value")
-    is_del0 = val0.isNull() | (val0.getField("op") == "d")
+    # value IS NULL <=> op IS NULL: op is a required envelope field
+    # (Envelope.java:224-237 builder validation), and checking the FIELD keeps
+    # nested-schema pruning alive — IsNull(value) references the whole struct
+    # and forces the scan to read every payload column even in the phase-1
+    # winner aggregation that only needs the key.
+    is_del0 = val0.getField("op").isNull() | (val0.getField("op") == "d")
     slim = F.struct(
         F.when(~is_del0, val0.getField("after")).alias("after"),
         is_del0.alias("is_delete"),
-        F.when(val0.isNotNull(), val0.getField("ts_ms")).alias("ts_ms"),
+        val0.getField("ts_ms").alias("ts_ms"),  # null propagates from null value
         F.col("offset").cast("long").alias("offset"),
     )
     ordinal = (F.col("offset").cast("long") * 128 + seq).alias("_ord")
     key_refs = [F.col("key").getField(c).alias(c) for c in key_cols]
     if strategy == "ordinal":
+        # ``winner_source``: an alternative envelope stream with IDENTICAL
+        # (key, offset, seq) rows — e.g. the engine's key-only slim replica of
+        # the pipeline. Phase 1 only ranks ordinals per key, so feeding it a
+        # payload-free stream lets the scan skip every payload column
+        # (content included); the payload-bearing ``env`` is read only by the
+        # broadcast-filtered phase 2.
+        wsrc = winner_source if winner_source is not None else env
+        wseq = (F.col("seq") if "seq" in wsrc.columns else F.lit(0)).cast("long")
+        wordinal = (F.col("offset").cast("long") * 128 + wseq).alias("_ord")
         win = (
-            env.select(*key_refs, ordinal)
+            wsrc.select(*key_refs, wordinal)
             .groupBy(*key_cols)
             .agg(F.max("_ord").alias("_ord"))
         )
@@ -248,7 +299,6 @@ def transaction_metadata(env: DataFrame) -> DataFrame:
 
     # Tombstones carry no envelope (value IS NULL) and get no transaction block
     # (TransactionMonitor skips them); rank only data events so total_order is dense.
-    w_tx = Window.partitionBy("tx_id").orderBy("offset")
     rank = F.when(
         F.col("value").isNotNull(),
         F.row_number().over(

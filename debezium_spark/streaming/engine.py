@@ -445,6 +445,56 @@ class CdcEngine:
             wal = wal.where(F.col("offset") <= hi)
         return self._envelope(wal, upto_offset=hi)
 
+    def _winner_env(self, slice_df: DataFrame) -> DataFrame | None:
+        """Key-only replica of the envelope row semantics for the LWW winner
+        phase.
+
+        The full envelope materializes ``value`` as one projection alias, and
+        Catalyst will not inline a multi-referenced complex alias — so any
+        consumer that extracts several value fields (the PK-split decision)
+        pins the FULL payload into the scan, content column included, even
+        though the winner aggregation only ranks (key, offset, seq). This
+        replica re-runs exactly the row-set-determining steps (prefilter,
+        envelope wrap, tombstone suppression, op skip, PK split) over a
+        payload projection that carries ONLY the key fields, so "read the
+        whole value" is itself slim. Steps that never change (key, offset,
+        seq) — column masks/truncates/projections, rename/drop alignment
+        (key columns cannot be renamed/dropped), transaction metadata — are
+        skipped; resolve_lww uses this stream solely to pick winning
+        ordinals, and every payload byte flows through the broadcast-filtered
+        phase 2 of the full pipeline.
+        """
+        cfg = self.config
+        key_cols = cfg.key_columns
+        df = self._prefilter(slice_df)
+        if not {"before", "after"}.issubset(set(df.columns)):
+            return None  # non-standard WAL shape: fall back to the full env
+
+        def slim(col: str) -> F.Column:
+            return F.struct(*[F.col(col).getField(c).alias(c) for c in key_cols])
+
+        cols = [
+            F.col("offset"), F.col("ts_ms"), F.col("op"),
+            *[F.col(c) for c in key_cols if c in df.columns],
+            slim("before").alias("before"),
+            slim("after").alias("after"),
+        ]
+        for opt in ("is_tombstone", "tx_id", "schema_version"):
+            if opt in df.columns:
+                cols.append(F.col(opt))
+        env = E.wrap_wal(
+            df.select(*cols),
+            key_cols=key_cols,
+            connector=cfg.connector,
+            server_name=cfg.server_name,
+            db=cfg.database,
+            version=cfg.version,
+        )
+        if not cfg.tombstones_on_delete:
+            env = env.where(F.col("value").isNotNull())
+        env = X.op_skip_filter(env, cfg.skipped_operations)
+        return R.split_pk_changes(env, key_cols)
+
     def _transform(
         self,
         slice_df: DataFrame,
@@ -457,6 +507,11 @@ class CdcEngine:
         shuffle straight into the write layout — resolver docstring)."""
         from debezium_spark.plans.lake import bucket_expr
 
+        winner = (
+            self._winner_env(slice_df)
+            if self.config.lww_strategy == "ordinal"
+            else None
+        )
         return R.resolve_lww(
             self._envelope(slice_df, upto_offset=upto_offset),
             key_cols=self.config.key_columns,
@@ -467,6 +522,7 @@ class CdcEngine:
                 if bucket_into
                 else None
             ),
+            winner_source=winner,
         )
 
     # ------------------------------------------------------------- batch apply

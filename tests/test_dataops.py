@@ -122,3 +122,30 @@ def test_multimodal_pipeline_shape(spark):
     # deterministic: same payload -> same sha/feature
     pdf2 = M.extract_features(media).toPandas().sort_values("media_id")
     assert list(pdf.sort_values("media_id")["sha256"]) == list(pdf2["sha256"])
+
+
+def test_ivf_topk_recovers_exact_top1_and_cells_partition(spark, vecs):
+    sample = vecs.limit(300)
+    q = list(sample.first()["embedding"])
+    exact = S.brute_force_topk(sample, q, k=1).first()
+    approx = S.ivf_topk(sample, q, k=1, n_cells=8, nprobe=3).first()
+    # the query vector itself lives in its own nearest cell -> always probed
+    assert approx["vec_id"] == exact["vec_id"]
+    # every vector is assigned to exactly one valid cell
+    cent = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sample.where("vec_id < 8").collect()
+    )
+    assigned = S.ivf_assign(sample, cent)
+    cells = assigned.select("ivf_cell").distinct().collect()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+    assert assigned.count() == sample.count()
+
+
+def test_ivf_assign_tie_breaks_to_smallest_cell(spark):
+    # two identical centroids: ties must deterministically pick the smaller id
+    rows = [(10, [1.0, 0.0]), (11, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
+    out = S.ivf_assign(df, cent).select("ivf_cell").distinct().collect()
+    assert [r["ivf_cell"] for r in out] == [0]
