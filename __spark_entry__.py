@@ -12,6 +12,7 @@ CDC mapping used on the `events` table (the WAL analogue):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -261,6 +262,107 @@ def q_unwrap_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine end-to-end under the driver's hash gate: derive a WAL from
+    the events table (one c/u/d change per event, keyed by a synthetic
+    repo+path), replay it through the shipped CdcEngine (envelope wrap ->
+    offset dedup -> ordinal LWW resolve -> bucket-pruned copy-on-write merge,
+    3 offset-range batches with lineage checkpoints), and return the final
+    lake state. Oracle: per-key last-writer-wins window, deletes remove the
+    key — the reference's golden-state replay-and-diff (ConnectorOutputTest)
+    as a hash-checked driver entry."""
+    import shutil
+    import tempfile
+
+    from debezium_spark import CdcEngine, EngineConfig
+
+    ev = _events(spark, sf_dir).withColumn("op", _op_col())
+    img = F.struct(
+        F.concat(F.lit("r"), (F.col("user_id") % 31).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        ).alias("content"),
+    )
+    wal = ev.select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") * 10).cast("long").alias("ts_ms"),
+        F.col("op"),
+        img.getField("repo").alias("repo"),
+        img.getField("path").alias("path"),
+        F.when(F.col("op").isin("u", "d"), img).alias("before"),
+        F.when(F.col("op") != "d", img).alias("after"),
+        F.lit(False).alias("is_tombstone"),
+        F.col("event_id").alias("tx_id"),
+        F.lit(0).alias("schema_version"),
+    )
+    root = tempfile.mkdtemp(prefix="dbz_e2e_entry_")
+    wal.write.mode("overwrite").parquet(os.path.join(root, "wal"))
+    eng = CdcEngine(
+        spark,
+        EngineConfig(max_offsets_per_batch=4000),
+        wal_path=os.path.join(root, "wal"),
+        target_path=os.path.join(root, "target"),
+        work_dir=os.path.join(root, "work"),
+    )
+    eng.run()
+    state = eng.target().read().select("repo", "path", "content")
+    out = state.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def q_unwrap_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 ExtractNewRecordState full option surface through the shipped
+    `envelope.unwrap` (ExtractNewRecordState.java:126-191): rewrite
+    delete-handling (deletes flatten their BEFORE image instead of dropping),
+    add.fields ('source.lsn' -> __source_lsn), add.headers ('op' ->
+    __header_op), route.by.field ('event_type' -> __route), and tombstone
+    dropping (delete companions with NULL value must vanish). The oracle is
+    one row per event — any option regression changes rows or values."""
+    from debezium_spark.functions import envelope as E
+
+    ev = _events(spark, sf_dir).withColumn("op", _op_col())
+    img = F.struct(F.col("event_type"), F.col("value"))
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(
+            F.when(F.col("op").isin("u", "d"), img).alias("before"),
+            F.when(F.col("op") != "d", img).alias("after"),
+            F.col("op").alias("op"),
+            (F.col("event_id") * 10).cast("long").alias("ts_ms"),
+            F.struct(F.col("event_id").alias("lsn")).alias("source"),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    tombs = env.where(F.col("value.op") == "d").select(
+        "key",
+        F.lit(None).cast(env.schema["value"].dataType).alias("value"),
+        (F.col("offset") + 10_000_000).alias("offset"),
+    )
+    flat = E.unwrap(
+        env.unionByName(tombs),
+        delete_handling="rewrite",
+        add_fields=["source.lsn"],
+        add_headers=["op"],
+        route_by_field="event_type",
+    )
+    return flat.select(
+        F.col("__offset").alias("offset"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("val_c"),
+        F.col("__op").alias("op"),
+        F.col("__deleted").cast("int").alias("deleted"),
+        F.col("__ts_ms").alias("ts_ms"),
+        F.col("__source_lsn").alias("lsn"),
+        F.col("__header_op").alias("header_op"),
+        F.col("__route").alias("route"),
+    )
+
+
 def q_schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.5 read-with-widest-schema: v1 rows (before the schema change offset) lack
     the `value` column and are NULL-filled on union (unionByName
@@ -451,6 +553,32 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 60-bit fingerprint per document (near-dup dedup building block)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", DD.simhash(F.col("text")).alias("sig"))
+
+
+def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup detection (signature -> bands -> bucket join
+    -> estimate): pairs sharing any of 4 bands over a 16-perm signature, with
+    the estimated Jaccard reported as the exact agreement count (int — no
+    float representation to drift). Candidate generation is the banded bucket
+    join (never all-pairs); at 100 TB the band keys partition the shuffle."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.minhash_lsh_dedup(
+        d, n=3, num_perm=16, bands=4, jaccard_threshold=0.25
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("est_jaccard") * 16).cast("int").alias("n_agree"),
+    )
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 3 on the 60-bit signature,
+    candidates from exact 4-chunk pigeonhole banding (two signatures within
+    Hamming 3 must agree on >= 1 of 4 15-bit chunks) — a bucket equi-join,
+    never a cross product."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.simhash_near_dups(d, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_envelope_wrap": q_envelope_wrap,
         "cdc_lww_last_state": q_lww_last_state,
+        "cdc_e2e_engine_replay": q_e2e_engine_replay,
         "cdc_dedup_by_offset": q_dedup_by_offset,
         "cdc_op_skip_filter": q_op_skip_filter,
         "cdc_table_filter": q_table_filter,
@@ -717,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_select_override": q_snapshot_select_override,
         "cdc_incremental_snapshot_dedup": q_incremental_snapshot_dedup,
         "cdc_unwrap_new_state": q_unwrap_new_state,
+        "cdc_unwrap_options": q_unwrap_options,
         "cdc_schema_evolution_nullfill": q_schema_evolution_nullfill,
         "cdc_schema_evolution_drop_rename": q_schema_evolution_drop_rename,
         "cdc_value_converters": q_value_converters,
@@ -729,7 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_minhash_bands": q_doc_minhash_bands,
+        "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -767,6 +899,66 @@ def _simhash_oracle_sql() -> str:
     return f"""
         WITH s AS (SELECT doc_id, {th} AS th FROM documents)
         SELECT doc_id, CAST({bits} AS BIGINT) AS sig FROM s
+    """
+
+
+_H64_SQL = "CAST(('0x' || substr(md5('{p}:' || {x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_lsh_oracle_sql(
+    num_perm: int = 16, bands: int = 4, min_agree: int = 4
+) -> str:
+    """MinHash+LSH pair detection in DuckDB mirroring dedup.minhash_lsh_dedup:
+    16-perm _h64 signature, 4 bands x 4 rows, candidates = any band equal,
+    kept pairs = signature agreement >= min_agree (est_jaccard threshold)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), "
+        "'[^A-Za-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    toks = f"string_split({norm}, ' ')"
+    shingles3 = (
+        f"list_sort(list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks})-2, 0)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])))"
+    )
+    sig_cols = ", ".join(
+        "list_aggregate(list_transform(sh, g -> "
+        + _H64_SQL.format(p=p, x="g")
+        + f"), 'min') AS s{p}"
+        for p in range(num_perm)
+    )
+    rows = num_perm // bands
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(f"a.s{b * rows + r} = b.s{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)" for p in range(num_perm)
+    )
+    return f"""
+        WITH sh0 AS (SELECT doc_id AS id, {shingles3} AS sh FROM documents),
+        sig AS (SELECT id, {sig_cols} FROM sh0 WHERE len(sh) > 0)
+        SELECT a.id AS id_a, b.id AS id_b, CAST({agree} AS INT) AS n_agree
+        FROM sig a JOIN sig b ON a.id < b.id AND ({band_conds})
+        WHERE {agree} >= {min_agree}
+    """
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs in DuckDB: 4-chunk pigeonhole candidates over the
+    60-bit signature (dedup.simhash_near_dups), verified by xor popcount."""
+    chunk_conds = " OR ".join(
+        f"((a.sig >> {c * 15}) & 32767) = ((b.sig >> {c * 15}) & 32767)"
+        for c in range(4)
+    )
+    return f"""
+        WITH s AS ({_simhash_oracle_sql()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({chunk_conds})
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     """
 
 
@@ -926,6 +1118,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_OP_CASE_SQL} = 'd' THEN 1 ELSE 0 END AS __deleted
             FROM events
         """,
+        "cdc_e2e_engine_replay": f"""
+            WITH w AS (
+              SELECT event_id AS off,
+                     'r' || CAST(user_id % 31 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     {_OP_CASE_SQL} AS op,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                       AS content
+              FROM events
+            ),
+            last AS (
+              SELECT repo, path, op, content,
+                     row_number() OVER (
+                       PARTITION BY repo, path ORDER BY off DESC
+                     ) AS rn
+              FROM w
+            )
+            SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+        """,
+        "cdc_unwrap_options": f"""
+            SELECT event_id AS offset,
+                   event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+                   {_OP_CASE_SQL} AS op,
+                   CASE WHEN {_OP_CASE_SQL} = 'd' THEN 1 ELSE 0 END AS deleted,
+                   event_id * 10 AS ts_ms,
+                   event_id AS lsn,
+                   {_OP_CASE_SQL} AS header_op,
+                   event_type AS route
+            FROM events
+        """,
         "cdc_schema_evolution_nullfill": """
             SELECT event_id AS offset,
                    CASE WHEN event_id < 5000 THEN NULL
@@ -1076,6 +1300,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} >= 3000
         """,
         "doc_simhash": _simhash_oracle_sql(),
+        "doc_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
+        "doc_simhash_near_dups": _simhash_pairs_oracle_sql(),
         "doc_ngram_jaccard": f"""
             WITH s AS (
               SELECT doc_id AS id, list_sort(list_distinct({shingles3})) AS sh

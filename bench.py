@@ -12,7 +12,7 @@ copy-on-write MERGE. Throughput = change events applied per second.
 
 Scaling mode (north rule evidence): `python bench.py --scaling` runs the identical
 replay taskset-pinned at N and 4N cores (pairs 2->8 and 1->4; see scaling()'s
-docstring) over a 60M-event WAL on tmpfs (compute-bound — the VM disk is
+docstring) over a 75.6M-event WAL on tmpfs (compute-bound — the VM disk is
 burst-throttled), 3 consecutive run pairs per core pair, one fresh 24g
 fixed-pretouched-heap JVM per leg warmed on the smaller sf=1 WAL, each leg
 deferred until no foreign Spark JVM is running and re-run if one appears
@@ -87,7 +87,7 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
         # coalesces the small ones back, so the overhead is bounded. Scaling
         # legs pin BENCH_SHUFFLE_PARTITIONS instead so both legs run the
         # IDENTICAL plan (and the 2-core leg isn't forced into 8 giant
-        # spill-heavy shuffle partitions at 60M events).
+        # spill-heavy shuffle partitions at 75.6M events).
         .config(
             "spark.sql.shuffle.partitions",
             os.environ.get("BENCH_SHUFFLE_PARTITIONS")
@@ -288,9 +288,9 @@ def scaling() -> dict:
     once — detection is by pid ancestry sampling, not by the leg's number.
     """
     here = os.path.abspath(__file__)
-    # sf=3 (60M events): each leg carries ~6-10s of fixed driver-serial cost
+    # sf=3 (75.6M events incl. tombstone/dup companions): each leg carries ~6-10s of fixed driver-serial cost
     # (lake create, WAL bounds scan, plan analysis, job scheduling) that does
-    # not shrink with cores; at 60M events it is amortized below 5% of the leg.
+    # not shrink with cores; at 75.6M events it is amortized below 5% of the leg.
     sf = os.environ.get("BENCH_SCALING_SF", "3")
     pairs_env = os.environ.get("BENCH_SCALING_PAIRS") or os.environ.get(
         "BENCH_SCALING_CPUS", "2,8;1,4"
@@ -439,7 +439,7 @@ def replay_only(cpus: int) -> dict:
     warmups = int(os.environ.get("BENCH_WARMUP", "1"))
     # Warm up on a smaller WAL (default sf=1, 20M events): the JIT/codegen paths
     # exercised are identical, both legs get the same treatment, and the timed
-    # 60M-event leg doesn't pay a full-size untimed replay.
+    # 75.6M-event leg doesn't pay a full-size untimed replay.
     warm_sf = os.environ.get("BENCH_WARMUP_SF", "1")
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
