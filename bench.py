@@ -61,6 +61,13 @@ def sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.1"
 
 
+def warmup_sf_for(sf: str) -> str:
+    """The next-smaller WAL scale: ~10x fewer events, identical code paths."""
+    order = ["0.001", "0.01", "0.1", "0.3", "1", "3"]
+    i = order.index(sf) if sf in order else 2
+    return os.environ.get("BENCH_WARMUP_SF") or order[max(i - 1, 0)]
+
+
 def build_spark(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
@@ -216,6 +223,13 @@ def single(cpus: int) -> dict:
     sf = sf_of(SF_DIR)
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # Untimed warm-up replay on the 10x-smaller WAL (same JIT/codegen paths) —
+    # the same treatment the scaling legs get. Without it the single timed
+    # replay absorbs first-run JIT/codegen compilation and run-to-run spread
+    # at sf0.1 is ~±30% (observed 32-58s for an identical job); with it the
+    # measurement is the steady-state throughput the metric is about.
+    for _ in range(int(os.environ.get("BENCH_WARMUP", "1"))):
+        run_replay(spark, warmup_sf_for(sf))
     replay = run_replay(spark, sf)
     qtimes = run_queries(spark, SF_DIR)
     qtimes = {"cdc_replay": round(replay["wall_sec"], 3), **qtimes}
