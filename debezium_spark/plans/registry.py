@@ -98,6 +98,20 @@ class SchemaRegistry:
         """Changes the stream crosses in (lo, hi] — to apply before merging the batch."""
         return [c for c in self.changes if lo_exclusive < c.offset <= hi_inclusive]
 
+    def pending_upto(self, hi_inclusive: int) -> list[SchemaChange]:
+        """Changes at-or-before ``hi`` not yet applied this run, in history order.
+
+        The batch-apply path uses this instead of ``pending_between``: the file
+        stream source does NOT guarantee binlog-segment order, so a batch
+        covering (say) the v3 widen can arrive before the batch covering the v2
+        add of the same column. History order is the dependency order
+        (TableChanges.java applies serialized changes sequentially); every lake
+        DDL is idempotent, so re-application after a restart is a no-op."""
+        return [
+            c for c in self.changes
+            if c.offset <= hi_inclusive and c.version > self.applied_version
+        ]
+
     def apply_to_lake(self, lake: LakeTable, change: SchemaChange) -> None:
         """Execute the DDL against the lake table (idempotent)."""
         kind, *args = change.table_changes.split(":")

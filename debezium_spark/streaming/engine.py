@@ -533,7 +533,7 @@ class CdcEngine:
         cfg = self.config
         truncate_below = self._truncates_in(lo, hi)
         reg = self.registry()
-        for change in reg.pending_between(lo, hi):
+        for change in reg.pending_upto(hi):
             reg.apply_to_lake(lake, change)      # Iceberg-DDL analogue, idempotent
             if change.table_changes != "create":
                 # The base CREATE is implicit in the registry's base schema;

@@ -125,7 +125,7 @@ def main():
     with ph("registry+truncates"):
         eng._truncates_in(lo, hi)
         reg = eng.registry()
-        for change in reg.pending_between(lo, hi):
+        for change in reg.pending_upto(hi):
             reg.apply_to_lake(lake, change)
     with ph("transform_plan_analysis"):
         actions = eng._transform(slice_df, upto_offset=hi)
