@@ -132,6 +132,19 @@ class SchemaRegistry:
             raise ValueError(f"unknown table_changes {change.table_changes!r}")
         self.applied_version = max(self.applied_version, change.version)
 
+    @property
+    def applied_offset(self) -> int:
+        """Max change offset already applied to the lake (0 if only the base).
+
+        The envelope must be aligned to the LAKE's column set, which under
+        out-of-order segment delivery can be ahead of the current batch's own
+        high watermark — a late pre-rename segment still merges into the
+        post-rename lake schema."""
+        return max(
+            (c.offset for c in self.changes if c.version <= self.applied_version),
+            default=0,
+        )
+
     def payload_renames(self, upto_offset: int | None = None) -> list[tuple[str, str]]:
         """(old, new) column renames in history order, optionally only those in
         force at ``upto_offset`` — the envelope alignment map for events written

@@ -400,8 +400,15 @@ class CdcEngine:
             version=cfg.version,
         )
         reg = self.registry()
-        renames = reg.payload_renames(upto_offset)
-        drops = reg.payload_drops(upto_offset)
+        # Align to the LAKE's schema, not just this batch's watermark: the file
+        # source may deliver a pre-rename segment after the rename was already
+        # applied by a higher-offset batch (order-tolerance, test_streaming).
+        ddl_hi = (
+            None if upto_offset is None  # None = align the full history
+            else max(upto_offset, reg.applied_offset)
+        )
+        renames = reg.payload_renames(ddl_hi)
+        drops = reg.payload_drops(ddl_hi)
         if renames or drops:
             # Pre-rename events carry the old column name; coalesce them into
             # the current name and project dropped columns away (TableChanges

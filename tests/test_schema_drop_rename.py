@@ -139,3 +139,46 @@ def test_lake_rename_chain_reads_old_files(spark, tmpdir_path):
     lake.drop_column("c")
     lake.drop_column("c")
     assert "c" not in lake.schema.fieldNames()
+
+
+def test_rename_and_drop_out_of_order_delivery(spark, tmpdir_path):
+    """Order-tolerance across DDL boundaries: the post-rename phase-C segment
+    is delivered FIRST (the rename+drop apply to the lake immediately), then
+    the pre-rename phase-A segment arrives late — its m_old payloads must
+    still surface under m_new, aligned to the lake's already-renamed schema,
+    and the LWW winner per key must equal the in-order result."""
+    import shutil
+
+    base = os.path.join(tmpdir_path, "wal_phases")
+    wal = _wal_df(spark)
+    phases = [
+        ("pA", wal.where(F.col("offset") <= 20)),
+        ("pB", wal.where((F.col("offset") > 20) & (F.col("offset") <= 45))),
+        ("pC", wal.where(F.col("offset") > 45)),
+    ]
+    for name, df in phases:
+        df.repartition(1).write.parquet(os.path.join(base, name))
+
+    live = os.path.join(tmpdir_path, "wal_ooo")
+    os.makedirs(live)
+    t0 = 1_700_000_000
+    for age, name in enumerate(["pC", "pB", "pA"]):  # oldest mtime = phase C
+        src_dir = os.path.join(base, name)
+        part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        dst = os.path.join(live, f"{name}.parquet")
+        shutil.copy2(os.path.join(src_dir, part), dst)
+        os.utime(dst, (t0 + age * 60, t0 + age * 60))
+
+    eng = _mk(spark, tmpdir_path, live, "ooo")
+    eng.run_streaming(max_files_per_trigger=1)
+    lake = eng.target()
+    names = lake.schema.fieldNames()
+    assert "m_new" in names and "m_old" not in names and "lang" not in names
+    final = {r["path"]: r for r in lake.read().collect()}
+    assert len(final) == 10
+    for k in range(5):  # late-arriving pre-rename creates
+        assert final[f"p{k}"]["m_new"] == f"old{k}"
+    for k in range(5, 8):
+        assert final[f"p{k}"]["m_new"] == f"new{k}"
+    for k in range(8, 10):
+        assert final[f"p{k}"]["m_new"] == f"vv{k}"
