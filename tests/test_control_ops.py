@@ -171,3 +171,52 @@ def test_vacuum_purges_tombstones(spark, tmpdir_path):
         lake.read().select("repo", "path", "content").toPandas()
     )
     assert visible_before == visible_after
+
+
+def test_truncate_out_of_order_delivery(spark, tmpdir_path):
+    """Order-tolerance for TRUNCATE: the post-truncate segment (containing the
+    't' row) is delivered FIRST, the pre-truncate segment LAST — its rows are
+    all below the persisted truncate_below watermark and must stay dead."""
+    import shutil
+
+    spec = W.WalSpec(n_keys=150, n_events=600, seed=32, schema_changes=False)
+    wal = W.wal_events(spark, spec)
+    bounds = wal.agg(F.min("offset"), F.max("offset")).first()
+    t_off = int((bounds[0] + bounds[1]) // 2)
+    trunc_row = spark.createDataFrame(
+        [(t_off, 0, "t", None, None)],
+        "offset bigint, ts_ms bigint, op string, repo string, path string",
+    )
+    full = wal.unionByName(trunc_row, allowMissingColumns=True).withColumn(
+        "is_tombstone", F.coalesce(F.col("is_tombstone"), F.lit(False))
+    )
+    staging = os.path.join(tmpdir_path, "stage")
+    full.where(F.col("offset") < t_off).repartition(1).write.parquet(
+        os.path.join(staging, "pre")
+    )
+    full.where(F.col("offset") >= t_off).repartition(1).write.parquet(
+        os.path.join(staging, "post")
+    )
+
+    live = os.path.join(tmpdir_path, "wal_ooo_t")
+    os.makedirs(live)
+    t0 = 1_700_000_000
+    for age, name in enumerate(["post", "pre"]):  # post-truncate arrives first
+        src_dir = os.path.join(staging, name)
+        part = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        dst = os.path.join(live, f"{name}.parquet")
+        shutil.copy2(os.path.join(src_dir, part), dst)
+        os.utime(dst, (t0 + age * 60, t0 + age * 60))
+
+    eng = _engine(spark, tmpdir_path, live, spec, sub="oot")
+    eng.run_streaming(max_files_per_trigger=1)
+    final = eng.target().read()
+    assert final.where(F.col("_offset") < t_off).count() == 0
+    post = (
+        spark.read.parquet(live)
+        .where((F.col("offset") > t_off) & (F.col("op") != "t"))
+        .select("offset", "is_tombstone", "op", "repo", "path", "after")
+        .toPandas()
+    )
+    got = oracle.target_hashes(final.select("repo", "path", "content").toPandas())
+    assert got == oracle.state_hashes(oracle.reduce_wal(post))
