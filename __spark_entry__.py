@@ -718,6 +718,36 @@ def q_topic_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return named.select("offset", "topic")
 
 
+def q_message_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical decoding messages (pg_logical_emit_message): click events
+    re-cast as MESSAGE('m') envelopes — key = struct{prefix}, value carries a
+    message{prefix, content} block and NO before/after image, routed to the
+    '<server>.message' topic, prefix-filtered by the include regex
+    (LogicalDecodingMessageMonitor.java:43-96,100-115;
+    LogicalDecodingMessageFilter.java:22-31)."""
+    from debezium_spark.functions.envelope import wrap_messages
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    msgs = wrap_messages(
+        ev,
+        prefix=F.concat(F.lit("ch"), (F.col("user_id") % 8).cast("string")),
+        content=F.col("props"),
+        offset=F.col("event_id"),
+        ts_ms=(F.col("event_id") * 10).cast("long"),
+        prefix_include="^ch[0-3]$",
+        server_name="repos",
+    )
+    return msgs.select(
+        "offset",
+        "topic",
+        F.col("key.prefix").alias("key_prefix"),
+        F.col("value.op").alias("op"),
+        F.col("value.message.prefix").alias("msg_prefix"),
+        F.col("value.message.content").alias("msg_content"),
+        F.col("value.ts_ms").alias("ts_ms"),
+    )
+
+
 def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 outbox EventRouter: route by aggregate type, key by aggregate id,
     extract payload (transforms/outbox/EventRouter.java)."""
@@ -869,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "cdc_column_projection": q_column_projection,
         "cdc_topic_name": q_topic_name,
+        "cdc_message_route": q_message_route,
         "cdc_outbox_route": q_outbox_route,
         "cdc_tx_commit_filter": q_tx_commit_filter,
         "cdc_content_filter": q_content_filter,
@@ -1373,6 +1404,17 @@ def oracle_sql() -> dict[str, str]:
                                                    '[^a-zA-Z0-9\\._\\-]', '_', 'g')
                      AS topic
             FROM events
+        """,
+        "cdc_message_route": """
+            SELECT event_id AS offset,
+                   'repos.message' AS topic,
+                   'ch' || CAST(user_id % 8 AS VARCHAR) AS key_prefix,
+                   'm' AS op,
+                   'ch' || CAST(user_id % 8 AS VARCHAR) AS msg_prefix,
+                   props AS msg_content,
+                   event_id * 10 AS ts_ms
+            FROM events
+            WHERE event_type = 'click' AND (user_id % 8) <= 3
         """,
         "cdc_outbox_route": """
             SELECT 'outbox.event.' || event_type AS topic,

@@ -353,3 +353,64 @@ def unwrap(
     if route_by_field:
         out = out.withColumn("__route", F.col(route_by_field).cast("string"))
     return out
+
+
+def wrap_messages(
+    df: DataFrame,
+    *,
+    prefix: Column,
+    content: Column,
+    offset: Column,
+    ts_ms: Column | None = None,
+    prefix_include: str | None = None,
+    prefix_exclude: str | None = None,
+    connector: str = "spark-cdc",
+    server_name: str = "repos",
+    db: str = "lake",
+    version: str = "0.1.0",
+) -> DataFrame:
+    """Logical decoding messages (``pg_logical_emit_message``) as MESSAGE('m')
+    envelopes on the ``<server_name>.message`` topic.
+
+    Reference: ``debezium-connector-postgres/.../LogicalDecodingMessageMonitor.java``
+      - topic = ``<logicalName>.message``; field names prefix/content/message
+        (LogicalDecodingMessageMonitor.java:43-46,70)
+      - key = struct{prefix} ("struct over the plain prefix ... for better
+        evolvability", :58-76); value = {op='m', ts_ms, source,
+        message{prefix, content}} with NO before/after image (:85-96,100-115)
+    Prefix filtering per message.prefix.include/exclude.list regexes —
+    ``LogicalDecodingMessageFilter.java:22-31`` (include wins when both set).
+    Messages are control-plane records: they never reach the table merge path
+    (the engine excludes op='m' from _prefilter, mirroring the monitor being a
+    separate sender from the relational dispatcher).
+    """
+    out = df.withColumn("_msg_prefix", prefix)
+    if prefix_include:
+        out = out.where(F.col("_msg_prefix").rlike(prefix_include))
+    elif prefix_exclude:  # include wins over exclude, as the reference filter
+        out = out.where(~F.col("_msg_prefix").rlike(prefix_exclude))
+    ts = ts_ms if ts_ms is not None else F.lit(None).cast("long")
+    src = source_block(
+        version=version,
+        connector=connector,
+        name=server_name,
+        db=db,
+        ts_ms=ts,
+        snapshot=F.lit(SNAPSHOT_FALSE),
+        sequence=offset.cast("string"),
+    )
+    message = F.struct(
+        F.col("_msg_prefix").alias("prefix"), content.alias("content")
+    )
+    value = F.struct(
+        F.lit(OP_MESSAGE).alias("op"),
+        ts.alias("ts_ms"),
+        src.alias("source"),
+        message.alias("message"),
+    )
+    return out.select(
+        F.struct(F.col("_msg_prefix").alias("prefix")).alias("key"),
+        value.alias("value"),
+        offset.cast("long").alias("offset"),
+        F.lit(f"{server_name}.message").alias("topic"),
+    )

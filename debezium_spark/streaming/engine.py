@@ -370,6 +370,10 @@ class CdcEngine:
             df = df.where((F.col("op") == E.OP_READ) | adhoc)
         if cfg.handle_truncate:
             df = df.where(F.col("op") != "t")  # control event, applied in merge
+        # Logical decoding messages ('m') are published on their own topic by a
+        # separate sender (LogicalDecodingMessageMonitor.java:70,114) and never
+        # carry a table row — they must not reach the merge/DLQ paths.
+        df = df.where(F.col("op") != E.OP_MESSAGE)
         if "_adhoc" in df.columns:
             df = df.drop("_adhoc")
         return df

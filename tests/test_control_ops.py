@@ -220,3 +220,54 @@ def test_truncate_out_of_order_delivery(spark, tmpdir_path):
     )
     got = oracle.target_hashes(final.select("repo", "path", "content").toPandas())
     assert got == oracle.state_hashes(oracle.reduce_wal(post))
+
+
+def test_message_events_never_reach_merge(spark, tmpdir_path):
+    """Logical decoding messages (op='m') are control-plane records published
+    on their own topic by a separate sender (LogicalDecodingMessageMonitor
+    .java:70,114); they must not mutate table state, be DLQ'd, or fail the
+    run. Final state over a WAL with interleaved 'm' rows equals the oracle
+    reduce over the data events alone."""
+    from debezium_spark.functions.envelope import wrap_messages
+
+    spec = W.WalSpec(n_keys=150, n_events=700, seed=37, schema_changes=False)
+    wal = W.wal_events(spark, spec)
+    hi = int(wal.agg(F.max("offset")).first()[0])
+    msg_rows = spark.createDataFrame(
+        [(hi + 8 * (i + 1), 0, "m", None, None, f"txmark-{i % 2}", f"body-{i}")
+         for i in range(6)],
+        "offset bigint, ts_ms bigint, op string, repo string, path string,"
+        " msg_prefix string, msg_content string",
+    )
+    full = wal.unionByName(msg_rows, allowMissingColumns=True).withColumn(
+        "is_tombstone", F.coalesce(F.col("is_tombstone"), F.lit(False))
+    )
+    wal_dir = os.path.join(tmpdir_path, "walm")
+    full.repartition(2).write.parquet(wal_dir)
+
+    eng = _engine(spark, tmpdir_path, wal_dir, spec, sub="m")
+    eng.run()
+    data_only = (
+        spark.read.parquet(wal_dir)
+        .where(F.col("op") != "m")
+        .select("offset", "is_tombstone", "op", "repo", "path", "after")
+        .toPandas()
+    )
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == oracle.state_hashes(oracle.reduce_wal(data_only))
+
+    # the message side-channel routes the same rows to <server>.message
+    m = spark.read.parquet(wal_dir).where(F.col("op") == "m")
+    routed = wrap_messages(
+        m,
+        prefix=F.col("msg_prefix"),
+        content=F.col("msg_content"),
+        offset=F.col("offset"),
+        prefix_include="^txmark-0$",
+        server_name="repos",
+    ).collect()
+    assert len(routed) == 3
+    assert {r["topic"] for r in routed} == {"repos.message"}
+    assert all(r["value"]["op"] == "m" for r in routed)

@@ -152,3 +152,48 @@ def test_unwrap_options(spark):
     # drop_tombstones=False keeps tombstones (null-value rows, null __op)
     kept = E.unwrap(env, drop_tombstones=False)
     assert kept.where(F.col("__op").isNull()).count() > 0
+
+
+def test_wrap_messages_shape_and_filter(spark):
+    """MESSAGE('m') envelopes (LogicalDecodingMessageMonitor.java:43-96):
+    key = struct{prefix}, value = {op='m', ts_ms, source, message{prefix,
+    content}} with no before/after image, topic = '<server>.message';
+    include regex wins over exclude (LogicalDecodingMessageFilter.java:22-31)."""
+    rows = [(i, f"pfx{i % 3}", f"payload-{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "off long, pfx string, body string")
+    msgs = E.wrap_messages(
+        df,
+        prefix=F.col("pfx"),
+        content=F.col("body"),
+        offset=F.col("off"),
+        ts_ms=(F.col("off") * 100).cast("long"),
+        server_name="srv",
+    )
+    assert set(msgs.columns) == {"key", "value", "offset", "topic"}
+    value_fields = set(msgs.schema["value"].dataType.fieldNames())
+    assert value_fields == {"op", "ts_ms", "source", "message"}  # no before/after
+    got = {r["offset"]: r for r in msgs.collect()}
+    assert len(got) == 9
+    for off, r in got.items():
+        assert r["topic"] == "srv.message"
+        assert r["value"]["op"] == "m"
+        assert r["key"]["prefix"] == r["value"]["message"]["prefix"] == f"pfx{off % 3}"
+        assert r["value"]["message"]["content"] == f"payload-{off}"
+        assert r["value"]["ts_ms"] == off * 100
+
+    only_0 = E.wrap_messages(
+        df, prefix=F.col("pfx"), content=F.col("body"), offset=F.col("off"),
+        prefix_include="^pfx0$",
+    )
+    assert {r["key"]["prefix"] for r in only_0.collect()} == {"pfx0"}
+    no_1 = E.wrap_messages(
+        df, prefix=F.col("pfx"), content=F.col("body"), offset=F.col("off"),
+        prefix_exclude="^pfx1$",
+    )
+    assert {r["key"]["prefix"] for r in no_1.collect()} == {"pfx0", "pfx2"}
+    # include wins when both are set, as the reference filter does
+    both = E.wrap_messages(
+        df, prefix=F.col("pfx"), content=F.col("body"), offset=F.col("off"),
+        prefix_include="^pfx2$", prefix_exclude="^pfx2$",
+    )
+    assert {r["key"]["prefix"] for r in both.collect()} == {"pfx2"}
