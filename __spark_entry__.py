@@ -748,6 +748,27 @@ def q_message_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 heartbeat records (HeartbeatImpl.java:30-69,111-124): at most one
+    record per elapsed interval on the '__debezium-heartbeat.<server>' topic,
+    key = struct{serverName}, value = struct{ts_ms}; batch analogue emits one
+    row per interval window the stream advanced through, carrying the
+    window's max ts/offset."""
+    from debezium_spark.functions.transforms import heartbeat_records
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") * 10).cast("long").alias("ts_ms"),
+    )
+    hb = heartbeat_records(ev, interval_ms=1000, server_name="repos")
+    return hb.select(
+        "topic",
+        F.col("key.serverName").alias("server_name"),
+        F.col("value.ts_ms").alias("ts_ms"),
+        "offset",
+    )
+
+
 def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 outbox EventRouter: route by aggregate type, key by aggregate id,
     extract payload (transforms/outbox/EventRouter.java)."""
@@ -900,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_column_projection": q_column_projection,
         "cdc_topic_name": q_topic_name,
         "cdc_message_route": q_message_route,
+        "cdc_heartbeat": q_heartbeat,
         "cdc_outbox_route": q_outbox_route,
         "cdc_tx_commit_filter": q_tx_commit_filter,
         "cdc_content_filter": q_content_filter,
@@ -1415,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
                    event_id * 10 AS ts_ms
             FROM events
             WHERE event_type = 'click' AND (user_id % 8) <= 3
+        """,
+        "cdc_heartbeat": """
+            SELECT '__debezium-heartbeat.repos' AS topic,
+                   'repos' AS server_name,
+                   MAX(event_id * 10) AS ts_ms,
+                   MAX(event_id) AS offset
+            FROM events
+            GROUP BY (event_id * 10) // 1000
         """,
         "cdc_outbox_route": """
             SELECT 'outbox.event.' || event_type AS topic,

@@ -222,3 +222,39 @@ def to_cloudevents(
         F.to_json(F.struct(*fields)).alias("cloudevent"),
         F.col("offset"),
     )
+
+
+def heartbeat_records(
+    df: DataFrame,
+    *,
+    interval_ms: int,
+    server_name: str,
+    ts_col: str = "ts_ms",
+    offset_col: str = "offset",
+    topics_prefix: str = "__debezium-heartbeat",
+) -> DataFrame:
+    """P15 heartbeat records (heartbeat/HeartbeatImpl.java:30-69,111-124):
+    topic '<topics_prefix>.<server>', key = struct{serverName}, value =
+    struct{ts_ms} — emitted at most once per elapsed interval
+    (Heartbeat.java:27-49, dispatched at EventDispatcher.java:237-240).
+
+    Batch analogue of the reference's timer: one record per interval window
+    the stream actually advanced through, carrying the window's max ts/offset
+    so a quiet-topic consumer can still advance its offset store. Map-side
+    combining groupBy on the window id — one slim shuffle row per interval,
+    scale-safe at any event volume.
+    """
+    win = F.expr(f"CAST({ts_col} AS BIGINT) DIV {int(interval_ms)}")
+    return (
+        df.groupBy(win.alias("_hb_window"))
+        .agg(
+            F.max(F.col(ts_col).cast("long")).alias("ts_ms"),
+            F.max(F.col(offset_col).cast("long")).alias("offset"),
+        )
+        .select(
+            F.lit(f"{topics_prefix}.{server_name}").alias("topic"),
+            F.struct(F.lit(server_name).alias("serverName")).alias("key"),
+            F.struct(F.col("ts_ms")).alias("value"),
+            F.col("offset"),
+        )
+    )

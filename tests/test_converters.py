@@ -55,3 +55,23 @@ def test_temporal_modes(frame):
     assert epoch["days"] == 0 and epoch["ms"] == 0 and epoch["us"] == 0
     with pytest.raises(ValueError):
         C.convert_timestamp(F.col("ts"), "bogus")
+
+
+def test_heartbeat_records(spark):
+    """P15 heartbeat (HeartbeatImpl.java:30-69): one record per elapsed
+    interval window, topic '__debezium-heartbeat.<server>', key={serverName},
+    value={ts_ms}, carrying the window's max ts/offset."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.functions.transforms import heartbeat_records
+
+    rows = [(i, i * 300) for i in range(10)]  # ts 0..2700 -> windows 0,1,2 @1000ms
+    df = spark.createDataFrame(rows, "offset long, ts_ms long")
+    hb = heartbeat_records(df, interval_ms=1000, server_name="srv")
+    got = {r["value"]["ts_ms"]: r for r in hb.collect()}
+    assert len(got) == 3
+    # window maxima: ts 900 (offset 3), 1800 (offset 6), 2700 (offset 9)
+    assert set(got) == {900, 1800, 2700}
+    assert got[900]["offset"] == 3 and got[2700]["offset"] == 9
+    assert all(r["topic"] == "__debezium-heartbeat.srv" for r in got.values())
+    assert all(r["key"]["serverName"] == "srv" for r in got.values())
