@@ -271,7 +271,6 @@ def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake state. Oracle: per-key last-writer-wins window, deletes remove the
     key — the reference's golden-state replay-and-diff (ConnectorOutputTest)
     as a hash-checked driver entry."""
-    import shutil
     import tempfile
 
     from debezium_spark import CdcEngine, EngineConfig
@@ -309,10 +308,13 @@ def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         work_dir=os.path.join(root, "work"),
     )
     eng.run()
-    state = eng.target().read().select("repo", "path", "content")
-    out = state.localCheckpoint(eager=True)  # materialize before cleanup
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    # Return the lake state straight off its kept parquet files — the "write
+    # to a kept path" pattern. The earlier localCheckpoint(eager=True) copied
+    # the FULL final state into executor block storage just to allow deleting
+    # the temp dir early: harmless at gate scale, an anti-pattern at 100 TB.
+    # The temp root is left for the OS tmp reaper (bounded: one sf0.01 state
+    # per driver run).
+    return eng.target().read().select("repo", "path", "content")
 
 
 def q_unwrap_options(spark: SparkSession, sf_dir: str) -> DataFrame:

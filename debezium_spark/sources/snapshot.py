@@ -47,8 +47,10 @@ def ranged_row_number(
          negligible at any scale) and folded back in as a literal map.
 
     The ranged frame is persisted so the count pass and the numbering pass see
-    the same (sampled) range boundaries; on a real cluster this is a cheap
-    DISK_ONLY spill of an already-shuffled dataset.
+    the same (sampled) range boundaries. DISK_ONLY: the intermediate is an
+    already-shuffled full-width dataset read exactly twice — at 100 TB a
+    MEMORY_AND_DISK cache would evict the executors' working memory for data
+    that a sequential disk re-read serves just as well.
 
     Returns (df + rn_col [1-based], total_row_count).
 
@@ -63,7 +65,7 @@ def ranged_row_number(
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in key_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     offsets: dict[int, int] = {}
@@ -86,6 +88,60 @@ def ranged_row_number(
     # engine's per-batch incremental-snapshot chunking) can unpersist it
     out._ranged_persisted = ranged
     return out, total
+
+
+def chunk_bounds(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    *,
+    chunk_size: int = 1024,
+) -> tuple[list[dict], int]:
+    """Per-chunk inclusive upper key bounds for keyset-paginated chunk reads (S5).
+
+    ONE key-only scan (the parquet reader prunes every payload column) numbers
+    the table in key order and keeps just the boundary keys — the key at row
+    ``(c+1) * chunk_size`` for each chunk c. A later chunk read is then
+    ``WHERE key > prev_hi AND key <= hi``: O(chunk) work with the leading key
+    column's range pushed down to the scan, instead of re-numbering the full
+    table on every micro-batch. This mirrors the reference's keyset pagination
+    (AbstractIncrementalSnapshotChangeEventSource.java:199-259: chunk query =
+    ``WHERE pk > last_chunk_end ORDER BY pk LIMIT chunk_size``), parallelized:
+    the bounds are computed once up front so chunks need no serial cursor.
+
+    Returns ``(bounds, total_rows)`` with ``bounds[c] = {"chunk": c, "hi":
+    [key values...], "n_rows": nominal_count}``. The driver holds one entry
+    per chunk — at 10^9+ rows size ``chunk_size`` so the chunk count stays
+    bounded (e.g. >= 100k rows/chunk), or land the bounds in a parquet
+    sidecar instead of driver memory.
+
+    Rows whose full key equals a boundary key all belong to the EARLIER chunk
+    (membership is by key range, not row number), so coverage is exact — no
+    gap, no overlap — even if the key is not unique; ``n_rows`` is nominal in
+    that degenerate case and per-chunk lineage reports actual counts.
+    """
+    numbered, total = ranged_row_number(df.select(*key_cols), key_cols)
+    try:
+        if total == 0:
+            return [], 0
+        rows = (
+            numbered.where(
+                (F.col("_rn") % chunk_size == 0) | (F.col("_rn") == total)
+            )
+            .select(
+                ((F.col("_rn") - 1) / chunk_size).cast("long").alias("_chunk"),
+                *key_cols,
+            )
+            .collect()
+        )
+    finally:
+        numbered._ranged_persisted.unpersist()
+    n_chunks = (total + chunk_size - 1) // chunk_size
+    by_chunk = {int(r["_chunk"]): [r[c] for c in key_cols] for r in rows}
+    bounds = []
+    for c in range(n_chunks):
+        n = chunk_size if c < n_chunks - 1 else total - (n_chunks - 1) * chunk_size
+        bounds.append({"chunk": c, "hi": by_chunk[c], "n_rows": n})
+    return bounds, total
 
 
 def snapshot_events(

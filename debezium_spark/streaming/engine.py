@@ -88,7 +88,10 @@ class CdcEngine:
         self._truncate_offsets: list[int] | None = None
         self._signal_state_path = os.path.join(work_dir, "_signals_consumed")
         self._incr_state_path = os.path.join(work_dir, "_incr_snapshot.json")
-        self._incr_cached: DataFrame | None = None  # previous chunk scan's cache
+        # durable per-chunk key bounds of the in-flight ad-hoc snapshot (one
+        # JSONL line per chunk, written once at snapshot start)
+        self._incr_bounds_path = os.path.join(work_dir, "_incr_chunks.jsonl")
+        self._bounds_cache: list[dict] | None = None
         self._snapshot_mode_resolved: str | None = None
 
     # ------------------------------------------------------------------ setup
@@ -228,11 +231,58 @@ class CdcEngine:
             os.fsync(f.fileno())
         os.replace(tmp, self._incr_state_path)
 
+    def _ensure_chunk_plan(self, st: dict[str, Any]) -> dict[str, Any]:
+        """Compute per-chunk key bounds ONCE per execute-snapshot and persist
+        them (``_incr_chunks.jsonl``). Every later batch reads its chunk window
+        with pushed-down key-range predicates — O(chunk), not O(table) — the
+        keyset pagination of
+        AbstractIncrementalSnapshotChangeEventSource.java:199-259. Recompute
+        after a crash-before-save is idempotent: the snapshot source is an
+        immutable parquet snapshot and no chunk was emitted yet."""
+        if st.get("n_chunks") is not None:
+            return st
+        from debezium_spark.sources.snapshot import chunk_bounds
+
+        cs = st["chunk_size"] or self.config.incremental_chunk_size
+        src = self.spark.read.parquet(self.snapshot_source)
+        bounds, total = chunk_bounds(src, self.config.key_columns, chunk_size=cs)
+        tmp = self._incr_bounds_path + ".tmp"
+        with open(tmp, "w") as f:
+            for b in bounds:
+                f.write(json.dumps(b) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._incr_bounds_path)
+        self._bounds_cache = bounds
+        st = {**st, "chunk_size": cs, "n_chunks": len(bounds), "total_rows": total}
+        self._save_incr_state(st)
+        return st
+
+    def _chunk_window_bounds(
+        self, lo_chunk: int, hi_chunk: int
+    ) -> tuple[list[dict], list | None]:
+        """Bounds of chunks [lo_chunk, hi_chunk) + the exclusive lower key
+        (the previous chunk's hi), from the in-memory cache or the durable
+        sidecar after a restart."""
+        if self._bounds_cache is None:
+            with open(self._incr_bounds_path) as f:
+                self._bounds_cache = [json.loads(x) for x in f if x.strip()]
+        window = self._bounds_cache[lo_chunk:hi_chunk]
+        lo_key = self._bounds_cache[lo_chunk - 1]["hi"] if lo_chunk > 0 else None
+        return window, lo_key
+
     def _snapshot_chunk_rows(
         self, wal_schema, lo: int
     ) -> DataFrame | None:
         """Next chunk window of the in-flight ad-hoc snapshot as WAL-shaped READ
         rows at the snapshot's source_offset (the DBLog low watermark).
+
+        The window is read by key range against the chunk plan computed once at
+        snapshot start (:meth:`_ensure_chunk_plan`): the leading key column's
+        [lo, hi] range is pushed to the parquet scan (row-group pruning on a
+        key-clustered source) and the exact lexicographic tuple filter runs
+        post-scan — per-batch work scales with the chunk window, never the
+        table.
 
         The DBLog window dedup is subsumed by the LWW reduce + merge offset
         guard: every stream event past the watermark outranks a chunk row, so
@@ -243,26 +293,54 @@ class CdcEngine:
         st = self._incr_state()
         if not st["active"] or not self.snapshot_source:
             return None
-        from debezium_spark.sources.snapshot import ranged_row_number
-
-        if self._incr_cached is not None:
-            self._incr_cached.unpersist()
-            self._incr_cached = None
         cfg = self.config
+        st = self._ensure_chunk_plan(st)
+        cs = st["chunk_size"]
+        if st["n_chunks"] == 0 or st["position"] >= st["n_chunks"]:
+            self._save_incr_state(
+                {"active": False, "position": st["position"], "chunk_size": cs}
+            )
+            return None
+        key_cols = cfg.key_columns
+        p = st["position"]
+        p_hi = min(p + cfg.incremental_chunks_per_batch, st["n_chunks"])
+        window_bounds, lo_key = self._chunk_window_bounds(p, p_hi)
+        hi_key = window_bounds[-1]["hi"]
+
+        def lit_key(kv: list) -> F.Column:
+            return F.struct(
+                *[F.lit(v).alias(c) for c, v in zip(key_cols, kv)]
+            )
+
         src = self.spark.read.parquet(self.snapshot_source)
-        numbered, total = ranged_row_number(src, cfg.key_columns)
-        self._incr_cached = numbered._ranged_persisted
-        cs = st["chunk_size"] or cfg.incremental_chunk_size
-        lo_rn = st["position"] * cs
-        hi_rn = (st["position"] + cfg.incremental_chunks_per_batch) * cs
-        window = numbered.where((F.col("_rn") > lo_rn) & (F.col("_rn") <= hi_rn))
-        chunk_id = ((F.col("_rn") - 1) / cs).cast("long")
+        # Leading-column range reaches the parquet scan as PushedFilters
+        # (PLANS.md §CDC incremental chunk read); struct comparisons don't
+        # push down, so the exact window membership is a post-scan filter.
+        k0 = key_cols[0]
+        src = src.where(F.col(k0) <= F.lit(hi_key[0]))
+        if lo_key is not None:
+            src = src.where(F.col(k0) >= F.lit(lo_key[0]))
+        tup = F.struct(*[F.col(c) for c in key_cols])
+        pred = tup <= lit_key(hi_key)
+        if lo_key is not None:
+            pred = pred & (tup > lit_key(lo_key))
+        window = src.where(pred)
+        # Exact chunk id by bound (first-match when-chain over <= chunks_per_batch
+        # bounds) — lineage counts are actual rows read, not the nominal plan.
+        chunk_id = None
+        for b in window_bounds:
+            cond = tup <= lit_key(b["hi"])
+            chunk_id = (
+                F.when(cond, F.lit(b["chunk"]))
+                if chunk_id is None
+                else chunk_id.when(cond, F.lit(b["chunk"]))
+            )
 
         lineage = (
-            window.groupBy(chunk_id.alias("chunk_id"))
+            window.groupBy(chunk_id.cast("long").alias("chunk_id"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.max(F.struct(*[F.col(c) for c in cfg.key_columns])).alias("max_key"),
+                F.max(F.struct(*[F.col(c) for c in key_cols])).alias("max_key"),
             )
             .collect()
         )
@@ -281,13 +359,8 @@ class CdcEngine:
         # saves _incr_pending_state post-merge): a crash in between re-reads
         # the same chunks, and re-merging them is a no-op under the strict
         # offset guard — at-least-once chunks + idempotent merge = exactly-once.
-        done = hi_rn >= total
-        self._incr_pending_state = {
-            "active": not done,
-            "position": st["position"] + cfg.incremental_chunks_per_batch,
-            "chunk_size": cs,
-            "source_offset": int(st.get("source_offset", 0)),
-        }
+        done = p_hi >= st["n_chunks"]
+        self._incr_pending_state = {**st, "active": not done, "position": p_hi}
         after_t = wal_schema["after"].dataType
         src_cols = set(window.columns)
         after = F.struct(
@@ -853,9 +926,6 @@ class CdcEngine:
             )
             self._save_incr_state(self._incr_pending_state)
             batch_id, n = batch_id + 1, n + 1
-        if self._incr_cached is not None:
-            self._incr_cached.unpersist()
-            self._incr_cached = None
         return results
 
     def run_streaming(self, *, max_files_per_trigger: int | None = None) -> None:
