@@ -74,9 +74,18 @@ class EngineConfig:
     # apply TRUNCATE ('t') events: drop all target rows below the truncate offset
     # (Envelope.java:363-369 truncate(); RelationalChangeRecordEmitter emits them)
     handle_truncate: bool = True
-    # in-band signal file (pipeline/signal/Signal.java analogue): JSONL rows
-    # {"type": "log"|"pause", ...} polled at each batch boundary
+    # out-of-band signal file (the Kafka-topic signal channel analogue,
+    # KafkaSignalChannel): JSONL rows {"type": "log"|"pause"|
+    # "execute-snapshot"|"stop-snapshot"|"pause-snapshot"|"resume-snapshot"|
+    # "schema-changes", ...} polled at each batch boundary
     signal_path: str | None = None
+    # in-band signal rows riding the WAL itself (pipeline/signal/Signal.java:
+    # the signal table is a CAPTURED table, so signals are totally ordered
+    # with data). When True, WAL rows with op='s' are signal rows — repo=id,
+    # path=type, after.content=JSON args — and each takes effect at EXACTLY
+    # its offset: the engine ends the enclosing batch at the signal offset,
+    # commits, then applies the action (SourceSignalChannel analogue).
+    signal_data_collection: bool = False
     # provide transaction metadata block (pipeline/txmetadata/TransactionMonitor.java)
     provide_transaction_metadata: bool = False
 
@@ -91,11 +100,18 @@ class EngineConfig:
     max_offsets_per_batch: int = 5_000_000
     # salt fan-out for the two-phase LWW reduce over hot keys (SURVEY.md §4.1)
     lww_salt_buckets: int = 32
-    # LWW physical strategy: "ordinal" shuffles (key, ordinal) only and
-    # broadcast-filters the payload rows (payload shuffle ∝ live keys);
-    # "aggregate" is the one-shuffle max_by fallback for when the per-batch
-    # winner set is too large to broadcast (see resolver.resolve_lww).
-    lww_strategy: str = "ordinal"
+    # LWW physical strategy: "auto" (default) probes the per-batch live-key
+    # count (one count over the key-only winner aggregation) and picks
+    # "ordinal" — shuffle (key, ordinal) only, broadcast-filter the payload
+    # rows (payload shuffle ∝ live keys) — while the winner set fits
+    # lww_broadcast_key_budget, degrading to "aggregate" (the one-shuffle
+    # max_by fallback) by itself when it doesn't. Set "ordinal"/"aggregate"
+    # to pin a plan (see resolver.resolve_lww).
+    lww_strategy: str = "auto"
+    # max live keys per batch whose winning-ordinal set may broadcast
+    # (~8 B/key + LongHashedRelation overhead ≈ 100 MB per 6M keys; 16M keys
+    # ≈ 270 MB — comfortably under a 4 GB executor's broadcast headroom)
+    lww_broadcast_key_budget: int = 16_000_000
 
     # --- target layout ---
     target_buckets: int = 16            # bucket(16, repo) partitioning (FIXTURES.md §4)

@@ -150,9 +150,10 @@ def resolve_lww(
     *,
     key_cols: tuple[str, ...] = ("repo", "path"),
     salt_buckets: int = 32,
-    strategy: str = "ordinal",
+    strategy: str = "auto",
     bucket_into=None,
     winner_source: DataFrame | None = None,
+    broadcast_key_budget: int = 16_000_000,
 ) -> DataFrame:
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
@@ -162,7 +163,21 @@ def resolve_lww(
     sub-sequence is < 128 — PK-split emits seq 0/1), and the carried value is a
     slim (after, is_delete, ts_ms, offset) struct.
 
-    Two physical strategies, same result:
+    Three strategy values, two physical plans, same result:
+
+      * ``strategy="auto"`` (default) — measure, don't guess: the phase-1
+        winner aggregation (key -> max ordinal, the cheap key-only pass both
+        plans need anyway) is persisted and counted; if the live-key count
+        fits ``broadcast_key_budget`` the ordinal plan proceeds (reusing the
+        cached winner set for its broadcast — no recompute), else the
+        operator degrades to "aggregate" by itself. Past ~10^8 live keys per
+        batch the winning-ordinal broadcast (8 B/key + hash-relation
+        overhead, ~100 MB per 6M keys) OOMs the executors — a regime the
+        USER should not need to know about (VERDICT r2 #6). The probe costs
+        one count job over rows the ordinal plan materializes anyway. The
+        chosen plan is exposed as ``out._lww_chosen`` and the persisted
+        winner set as ``out._lww_probe_cache`` (unpersist after consuming
+        the result — the engine does).
 
       * ``strategy="ordinal"`` (default) — **shuffle ordinals, not payloads.**
         Phase 1 aggregates only (key, ordinal) to each key's winning ordinal:
@@ -227,7 +242,9 @@ def resolve_lww(
     )
     ordinal = (F.col("offset").cast("long") * 128 + seq).alias("_ord")
     key_refs = [F.col("key").getField(c).alias(c) for c in key_cols]
-    if strategy == "ordinal":
+    probe_cache = None
+    chosen = strategy
+    if strategy in ("ordinal", "auto"):
         # ``winner_source``: an alternative envelope stream with IDENTICAL
         # (key, offset, seq) rows — e.g. the engine's key-only slim replica of
         # the pipeline. Phase 1 only ranks ordinals per key, so feeding it a
@@ -242,6 +259,16 @@ def resolve_lww(
             .groupBy(*key_cols)
             .agg(F.max("_ord").alias("_ord"))
         )
+        if strategy == "auto":
+            win = win.persist()
+            n_live = win.count()
+            if n_live <= broadcast_key_budget:
+                chosen = "ordinal"
+                probe_cache = win  # broadcast reads the cache, no recompute
+            else:
+                chosen = "aggregate"
+                win.unpersist()
+    if chosen == "ordinal":
         ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
         cand = ev.join(F.broadcast(win.select("_ord")), on="_ord", how="left_semi")
     else:
@@ -258,7 +285,7 @@ def resolve_lww(
         group_cols = ["_bucket", *key_cols]
     agg = cand.groupBy(*group_cols).agg(F.max_by("_slim", "_ord").alias("_w"))
     w = F.col("_w")
-    return agg.select(
+    out = agg.select(
         *group_cols,
         F.when(w.getField("is_delete"), F.lit(ACTION_DELETE))
         .otherwise(F.lit(ACTION_UPSERT))
@@ -267,6 +294,9 @@ def resolve_lww(
         w.getField("offset").alias("_offset"),
         w.getField("ts_ms").alias("_ts_ms"),
     )
+    out._lww_chosen = chosen
+    out._lww_probe_cache = probe_cache
+    return out
 
 
 def committed_tx_filter(

@@ -78,6 +78,16 @@ class SchemaRegistry:
         )
         return cls(base_schema=base_schema, changes=ch)
 
+    def inject(self, change: SchemaChange) -> bool:
+        """Ad-hoc schema-change injection (pipeline/signal/SchemaChanges.java):
+        insert a change into the history as if it had arrived from the
+        schema-change source. Idempotent by version — re-delivering a known
+        version is a no-op. Returns True if the change was added."""
+        if any(c.version == change.version for c in self.changes):
+            return False
+        self.changes = sorted(self.changes + [change], key=lambda c: c.offset)
+        return True
+
     def schema_at(self, version: int) -> T.StructType:
         """Payload schema in force at a given version (replay of history deltas)."""
         schema = self.base_schema

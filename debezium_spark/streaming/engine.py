@@ -87,6 +87,8 @@ class CdcEngine:
         self._registry: SchemaRegistry | None = None
         self._truncate_offsets: list[int] | None = None
         self._signal_state_path = os.path.join(work_dir, "_signals_consumed")
+        # high-water mark of applied IN-BAND (op='s') signal offsets
+        self._inband_state_path = os.path.join(work_dir, "_inband_consumed")
         self._incr_state_path = os.path.join(work_dir, "_incr_snapshot.json")
         # durable per-chunk key bounds of the in-flight ad-hoc snapshot (one
         # JSONL line per chunk, written once at snapshot start)
@@ -159,12 +161,105 @@ class CdcEngine:
         hits = [o for o in self._truncate_offsets if lo < o <= hi]
         return max(hits) if hits else None
 
+    def _apply_signal_action(
+        self, sig: dict[str, Any], *, at_offset: int | None = None
+    ) -> dict[str, Any]:
+        """Apply one signal action (pipeline/signal/*.java action classes).
+
+        ``at_offset``: the WAL offset the signal rode in on (in-band channel) —
+        None for the out-of-band file channel. Returns {"pause": bool}.
+        """
+        out: dict[str, Any] = {"pause": False}
+        t = sig.get("type")
+        if t == "log":
+            # Log.java — operator-visible marker in the metrics stream.
+            self._append_jsonl(
+                self._metrics_path,
+                [{"signal": "log", "message": sig.get("message", "")}],
+            )
+        elif t == "pause":
+            out["pause"] = True
+        elif t == "execute-snapshot":
+            # ExecuteSnapshot.java:34 — start a chunked ad-hoc snapshot;
+            # durable state => consumed exactly once across restarts and
+            # chunk position survives a crash (offset-embedded chunk
+            # progress, AbstractIncrementalSnapshotChangeEventSource:294-358).
+            #
+            # source_offset = the source table's consistency position (DBLog
+            # low watermark): chunk rows merge at this offset, so every
+            # stream event past it wins. An IN-BAND signal defaults it to the
+            # signal's own offset — the read-only watermark semantics
+            # (MySqlReadOnlyIncrementalSnapshotChangeEventSource: watermarks
+            # are observed log positions, nothing is written back): whoever
+            # emitted the signal at offset S reads the source AFTER S, so the
+            # chunk content reflects every change <= S. The out-of-band file
+            # channel defaults to 0 ("source predates the stream") —
+            # conservative and always safe: it can only under-prioritize a
+            # chunk row whose content the stream already wrote identically.
+            default_off = at_offset if at_offset is not None else 0
+            self._save_incr_state(
+                {
+                    "active": True,
+                    "position": 0,
+                    "chunk_size": int(
+                        sig.get("chunk_size", self.config.incremental_chunk_size)
+                    ),
+                    "source_offset": int(sig.get("source_offset", default_off)),
+                }
+            )
+            self._append_jsonl(self._metrics_path, [{"signal": "execute-snapshot"}])
+        elif t == "stop-snapshot":
+            # StopSnapshot.java — cancel the in-flight ad-hoc snapshot.
+            self._save_incr_state({"active": False, "position": 0, "chunk_size": 0})
+            self._append_jsonl(self._metrics_path, [{"signal": "stop-snapshot"}])
+        elif t == "pause-snapshot":
+            # PauseIncrementalSnapshot.java — durably pause the in-flight
+            # chunked snapshot AT its current chunk position; the stream keeps
+            # applying. Survives restart (the flag lives in the same durable
+            # state as the chunk position).
+            st = self._incr_state()
+            if st.get("active"):
+                self._save_incr_state({**st, "paused": True})
+            self._append_jsonl(self._metrics_path, [{"signal": "pause-snapshot"}])
+        elif t == "resume-snapshot":
+            # ResumeIncrementalSnapshot.java — resume chunk emission exactly
+            # where pause-snapshot left it.
+            st = self._incr_state()
+            if st.get("active"):
+                self._save_incr_state({**st, "paused": False})
+            self._append_jsonl(self._metrics_path, [{"signal": "resume-snapshot"}])
+        elif t == "schema-changes":
+            # SchemaChanges.java — ad-hoc schema-change injection: apply the
+            # payload's TableChanges to the registry + durable history as if
+            # they had arrived from the schema-change source. Idempotent by
+            # version (replaying an already-known version is a no-op).
+            from debezium_spark.plans.registry import SchemaChange
+
+            for ch in sig.get("changes", []):
+                change = SchemaChange(
+                    int(ch["offset"]), int(ch["version"]), ch.get("ddl", ""),
+                    ch["table_changes"],
+                )
+                if self.registry().inject(change) and change.table_changes != "create":
+                    # durable immediately — the signal is consumed exactly once,
+                    # so a restart before the change offset is crossed must
+                    # recover it from history (replay() dedups by version, so
+                    # the later batch-crossing record is a no-op)
+                    self.history.record(change)
+            self._append_jsonl(
+                self._metrics_path,
+                [{"signal": "schema-changes",
+                  "message": f"{len(sig.get('changes', []))} change(s) injected"}],
+            )
+        return out
+
     def _poll_signals(self) -> dict[str, Any]:
-        """Signal table poll at the batch boundary (pipeline/signal/Signal.java:
-        in-band control rows). Supported: {"type": "log", "message": ...} appended
-        to _metrics; {"type": "pause"} stops the replay loop before the next batch
-        (resume = call run() again; consumed signals never re-fire — the consumed
-        count is durable in the work dir)."""
+        """Out-of-band signal file poll at the batch boundary (the Kafka signal
+        topic analogue). Each JSONL row is applied via
+        :meth:`_apply_signal_action`; consumed signals never re-fire — the
+        consumed count is durable in the work dir. For signals totally ordered
+        with the data, use the in-band channel
+        (``signal_data_collection=True``, op='s' WAL rows)."""
         cfg = self.config
         out: dict[str, Any] = {"pause": False}
         if not cfg.signal_path or not os.path.exists(cfg.signal_path):
@@ -176,45 +271,115 @@ class CdcEngine:
         with open(cfg.signal_path) as f:
             lines = [x for x in f if x.strip()]
         for line in lines[consumed:]:
-            sig = json.loads(line)
-            if sig.get("type") == "log":
-                self._append_jsonl(
-                    self._metrics_path,
-                    [{"signal": "log", "message": sig.get("message", "")}],
-                )
-            elif sig.get("type") == "pause":
-                out["pause"] = True
-            elif sig.get("type") == "execute-snapshot":
-                # ExecuteSnapshot.java:34 — start a chunked ad-hoc snapshot;
-                # durable state => consumed exactly once across restarts and
-                # chunk position survives a crash (offset-embedded chunk
-                # progress, AbstractIncrementalSnapshotChangeEventSource:294-358).
-                self._save_incr_state(
-                    {
-                        "active": True,
-                        "position": 0,
-                        "chunk_size": int(
-                            sig.get("chunk_size", self.config.incremental_chunk_size)
-                        ),
-                        # the source table's consistency position (DBLog low
-                        # watermark): chunk rows merge at this offset, so every
-                        # stream event past it wins. Default 0 = "source
-                        # predates the stream" — conservative and always safe:
-                        # it can only under-prioritize a chunk row whose
-                        # content the stream already wrote identically.
-                        "source_offset": int(sig.get("source_offset", 0)),
-                    }
-                )
-                self._append_jsonl(
-                    self._metrics_path, [{"signal": "execute-snapshot"}]
-                )
-            elif sig.get("type") == "stop-snapshot":
-                # StopSnapshot.java — cancel the in-flight ad-hoc snapshot.
-                self._save_incr_state({"active": False, "position": 0, "chunk_size": 0})
-                self._append_jsonl(self._metrics_path, [{"signal": "stop-snapshot"}])
+            res = self._apply_signal_action(json.loads(line))
+            out["pause"] = out["pause"] or res["pause"]
         with open(self._signal_state_path, "w") as f:
             f.write(str(len(lines)))
         return out
+
+    # --------------------------------------------------- in-band signal channel
+    def _inband_marker(self) -> int:
+        if os.path.exists(self._inband_state_path):
+            with open(self._inband_state_path) as f:
+                return int(f.read().strip() or -1)
+        return -1
+
+    def _save_inband_marker(self, off: int) -> None:
+        tmp = self._inband_state_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(off)))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._inband_state_path)
+
+    def _inband_signals_in(
+        self, wal: DataFrame, lo: int, hi: int
+    ) -> list[tuple[int, dict[str, Any]]]:
+        """op='s' signal rows in (lo, hi], offset order. Shape mirrors the
+        reference's captured signal table (id, type, data) mapped onto the
+        repo-table WAL: repo=id, path=type, after.content=JSON args
+        (Signal.java:1-178 — the signal table is itself captured, so signals
+        are totally ordered with the data stream). The scan is offset-sliced
+        (pushed down) and op-filtered — a no-match batch costs one pruned
+        2-column scan."""
+        if "op" not in wal.columns:
+            return []
+        after_fields = (
+            set(wal.schema["after"].dataType.fieldNames())
+            if "after" in wal.columns
+            else set()
+        )
+        data_col = (
+            F.col("after").getField("content")
+            if "content" in after_fields
+            else F.lit(None).cast("string")
+        )
+        rows = (
+            wal.where(
+                (F.col("op") == "s")
+                & (F.col("offset") > lo)
+                & (F.col("offset") <= hi)
+            )
+            .select(
+                "offset",
+                data_col.alias("data"),
+                (F.col("path") if "path" in wal.columns else F.lit(None)).alias(
+                    "sig_type"
+                ),
+            )
+            .orderBy("offset")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            try:
+                d = json.loads(r["data"]) if r["data"] else {}
+            except ValueError:
+                d = {}
+            if "type" not in d and r["sig_type"]:
+                d["type"] = r["sig_type"]
+            out.append((int(r["offset"]), d))
+        return out
+
+    # ------------------------------------------------- programmatic signal API
+    def execute_snapshot(
+        self, *, source_offset: int | None = None, chunk_size: int | None = None
+    ) -> None:
+        """Start a chunked ad-hoc incremental snapshot programmatically — the
+        READ-ONLY variant: no writable signal file/table is required
+        (MySqlReadOnlyIncrementalSnapshotChangeEventSource.java:1 — watermarks
+        come from observed log positions instead of signal-table writes).
+
+        ``source_offset`` is the snapshot's low watermark: chunk rows merge at
+        this offset, so stream events past it win and lake rows below it lose.
+        Default (None) = the lake's committed offset — the observed-WAL
+        watermark — which REQUIRES that ``snapshot_source`` reflects every
+        change up to that offset (true whenever the source is exported from
+        the live table now). Pass 0 for a source of unknown freshness."""
+        if not self.snapshot_source:
+            raise ValueError("execute_snapshot requires snapshot_source")
+        if source_offset is None:
+            source_offset = (
+                LakeTable(self.spark, self.target_path).committed_max_offset
+                if LakeTable.exists(self.target_path)
+                else 0
+            )
+        self._apply_signal_action(
+            {
+                "type": "execute-snapshot",
+                "source_offset": max(int(source_offset), 0),
+                "chunk_size": int(chunk_size or self.config.incremental_chunk_size),
+            }
+        )
+
+    def stop_snapshot(self) -> None:
+        self._apply_signal_action({"type": "stop-snapshot"})
+
+    def pause_snapshot(self) -> None:
+        self._apply_signal_action({"type": "pause-snapshot"})
+
+    def resume_snapshot(self) -> None:
+        self._apply_signal_action({"type": "resume-snapshot"})
 
     # ----------------------------------------- signal-driven incremental snapshot
     def _incr_state(self) -> dict[str, Any]:
@@ -293,6 +458,8 @@ class CdcEngine:
         st = self._incr_state()
         if not st["active"] or not self.snapshot_source:
             return None
+        if st.get("paused"):
+            return None  # pause-snapshot in force; position is durable
         cfg = self.config
         st = self._ensure_chunk_plan(st)
         cs = st["chunk_size"]
@@ -445,8 +612,11 @@ class CdcEngine:
             df = df.where(F.col("op") != "t")  # control event, applied in merge
         # Logical decoding messages ('m') are published on their own topic by a
         # separate sender (LogicalDecodingMessageMonitor.java:70,114) and never
-        # carry a table row — they must not reach the merge/DLQ paths.
-        df = df.where(F.col("op") != E.OP_MESSAGE)
+        # carry a table row — they must not reach the merge/DLQ paths. In-band
+        # signal rows ('s') are control rows consumed by the run loop at their
+        # exact offset (Signal.java — the signal table's own change events are
+        # not data either).
+        df = df.where(~F.col("op").isin(E.OP_MESSAGE, "s"))
         if "_adhoc" in df.columns:
             df = df.drop("_adhoc")
         return df
@@ -593,7 +763,7 @@ class CdcEngine:
 
         winner = (
             self._winner_env(slice_df)
-            if self.config.lww_strategy == "ordinal"
+            if self.config.lww_strategy in ("ordinal", "auto")
             else None
         )
         return R.resolve_lww(
@@ -607,6 +777,7 @@ class CdcEngine:
                 else None
             ),
             winner_source=winner,
+            broadcast_key_budget=self.config.lww_broadcast_key_budget,
         )
 
     # ------------------------------------------------------------- batch apply
@@ -675,6 +846,9 @@ class CdcEngine:
         if n_bad:
             if cfg.failure_handling == "fail":
                 actions.unpersist()
+                probe = getattr(actions, "_lww_probe_cache", None)
+                if probe is not None:
+                    probe.unpersist()
                 raise ValueError(
                     f"batch {batch_id}: {n_bad} malformed key(s) (null key column); "
                     "set failure_handling='warn'|'skip' to quarantine/drop"
@@ -710,6 +884,9 @@ class CdcEngine:
             )
         finally:
             actions.unpersist()
+            probe = getattr(actions, "_lww_probe_cache", None)
+            if probe is not None:
+                probe.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         if res.get("applied"):
             self._append_jsonl(
@@ -764,9 +941,14 @@ class CdcEngine:
         actions = self._transform(
             slice_df, upto_offset=hi, bucket_into=lake.n_buckets
         )
-        staged = lake.stage_initial(
-            actions, batch_id=batch_id, truncate_below=truncate_below
-        )
+        try:
+            staged = lake.stage_initial(
+                actions, batch_id=batch_id, truncate_below=truncate_below
+            )
+        finally:
+            probe = getattr(actions, "_lww_probe_cache", None)
+            if probe is not None:
+                probe.unpersist()
         if staged is None:  # replayed batch (batch_id already committed)
             return {"applied": False, "batch_id": batch_id,
                     "rows_applied": 0, "rows_deleted": 0, "wall_ms": 0}
@@ -894,10 +1076,32 @@ class CdcEngine:
         lo = lake.committed_max_offset
         batch_id = lake.committed_batch_id + 1
         n = 0
-        while lo < bounds["hi"]:
+        if self.config.signal_data_collection:
+            # Crash-window recovery: in-band signals whose batch committed but
+            # whose action never applied (crash between commit and marker
+            # save) re-apply here — at-least-once for the action, exact for
+            # the data (actions are idempotent or restart-safe).
+            marker = self._inband_marker()
+            if lo > marker:
+                for off, sig in self._inband_signals_in(wal, marker, lo):
+                    self._apply_signal_action(sig, at_offset=off)
+                    self._save_inband_marker(off)
+        pause = False
+        while lo < bounds["hi"] and not pause:
             if self._poll_signals()["pause"]:
                 break  # P17 pause signal; resume = call run() again
             hi = lo + step
+            pending_sig: tuple[int, dict[str, Any]] | None = None
+            if self.config.signal_data_collection:
+                sigs = self._inband_signals_in(wal, lo, hi)
+                if sigs:
+                    # Exact-offset semantics (Signal.java — signals are totally
+                    # ordered with data): the batch ends AT the first signal's
+                    # offset; its action applies after that batch commits, so
+                    # every event before the signal is processed pre-action and
+                    # every event after it post-action.
+                    hi = sigs[0][0]
+                    pending_sig = sigs[0]
             slice_df = wal.where((F.col("offset") > lo) & (F.col("offset") <= hi))
             chunks = self._snapshot_chunk_rows(wal.schema, lo)
             if chunks is not None:
@@ -907,6 +1111,10 @@ class CdcEngine:
             )
             if chunks is not None:
                 self._save_incr_state(self._incr_pending_state)
+            if pending_sig is not None:
+                off, sig = pending_sig
+                pause = self._apply_signal_action(sig, at_offset=off)["pause"]
+                self._save_inband_marker(off)
             lo, batch_id, n = hi, batch_id + 1, n + 1
             if max_batches is not None and n >= max_batches:
                 break

@@ -76,6 +76,56 @@ def test_lww_strategies_agree(spark):
     assert da == db
 
 
+def test_lww_auto_falls_back_past_broadcast_budget(spark):
+    """strategy='auto' (the default) probes the live-key count and degrades
+    to the one-shuffle aggregate plan when the winner set would blow the
+    broadcast budget — no user knob involved (VERDICT r2 #6)."""
+    spec = W.WalSpec(n_keys=120, n_events=3000, seed=11)
+    env = R.split_pk_changes(_env(spark, spec))
+    small = R.resolve_lww(env, strategy="auto", broadcast_key_budget=5)
+    assert small._lww_chosen == "aggregate"
+    assert "BroadcastHashJoin" not in small._jdf.queryExecution().executedPlan().toString()
+    big = R.resolve_lww(env, strategy="auto", broadcast_key_budget=10_000_000)
+    assert big._lww_chosen == "ordinal"
+    assert "BroadcastHashJoin" in big._jdf.queryExecution().executedPlan().toString()
+    cols = ["repo", "path", "action", "_offset", "_ts_ms"]
+    assert sorted(map(tuple, small.select(cols).collect())) == sorted(
+        map(tuple, big.select(cols).collect())
+    )
+    big._lww_probe_cache.unpersist()
+
+
+def test_engine_auto_fallback_end_to_end(spark, tmpdir_path):
+    """A batch whose live-key count exceeds the budget replays correctly
+    through the full engine on the degraded plan."""
+    import os
+
+    from debezium_spark import CdcEngine, EngineConfig
+
+    spec = W.WalSpec(n_keys=200, n_events=800, seed=23, schema_changes=False)
+    wal_dir = os.path.join(tmpdir_path, "wal")
+    W.write_wal(spark, spec, wal_dir, n_files=4)
+    eng = CdcEngine(
+        spark,
+        EngineConfig(max_offsets_per_batch=3000, lww_broadcast_key_budget=1),
+        wal_path=wal_dir,
+        target_path=os.path.join(tmpdir_path, "t"),
+        work_dir=os.path.join(tmpdir_path, "w"),
+    )
+    eng.run()
+    from tests import oracle
+
+    wal_pd = (
+        spark.read.parquet(wal_dir)
+        .select("offset", "is_tombstone", "op", "repo", "path", "after")
+        .toPandas()
+    )
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == oracle.state_hashes(oracle.reduce_wal(wal_pd))
+
+
 def test_lww_winner_is_max_offset(spark):
     """Hand-built log: c@1, u@2, u@3 for one key -> winner offset 3; d@4 wins over all."""
     rows = [
