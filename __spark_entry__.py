@@ -562,10 +562,14 @@ def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> estimate): pairs sharing any of 4 bands over a 16-perm signature, with
     the estimated Jaccard reported as the exact agreement count (int — no
     float representation to drift). Candidate generation is the banded bucket
-    join (never all-pairs); at 100 TB the band keys partition the shuffle."""
+    join (never all-pairs); at 100 TB the band keys partition the shuffle and
+    ``max_band_freq`` caps per-bucket population so one degenerate band key
+    (boilerplate cluster) cannot emit k² candidates — non-binding at this SF
+    (all sf0.01 texts are distinct; buckets are tiny), so the oracle needs no
+    mirror of the cap."""
     d = _docs(spark, sf_dir)
     pairs = DD.minhash_lsh_dedup(
-        d, n=3, num_perm=16, bands=4, jaccard_threshold=0.25
+        d, n=3, num_perm=16, bands=4, jaccard_threshold=0.25, max_band_freq=256
     )
     return pairs.select(
         "id_a", "id_b",
@@ -575,9 +579,13 @@ def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= 3 on the 60-bit signature,
-    candidates from exact 4-chunk pigeonhole banding (two signatures within
-    Hamming 3 must agree on >= 1 of 4 15-bit chunks) — a bucket equi-join,
-    never a cross product."""
+    candidates from Manku-style block permutation (6 blocks of 10 bits; within
+    Hamming 3 the signatures must agree on >= 3 of 6 blocks, probed as
+    C(6,3)=20 tables keyed by the 30-bit 3-block concatenation) — a bucket
+    equi-join with a ~2^30 key space, never a cross product and never the
+    2^15-key floor of single-chunk pigeonhole. Exact for k<=3, so the
+    popcount-verified result set is unchanged vs the r2 scheme and the
+    all-candidates DuckDB oracle."""
     d = _docs(spark, sf_dir)
     pairs = DD.simhash_near_dups(d, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

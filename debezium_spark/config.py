@@ -62,6 +62,12 @@ class EngineConfig:
     hash_mask_columns: dict[str, str] = field(default_factory=dict)  # col -> salt
     # {column_name: max_len}
     truncate_columns: dict[str, int] = field(default_factory=dict)
+    # custom converter plug-in chain (spi/converter/CustomConverter.java:18-47,
+    # CustomConverterRegistry.java:32 — the `converters` connector option):
+    # ordered list of (RelationalColumn) -> ConverterDefinition | None
+    # callables; the first converter claiming a column wins, unclaimed columns
+    # keep the built-in conversion. See functions/custom.py.
+    custom_converters: list = field(default_factory=list)
 
     # --- behavior flags ---
     # tombstones.on.delete default true (EventDispatcher.java:119)
@@ -88,6 +94,25 @@ class EngineConfig:
     signal_data_collection: bool = False
     # provide transaction metadata block (pipeline/txmetadata/TransactionMonitor.java)
     provide_transaction_metadata: bool = False
+    # heartbeat.interval.ms (Heartbeat.java:31: DEFAULT_INTERVAL=0 -> heartbeat
+    # disabled). When > 0, run() publishes one heartbeat record per elapsed
+    # interval window per batch to the work dir's
+    # _topics/<heartbeat_topics_prefix>.<server_name>/ sink (batch-scoped
+    # overwrite, replay-safe) — the engine-level analogue of the reference
+    # dispatching heartbeats alongside data (EventDispatcher.java:237-240).
+    heartbeat_interval_ms: int = 0
+    # heartbeat.topics.prefix (HeartbeatImpl.java:60)
+    heartbeat_topics_prefix: str = "__debezium-heartbeat"
+    # publish logical decoding MESSAGE ('m') WAL rows to the
+    # '<server_name>.message' topic sink during run() — the reference's
+    # LogicalDecodingMessageMonitor is a separate sender from the relational
+    # dispatcher (LogicalDecodingMessageMonitor.java:70,114), so 'm' rows are
+    # routed as a side channel, never into the table merge.
+    publish_messages: bool = False
+    # message.prefix.include/exclude.list (LogicalDecodingMessageFilter.java:22-31):
+    # comma-separated regexes, case-insensitive full-string match; include wins
+    message_prefix_include: str | None = None
+    message_prefix_exclude: str | None = None
 
     # --- signal-driven incremental snapshot (S5/P17) ---
     # chunk size + chunks interleaved per micro-batch for execute-snapshot

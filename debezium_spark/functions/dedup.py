@@ -161,13 +161,26 @@ def minhash_lsh_dedup(
     num_perm: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate detection.
 
     signature (num_perm mins) → `bands` bands of rows=num_perm/bands → bucket id =
     hash(band idx, band slice) → self-join per bucket → estimate Jaccard as
     signature agreement; keep pairs above threshold. Returns (id_a, id_b, est_jaccard).
+
+    ``max_band_freq`` caps band-bucket population — the same skew guard as
+    ``ngram_jaccard_pairs``'s ``max_doc_freq``: one degenerate band key shared
+    by k documents (boilerplate cluster, empty docs) otherwise emits k² join
+    candidates, the classic LSH bucket explosion at 100 TB. A band bucket
+    whose population exceeds the cap is dropped from the CANDIDATE INDEX only
+    (surviving pairs still score on the full signature); pairs whose every
+    shared band is over-populated are missed — but such pairs sit in a ≥cap
+    near-dup cluster whose pair OUTPUT is itself O(cap²), so at scale the
+    right move is cluster-by-band-key, not pairwise enumeration. Recommended
+    at 10^9+ docs: 256 (matches ``max_doc_freq``'s documented trade).
     """
+    from pyspark.sql import Window
     rows = num_perm // bands
     sig = docs.select(
         F.col(id_col).alias("id"),
@@ -190,6 +203,16 @@ def minhash_lsh_dedup(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_band_freq is not None:
+        # one count-window pass on the (band, bkey) shuffle the candidate
+        # join needs anyway — same pattern as ngram max_doc_freq
+        banded = (
+            banded.withColumn(
+                "_bf", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+            )
+            .where(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bkey"])
@@ -260,34 +283,82 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    blocks: int | None = None,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash: pairs with Hamming distance <= k on 60-bit signatures.
 
-    Exact for k <= 3 via 4-chunk pigeonhole banding (two signatures within k differ
-    in at most k chunks, so they agree on >= 1 of 4 chunks): join on any equal
-    16-bit chunk, then verify with popcount.
+    Candidate generation is Manku-style block permutation (Manku/Jain/Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): split the 60 bits
+    into ``b`` blocks; two signatures within Hamming k differ in at most k
+    blocks, so they AGREE on at least ``m = b - k`` blocks — candidates must
+    match on the CONCATENATION of some m-block combination, probed across all
+    C(b, m) tables. Exact (no recall loss) for any k < b, then verified by
+    popcount.
+
+    Why not single-chunk pigeonhole (the r2 design — 4 chunks of 15 bits,
+    match on ONE chunk): a 15-bit key space floors candidate volume at
+    N²/2^15 REGARDLESS of data — explosive at 10^9 docs. Multi-block
+    concatenated keys trade more probe tables (C(6,3)=20 at the k=3 default
+    vs 4) for a ~2^30 key space: expected candidate volume N²/2^30 per
+    table — six orders of magnitude fewer bucket collisions, and each table's
+    join key still partitions the shuffle.
+
+    ``blocks`` defaults to k+3 for k<=4 (30-bit keys, C(k+3,3) tables), k+2
+    for k<=8, else k+1. ``max_bucket_freq`` additionally caps per-(table, key)
+    population — the same boilerplate-cluster guard as
+    ``minhash_lsh_dedup``'s ``max_band_freq`` (a ≥cap cluster of identical
+    signatures is better clustered by key than pairwise-enumerated); None
+    preserves exactness.
     """
+    from itertools import combinations
+
+    from pyspark.sql import Window
+
+    k = int(max_hamming)
+    if blocks is None:
+        m = 3 if k <= 4 else (2 if k <= 8 else 1)
+        blocks = min(k + m, SIMHASH_BITS)
+    m = blocks - k
+    if m < 1 or blocks > SIMHASH_BITS:
+        raise ValueError(
+            f"need max_hamming < blocks <= {SIMHASH_BITS}; got k={k}, blocks={blocks}"
+        )
+    # bit layout: uneven split is fine — pigeonhole needs a partition of the
+    # bits, not equal widths
+    sizes = [
+        SIMHASH_BITS // blocks + (1 if i < SIMHASH_BITS % blocks else 0)
+        for i in range(blocks)
+    ]
+    offs = [sum(sizes[:i]) for i in range(blocks)]
+
+    def block_val(i: int):
+        return F.shiftrightunsigned(F.col("sig"), offs[i]).bitwiseAND(
+            F.lit((1 << sizes[i]) - 1).cast("long")
+        )
+
     sig = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
-    chunks = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), c * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
+    probes = []
+    for t, combo in enumerate(combinations(range(blocks), m)):
+        key, shift = F.lit(0).cast("long"), 0
+        for i in combo:  # concatenated m-block key, <= 60 bits total
+            key = key.bitwiseOR(F.shiftleft(block_val(i), shift))
+            shift += sizes[i]
+        probes.append(F.struct(F.lit(t).alias("tbl"), key.alias("tkey")))
+    keyed = sig.select(
+        "id", "sig", F.explode(F.array(*probes)).alias("tt")
+    ).select("id", "sig", "tt.tbl", "tt.tkey")
+    if max_bucket_freq is not None:
+        keyed = (
+            keyed.withColumn(
+                "_bf", F.count(F.lit(1)).over(Window.partitionBy("tbl", "tkey"))
             )
-        ).alias("cc"),
-    ).select("id", "sig", "cc.chunk", "cc.ckey")
+            .where(F.col("_bf") <= max_bucket_freq)
+            .drop("_bf")
+        )
     cand = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), on=["chunk", "ckey"])
+        keyed.alias("a")
+        .join(keyed.alias("b"), on=["tbl", "tkey"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),

@@ -380,15 +380,30 @@ def wrap_messages(
         message{prefix, content}} with NO before/after image (:85-96,100-115)
     Prefix filtering per message.prefix.include/exclude.list regexes —
     ``LogicalDecodingMessageFilter.java:22-31`` (include wins when both set).
+    Reference semantics (``Predicates.java:205,235``): the list is
+    COMMA-SEPARATED regexes, each matched case-insensitively against the FULL
+    prefix (``Pattern.matches`` anchoring) — a prefix passes the include list
+    if ANY pattern fully matches it. Each pattern here is wrapped as
+    ``(?i)^(?:p)$`` accordingly; unanchored substring matching is NOT applied.
     Messages are control-plane records: they never reach the table merge path
     (the engine excludes op='m' from _prefilter, mirroring the monitor being a
     separate sender from the relational dispatcher).
     """
+    def _any_full_match(patterns: str) -> Column:
+        # comma-separated regex list, each case-insensitive + full-string
+        # anchored (Predicates.java:205,235 — Pattern.CASE_INSENSITIVE,
+        # Predicate.matches); ANY pattern matching admits the prefix
+        terms = [p.strip() for p in patterns.split(",") if p.strip()]
+        cond = F.lit(False)
+        for p in terms:
+            cond = cond | F.col("_msg_prefix").rlike(f"(?i)^(?:{p})$")
+        return cond
+
     out = df.withColumn("_msg_prefix", prefix)
     if prefix_include:
-        out = out.where(F.col("_msg_prefix").rlike(prefix_include))
+        out = out.where(_any_full_match(prefix_include))
     elif prefix_exclude:  # include wins over exclude, as the reference filter
-        out = out.where(~F.col("_msg_prefix").rlike(prefix_exclude))
+        out = out.where(~_any_full_match(prefix_exclude))
     ts = ts_ms if ts_ms is not None else F.lit(None).cast("long")
     src = source_block(
         version=version,

@@ -106,6 +106,53 @@ def project_columns(
     return env.withColumn("value", new_value)
 
 
+def propagate_source_types(
+    df: DataFrame,
+    patterns: str,
+    *,
+    data_collection: str,
+    source_types: dict[str, dict] | None = None,
+) -> DataFrame:
+    """column.propagate.source.type (relational/mapping/
+    PropagateSourceTypeToSchemaParameter.java:23-53): attach the source
+    column's type name (upper-cased, :39), length, scale, and comment as the
+    schema parameters ``__debezium.source.column.type`` / ``.length`` /
+    ``.scale`` / ``.comment`` — on Spark, as StructField METADATA, the schema-
+    parameter analogue that survives a parquet round-trip and is what a sink
+    reads to re-create source DDL.
+
+    ``patterns``: comma-separated regexes matched case-insensitively against
+    the FULL ``<dataCollection>.<column>`` name (Predicates.java:205 semantics,
+    same convention as the message prefix filters). ``source_types``: optional
+    ``{column: {"type": ..., "length": ..., "scale": ..., "comment": ...}}``
+    overrides (e.g. the pre-converter WAL type); a matched column absent from
+    the map propagates its current Spark type's simpleString. Flat frames only
+    (the unwrapped record stream / lake-bound projection) — driver-side schema
+    work, zero row-path cost."""
+    import re
+
+    regexes = [
+        re.compile(f"(?:{p.strip()})\\Z", re.IGNORECASE)
+        for p in patterns.split(",")
+        if p.strip()
+    ]
+    out = df
+    for f_ in df.schema.fields:
+        full = f"{data_collection}.{f_.name}"
+        if not any(r.fullmatch(full) for r in regexes):
+            continue
+        info = (source_types or {}).get(f_.name, {})
+        meta = dict(f_.metadata or {})
+        meta["__debezium.source.column.type"] = str(
+            info.get("type", f_.dataType.simpleString())
+        ).upper()
+        for k in ("length", "scale", "comment"):
+            if info.get(k) is not None:
+                meta[f"__debezium.source.column.{k}"] = str(info[k])
+        out = out.withMetadata(f_.name, meta)
+    return out
+
+
 def content_filter(env: DataFrame, condition: str) -> DataFrame:
     """Content-based filter SMT (debezium-scripting transforms/Filter.java:43-50):
     keep records where the SQL expression over the envelope is true. Tombstones are
@@ -239,17 +286,37 @@ def heartbeat_records(
     (Heartbeat.java:27-49, dispatched at EventDispatcher.java:237-240).
 
     Batch analogue of the reference's timer: one record per interval window
-    the stream actually advanced through, carrying the window's max ts/offset
-    so a quiet-topic consumer can still advance its offset store. Map-side
-    combining groupBy on the window id — one slim shuffle row per interval,
-    scale-safe at any event volume.
+    the stream actually advanced through, carrying the window's max ts and the
+    OFFSET OF THAT SAME EVENT (``max_by`` paired, not two independent maxes —
+    on an out-of-order WAL the heartbeat must describe one real event, and
+    offsets must never regress relative to ts ordering; ties on ts break by
+    the higher offset, deterministically) so a quiet-topic consumer can still
+    advance its offset store. Map-side combining groupBy on the window id —
+    one slim shuffle row per interval, scale-safe at any event volume.
+
+    ``interval_ms <= 0`` raises: the reference treats interval 0 as
+    heartbeat-disabled (Heartbeat.java:31 DEFAULT_INTERVAL=0 -> no-op
+    instance), so a 0 here is a caller bug, not a request for one null-window
+    record. The window is built with column algebra (no SQL interpolation of
+    ``ts_col``).
     """
-    win = F.expr(f"CAST({ts_col} AS BIGINT) DIV {int(interval_ms)}")
+    if interval_ms <= 0:
+        raise ValueError(
+            "interval_ms must be > 0 (the reference treats 0 as "
+            "heartbeat-disabled: emit nothing by not calling this)"
+        )
+    ts = F.col(ts_col).cast("long")
+    off = F.col(offset_col).cast("long")
+    # exact floor division in long arithmetic (pmod keeps it correct for
+    # negative ts too; the double division sees an exactly-divisible value
+    # whose quotient — an interval count — is far below 2^53)
+    step = F.lit(int(interval_ms))
+    win = ((ts - F.pmod(ts, step)) / step).cast("long")
     return (
         df.groupBy(win.alias("_hb_window"))
         .agg(
-            F.max(F.col(ts_col).cast("long")).alias("ts_ms"),
-            F.max(F.col(offset_col).cast("long")).alias("offset"),
+            F.max(ts).alias("ts_ms"),
+            F.max_by(off, F.struct(ts, off)).alias("offset"),
         )
         .select(
             F.lit(f"{topics_prefix}.{server_name}").alias("topic"),

@@ -621,6 +621,80 @@ class CdcEngine:
             df = df.drop("_adhoc")
         return df
 
+    def _publish_side_channels(self, slice_df: DataFrame, *, batch_id: int) -> None:
+        """Engine-level heartbeat + logical-decoding-message topic sinks.
+
+        The reference dispatches heartbeats alongside data
+        (EventDispatcher.java:237-240) and publishes MESSAGE events via a
+        separate monitor (LogicalDecodingMessageMonitor.java:70,114) — neither
+        touches the table merge. Here both land as parquet topic sinks under
+        ``<work_dir>/_topics/<topic>/batch_id=N`` with batch-scoped OVERWRITE
+        (replaying a crashed batch rewrites, never duplicates — same pattern
+        as the DLQ). Disabled by default (heartbeat_interval_ms=0,
+        publish_messages=False): the enabled cost is one slim map-side-combined
+        aggregation and/or one op-pruned scan per batch."""
+        cfg = self.config
+        cols = slice_df.columns
+        root = os.path.join(self.work_dir, "_topics")
+        if cfg.heartbeat_interval_ms > 0 and {"ts_ms", "offset"} <= set(cols):
+            from debezium_spark.functions.transforms import heartbeat_records
+
+            data = slice_df
+            if "op" in cols:  # heartbeats describe DATA progress, not control rows
+                data = data.where(~F.col("op").isin(E.OP_MESSAGE, "s"))
+            hb = heartbeat_records(
+                data,
+                interval_ms=cfg.heartbeat_interval_ms,
+                server_name=cfg.server_name,
+                topics_prefix=cfg.heartbeat_topics_prefix,
+            )
+            hb.write.mode("overwrite").parquet(
+                os.path.join(
+                    root,
+                    f"{cfg.heartbeat_topics_prefix}.{cfg.server_name}",
+                    f"batch_id={batch_id}",
+                )
+            )
+        if cfg.publish_messages and "op" in cols:
+            m = slice_df.where(F.col("op") == E.OP_MESSAGE)
+            prefix = (
+                F.col("msg_prefix") if "msg_prefix" in cols else F.col("repo")
+            )
+            after_fields = (
+                set(slice_df.schema["after"].dataType.fieldNames())
+                if "after" in cols
+                else set()
+            )
+            if "msg_content" in cols:
+                content = F.col("msg_content")
+            elif "content" in after_fields:
+                content = F.col("after").getField("content")
+            else:
+                content = F.lit(None).cast("string")
+            msgs = E.wrap_messages(
+                m,
+                prefix=prefix,
+                content=content,
+                offset=F.col("offset"),
+                ts_ms=F.col("ts_ms").cast("long") if "ts_ms" in cols else None,
+                prefix_include=cfg.message_prefix_include,
+                prefix_exclude=cfg.message_prefix_exclude,
+                connector=cfg.connector,
+                server_name=cfg.server_name,
+                db=cfg.database,
+                version=cfg.version,
+            )
+            msgs.write.mode("overwrite").parquet(
+                os.path.join(root, f"{cfg.server_name}.message", f"batch_id={batch_id}")
+            )
+
+    def topic(self, name: str) -> DataFrame:
+        """Read a published side-channel topic sink (heartbeats, messages) —
+        e.g. ``engine.topic('repos.message')``."""
+        return self.spark.read.parquet(
+            os.path.join(self.work_dir, "_topics", name)
+        )
+
     def _envelope(
         self, slice_df: DataFrame, *, upto_offset: int | None = None
     ) -> DataFrame:
@@ -670,6 +744,18 @@ class CdcEngine:
             env = env.where(F.col("value").isNotNull())
         env = X.op_skip_filter(env, cfg.skipped_operations)
         env = R.split_pk_changes(env, cfg.key_columns)
+        if cfg.custom_converters:
+            # converters option (CustomConverterRegistry.java:32): plug-ins
+            # claim payload columns at plan-build time; conversions are pure
+            # column algebra applied to both images. After PK-split/alignment
+            # so a claim sees the lake-schema column names.
+            from debezium_spark.functions.custom import CustomConverterRegistry
+
+            env = CustomConverterRegistry(cfg.custom_converters).apply_to_envelope(
+                env,
+                f"{cfg.database}.{cfg.table_name}",
+                skip_columns=cfg.key_columns,
+            )
         for col, mask in cfg.mask_columns.items():
             env = X.mask_column(env, col, mask)
         for col, salt in cfg.hash_mask_columns.items():
@@ -1103,6 +1189,7 @@ class CdcEngine:
                     hi = sigs[0][0]
                     pending_sig = sigs[0]
             slice_df = wal.where((F.col("offset") > lo) & (F.col("offset") <= hi))
+            self._publish_side_channels(slice_df, batch_id=batch_id)
             chunks = self._snapshot_chunk_rows(wal.schema, lo)
             if chunks is not None:
                 slice_df = slice_df.unionByName(chunks, allowMissingColumns=True)
@@ -1165,6 +1252,7 @@ class CdcEngine:
             ).collect()[0]
             if rng["hi"] is None:
                 return
+            self._publish_side_channels(df, batch_id=lake.committed_batch_id + 1)
             self._apply_batch(
                 lake, df, batch_id=lake.committed_batch_id + 1,
                 lo=int(rng["lo"]) - 1, hi=int(rng["hi"]),

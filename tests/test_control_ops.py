@@ -271,3 +271,62 @@ def test_message_events_never_reach_merge(spark, tmpdir_path):
     assert len(routed) == 3
     assert {r["topic"] for r in routed} == {"repos.message"}
     assert all(r["value"]["op"] == "m" for r in routed)
+
+
+def test_engine_side_channel_topics(spark, tmpdir_path):
+    """Engine-level heartbeat + message topic sinks (ADVICE r2: wire the
+    side channels into run(), not just the library surface): with
+    heartbeat_interval_ms > 0 and publish_messages=True, run() publishes
+    heartbeats per elapsed interval window and routes op='m' rows to
+    '<server>.message' (prefix include filter honored), both readable via
+    engine.topic(); re-running after a wipe overwrites, never duplicates."""
+    spec = W.WalSpec(n_keys=120, n_events=500, seed=41, schema_changes=False)
+    wal = W.wal_events(spark, spec)
+    hi = int(wal.agg(F.max("offset")).first()[0])
+    msg_rows = spark.createDataFrame(
+        [(hi + 8 * (i + 1), (hi + 8 * (i + 1)) * 10, "m", None, None,
+          f"pref-{i % 2}", f"body-{i}")
+         for i in range(6)],
+        "offset bigint, ts_ms bigint, op string, repo string, path string,"
+        " msg_prefix string, msg_content string",
+    )
+    full = wal.unionByName(msg_rows, allowMissingColumns=True).withColumn(
+        "is_tombstone", F.coalesce(F.col("is_tombstone"), F.lit(False))
+    )
+    wal_dir = os.path.join(tmpdir_path, "walsc")
+    full.repartition(2).write.parquet(wal_dir)
+
+    cfg = EngineConfig(
+        heartbeat_interval_ms=5000,
+        publish_messages=True,
+        message_prefix_include="pref-0",
+        max_offsets_per_batch=2000,
+    )
+    eng = _engine(spark, tmpdir_path, wal_dir, spec, cfg=cfg, sub="sc")
+    eng.run()
+
+    # data state unaffected by the side channels
+    data_only = (
+        spark.read.parquet(wal_dir)
+        .where(F.col("op") != "m")
+        .select("offset", "is_tombstone", "op", "repo", "path", "after")
+        .toPandas()
+    )
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == oracle.state_hashes(oracle.reduce_wal(data_only))
+
+    msgs = eng.topic("repos.message")
+    rows = msgs.collect()
+    assert len(rows) == 3  # include filter kept pref-0 only
+    assert all(r["value"]["op"] == "m" for r in rows)
+    assert {r["key"]["prefix"] for r in rows} == {"pref-0"}
+
+    hb = eng.topic("__debezium-heartbeat.repos")
+    hbr = hb.collect()
+    assert len(hbr) > 0
+    assert all(r["topic"] == "__debezium-heartbeat.repos" for r in hbr)
+    # one record per elapsed interval window per batch, ts/offset paired:
+    # every heartbeat's offset is <= the engine's committed watermark
+    assert max(r["offset"] for r in hbr) <= eng.target().committed_max_offset

@@ -75,3 +75,72 @@ def test_heartbeat_records(spark):
     assert got[900]["offset"] == 3 and got[2700]["offset"] == 9
     assert all(r["topic"] == "__debezium-heartbeat.srv" for r in got.values())
     assert all(r["key"]["serverName"] == "srv" for r in got.values())
+
+
+def test_heartbeat_pairs_offset_with_max_ts(spark):
+    """On an out-of-order WAL the heartbeat's (ts_ms, offset) must describe
+    ONE real event — the max-ts one — not two independent maxima (which could
+    pair a high offset with a stale ts, regressing offset-vs-ts ordering)."""
+    from debezium_spark.functions.transforms import heartbeat_records
+
+    # offset 5 carries ts 100 (late arrival); offset 2 carries the window max 900
+    rows = [(1, 50), (2, 900), (5, 100)]
+    df = spark.createDataFrame(rows, "offset long, ts_ms long")
+    [r] = heartbeat_records(df, interval_ms=1000, server_name="srv").collect()
+    assert (r["value"]["ts_ms"], r["offset"]) == (900, 2)
+
+
+def test_heartbeat_interval_zero_raises(spark):
+    """Reference treats interval 0 as heartbeat-disabled (Heartbeat.java:31
+    DEFAULT_INTERVAL=0 -> no-op); a 0 here is a caller bug, not one null row."""
+    import pytest
+
+    from debezium_spark.functions.transforms import heartbeat_records
+
+    df = spark.createDataFrame([(1, 1)], "offset long, ts_ms long")
+    with pytest.raises(ValueError):
+        heartbeat_records(df, interval_ms=0, server_name="srv")
+
+
+def test_propagate_source_types(spark, tmpdir_path):
+    """column.propagate.source.type (PropagateSourceTypeToSchemaParameter.java:
+    23-53): matched columns carry __debezium.source.column.type/length/scale/
+    comment as StructField metadata — upper-cased type, full-name
+    case-insensitive pattern match — and the metadata survives a parquet
+    round-trip (what a sink reads to re-create source DDL)."""
+    import os
+
+    from debezium_spark.functions.transforms import propagate_source_types
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.5)], "name string, qty int, price double"
+    )
+    out = propagate_source_types(
+        df,
+        "lake\\.repos\\.(name|price), LAKE\\.REPOS\\.QTY",
+        data_collection="lake.repos",
+        source_types={
+            "name": {"type": "varchar", "length": 255, "comment": "display name"},
+            "price": {"type": "numeric", "length": 8, "scale": 2},
+        },
+    )
+    meta = {f.name: f.metadata for f in out.schema.fields}
+    assert meta["name"]["__debezium.source.column.type"] == "VARCHAR"
+    assert meta["name"]["__debezium.source.column.length"] == "255"
+    assert meta["name"]["__debezium.source.column.comment"] == "display name"
+    assert meta["price"]["__debezium.source.column.scale"] == "2"
+    # case-insensitive full-name match; no source_types entry -> Spark type
+    assert meta["qty"]["__debezium.source.column.type"] == "INT"
+    # substring-only match must NOT propagate
+    none = propagate_source_types(
+        df, "repos\\.name", data_collection="lake.repos"
+    )
+    assert "__debezium.source.column.type" not in {
+        f.name: f.metadata for f in none.schema.fields
+    }["name"]
+    # parquet round-trip keeps the schema parameters
+    p = os.path.join(tmpdir_path, "meta_rt")
+    out.write.parquet(p)
+    rt = {f.name: f.metadata for f in spark.read.parquet(p).schema.fields}
+    assert rt["name"]["__debezium.source.column.type"] == "VARCHAR"
+    assert rt["price"]["__debezium.source.column.scale"] == "2"

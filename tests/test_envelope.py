@@ -197,3 +197,24 @@ def test_wrap_messages_shape_and_filter(spark):
         prefix_include="^pfx2$", prefix_exclude="^pfx2$",
     )
     assert {r["key"]["prefix"] for r in both.collect()} == {"pfx2"}
+
+
+def test_wrap_messages_prefix_list_semantics(spark):
+    """Predicates.java:205,235 parity: the include/exclude lists are
+    comma-separated regexes, each matched case-insensitively against the FULL
+    prefix (Pattern.matches anchoring) — substring hits do not count."""
+    rows = [(0, "PFX0"), (1, "pfx1"), (2, "xpfx0x"), (3, "pfx2")]
+    df = spark.createDataFrame(rows, "off long, pfx string")
+
+    def prefixes(**kw):
+        m = E.wrap_messages(
+            df, prefix=F.col("pfx"), content=F.lit("c"), offset=F.col("off"), **kw
+        )
+        return {r["key"]["prefix"] for r in m.collect()}
+
+    # comma-separated list: ANY pattern fully matching admits the prefix
+    assert prefixes(prefix_include="pfx0,pfx2") == {"PFX0", "pfx2"}
+    # case-insensitive full match; 'xpfx0x' is only a substring hit -> excluded
+    assert prefixes(prefix_include="pfx0") == {"PFX0"}
+    # exclude list obeys the same semantics
+    assert prefixes(prefix_exclude="pfx0,PFX1") == {"xpfx0x", "pfx2"}
