@@ -444,6 +444,50 @@ def q_value_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_custom_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom converter plug-in chain (spi/converter/CustomConverter.java:18-47,
+    CustomConverterRegistry.java:32,55-127): the first converter claiming a
+    column wins, unclaimed columns fall through. Conversions are pure column
+    algebra (a claim is evaluated once per column at plan-build time, JVM-side
+    in the row path): a fixed-point plug-in claims the double 'value' column
+    (-> BIGINT cents, the engine-portable representation), an upper-caser
+    claims 'event_type', and a never-claiming plug-in ahead of both proves
+    fall-through ordering."""
+    from pyspark.sql import types as T
+
+    from debezium_spark.functions.custom import (
+        ConverterDefinition,
+        CustomConverterRegistry,
+    )
+
+    def never_claims(col):
+        return None
+
+    def cents(col):
+        if col.name == "value" and col.type_name == "double":
+            return ConverterDefinition(
+                field_type=T.LongType(),
+                convert=lambda c: F.floor(c * 100 + F.lit(0.5)),
+            )
+        return None
+
+    def upper_type(col):
+        if col.name == "event_type":
+            return ConverterDefinition(
+                field_type=T.StringType(), convert=lambda c: F.upper(c)
+            )
+        return None
+
+    reg = CustomConverterRegistry([never_claims, cents, upper_type])
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = reg.apply(ev, "lake.events")
+    return out.select(
+        F.col("event_id").alias("offset"),
+        F.col("event_type"),
+        F.col("value").alias("value_cents"),
+    )
+
+
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics meters (pipeline/meters): events per type per hour window."""
     ev = _events(spark, sf_dir)
@@ -911,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution_nullfill": q_schema_evolution_nullfill,
         "cdc_schema_evolution_drop_rename": q_schema_evolution_drop_rename,
         "cdc_value_converters": q_value_converters,
+        "cdc_custom_converters": q_custom_converters,
         "cdc_metrics_rollup": q_metrics_rollup,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
@@ -1231,6 +1276,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ts_ms_connect,
                    epoch_us(ts) AS ts_us_adaptive,
                    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso
+            FROM events
+        """,
+        "cdc_custom_converters": """
+            SELECT event_id AS offset,
+                   upper(event_type) AS event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
             FROM events
         """,
         "cdc_metrics_rollup": """
