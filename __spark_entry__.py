@@ -676,16 +676,18 @@ def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the partition-pruned scale path alongside sign-LSH): coarse
-    cells = nearest of 16 deterministic centroids (first 16 vectors — a
-    training-free quantizer); probe the 4 cells nearest vec_id=0's embedding;
-    exact cosine top-10 within the probed cells. At 100 TB the table is
-    written partitioned by ivf_cell, so a probe is a 4-partition read. All
-    ranking is fixed-point (1e-4) with id tie-breaks — engine-portable."""
+    cells = nearest of 32 deterministic centroids (first 32 vectors — the
+    training-free quantizer; `ivf_train_kmeans` drops in for tighter cells,
+    pytest-covered); probe the 4 cells nearest vec_id=0's embedding (12.5%
+    probe fraction — the sqrt(N) sizing rule at this SF, vs r2's 16-cell/25%
+    toy setting); exact cosine top-10 within the probed cells. At 100 TB the
+    table is written partitioned by ivf_cell, so a probe is a 4-partition
+    read. All ranking is fixed-point (1e-4) with id tie-breaks."""
     from debezium_spark.functions.similarity import ivf_topk, scaled
 
     v = _emb(spark, sf_dir)
     query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
-    topk = ivf_topk(v, query, k=10, n_cells=16, nprobe=4, order_scale=10000)
+    topk = ivf_topk(v, query, k=10, n_cells=32, nprobe=4, order_scale=10000)
     return topk.select(
         "vec_id", "ivf_cell", scaled(F.col("cos_sim")).alias("cos_c")
     )
@@ -1445,7 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": f"""
             WITH c AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings WHERE vec_id < 16
+              FROM embeddings WHERE vec_id < 32
             ),
             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0),

@@ -184,6 +184,66 @@ def ivf_assign(
     return vectors.withColumn("ivf_cell", (-best.getField("negcid")).cast("int"))
 
 
+def ivf_train_kmeans(
+    vectors: DataFrame,
+    *,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 16_384,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled Lloyd's k-means -> [(cell_id, centroid)] for
+    :func:`ivf_assign` / :func:`ivf_topk`.
+
+    The scale contract: training touches a BOUNDED sample (the ``sample``
+    lowest-id rows — deterministic, no RNG; at 100 TB the sample collect is a
+    pushed-down ``id < ~sample*C`` scan of a few thousand rows), and the
+    per-iteration work is pure numpy on the driver: O(sample × n_cells × dim)
+    — milliseconds for any sane sizing. The full table is never scanned for
+    training; only the one-pass ``ivf_assign`` touches it, exactly like the
+    training-free bootstrap.
+
+    Sizing guidance (the FAISS/IVF rule of thumb): ``n_cells ≈ sqrt(N)`` and
+    ``nprobe`` 1-10% of cells keeps probe fraction ~nprobe/sqrt(N) and cell
+    population ~sqrt(N) — at 10^9 vectors that is ~32k cells, a centroid set
+    of a few MB that still ships with the plan as literals. 16 cells / probe
+    4 (25% of the table!) is a toy setting — it measures the scorer, not the
+    index.
+
+    Deterministic by construction: init = first n_cells sampled vectors,
+    assignment ties break toward the lowest cell id, empty cells keep their
+    previous centroid. Same inputs -> bit-identical centroids on any host.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.orderBy(F.col(id_col))
+        .limit(int(sample))
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(x) < n_cells:
+        raise ValueError(f"sample ({len(x)}) smaller than n_cells ({n_cells})")
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]                 # spherical k-means (cosine geometry)
+    cents = xn[:n_cells].copy()
+    for _ in range(int(iters)):
+        sims = xn @ cents.T                  # (sample, n_cells)
+        # argmax with lowest-cell-id tie-break (np.argmax takes the first max)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [(c, [float(v) for v in cents[c]]) for c in range(n_cells)]
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],
@@ -194,23 +254,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     order_scale: int = 10000,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe only the nprobe cells nearest the query.
 
-    Centroids are the embeddings of the first ``n_cells`` ids — a deterministic,
-    training-free coarse quantizer (k-means would drop in unchanged: the engine
-    only needs SOME fixed centroid set; sampling rows as centroids is the
-    standard no-model bootstrap). The centroid fetch collects n_cells rows
-    (tiny); everything per-row is column algebra. Probe order and the final
-    top-k both rank by the fixed-point score with id tie-breaks, so results are
-    deterministic across engines.
+    Default centroids are the embeddings of the first ``n_cells`` ids — a
+    deterministic, training-free coarse quantizer; pass ``centroids`` (e.g.
+    from :func:`ivf_train_kmeans`) for a trained quantizer with tighter
+    cells — the probe/assign/score machinery is identical. The centroid fetch
+    collects n_cells rows (tiny); everything per-row is column algebra. Probe
+    order and the final top-k both rank by the fixed-point score with id
+    tie-breaks, so results are deterministic across engines. Size
+    ``n_cells ≈ sqrt(N)`` (see ivf_train_kmeans) — probe fraction is
+    ~nprobe/n_cells and the entry-point default of 16 is a small-SF setting.
     """
-    cent_rows = (
-        vectors.where(F.col(id_col) < n_cells)
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
+    if centroids is None:
+        cent_rows = (
+            vectors.where(F.col(id_col) < n_cells)
+            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
     # probe set: nprobe cells ranked by (scaled cos to query) desc, cell id asc
     qv = query
     probe_rank = sorted(

@@ -154,6 +154,7 @@ def resolve_lww(
     bucket_into=None,
     winner_source: DataFrame | None = None,
     broadcast_key_budget: int = 16_000_000,
+    live_key_bound: int | None = None,
 ) -> DataFrame:
     """Reduce envelope rows to one action per key: the last writer by (offset, seq).
 
@@ -167,19 +168,24 @@ def resolve_lww(
 
       * ``strategy="auto"`` (default) — measure, don't guess: the phase-1
         winner aggregation (key -> max ordinal, the cheap key-only pass both
-        plans need anyway) is persisted and counted; if the live-key count
-        fits ``broadcast_key_budget`` the ordinal plan proceeds (reusing the
-        cached winner set for its broadcast — no recompute), else the
+        plans need anyway) is counted; if the live-key count fits
+        ``broadcast_key_budget`` the ordinal plan proceeds, else the
         operator degrades to "aggregate" by itself. Past ~10^8 live keys per
         batch the winning-ordinal broadcast (8 B/key + hash-relation
         overhead, ~100 MB per 6M keys) OOMs the executors — a regime the
         USER should not need to know about (VERDICT r2 #6). The probe costs
-        one count job over rows the ordinal plan materializes anyway. The
-        chosen plan is exposed as ``out._lww_chosen`` and the persisted
-        winner set as ``out._lww_probe_cache`` (unpersist after consuming
-        the result — the engine does).
+        one count job over a payload-free scan + agg. The chosen plan is
+        exposed as ``out._lww_chosen``.
 
-      * ``strategy="ordinal"`` (default) — **shuffle ordinals, not payloads.**
+        ``live_key_bound``: a FREE upper bound on the live-key count, when the
+        caller has one (the engine passes ``2 * offset_span + chunk_rows``:
+        offsets are unique per event, PK-split emits at most 2 keys per
+        event). When the bound already fits the budget the probe job is
+        skipped entirely — auto then costs exactly what a pinned "ordinal"
+        does, and the count job only runs for batches genuinely near the
+        broadcast limit.
+
+      * ``strategy="ordinal"`` — **shuffle ordinals, not payloads.**
         Phase 1 aggregates only (key, ordinal) to each key's winning ordinal:
         a shuffle of a few dozen bytes per event instead of the full row
         payload (~KB per event: at 10^8+ events per batch the payload shuffle
@@ -242,7 +248,6 @@ def resolve_lww(
     )
     ordinal = (F.col("offset").cast("long") * 128 + seq).alias("_ord")
     key_refs = [F.col("key").getField(c).alias(c) for c in key_cols]
-    probe_cache = None
     chosen = strategy
     if strategy in ("ordinal", "auto"):
         # ``winner_source``: an alternative envelope stream with IDENTICAL
@@ -259,15 +264,19 @@ def resolve_lww(
             .groupBy(*key_cols)
             .agg(F.max("_ord").alias("_ord"))
         )
-        if strategy == "auto":
-            win = win.persist()
+        if strategy == "auto" and (
+            live_key_bound is not None and live_key_bound <= broadcast_key_budget
+        ):
+            chosen = "ordinal"  # bound proves the winner set fits: no probe job
+        elif strategy == "auto":
+            # Probe = one count over the slim key-only aggregation. NOT
+            # persisted: a batch that reaches this path is near the budget —
+            # caching up to ~16M winner rows buys one avoided recompute of a
+            # payload-free scan+agg (noise at that batch size) at the price
+            # of executor storage memory and cache-lifecycle plumbing in
+            # every caller; the broadcast just recomputes its slim subtree.
             n_live = win.count()
-            if n_live <= broadcast_key_budget:
-                chosen = "ordinal"
-                probe_cache = win  # broadcast reads the cache, no recompute
-            else:
-                chosen = "aggregate"
-                win.unpersist()
+            chosen = "ordinal" if n_live <= broadcast_key_budget else "aggregate"
     if chosen == "ordinal":
         ev = env.select(*key_refs, slim.alias("_slim"), ordinal)
         cand = ev.join(F.broadcast(win.select("_ord")), on="_ord", how="left_semi")
@@ -295,7 +304,6 @@ def resolve_lww(
         w.getField("ts_ms").alias("_ts_ms"),
     )
     out._lww_chosen = chosen
-    out._lww_probe_cache = probe_cache
     return out
 
 

@@ -841,10 +841,16 @@ class CdcEngine:
         *,
         upto_offset: int | None = None,
         bucket_into: int | None = None,
+        offset_span: int | None = None,
     ) -> DataFrame:
         """WAL slice -> resolved actions (one per key). ``bucket_into``:
         cluster the LWW output by the lake bucket transform (single payload
-        shuffle straight into the write layout — resolver docstring)."""
+        shuffle straight into the write layout — resolver docstring).
+        ``offset_span``: ``hi - lo`` of the slice when known — offsets are
+        unique per event and PK-split emits at most 2 keys per event, so
+        ``2 * span (+ chunk rows)`` bounds the live-key count for free and
+        lets strategy='auto' skip its probe job on every batch that cannot
+        possibly exceed the broadcast budget."""
         from debezium_spark.plans.lake import bucket_expr
 
         winner = (
@@ -852,6 +858,15 @@ class CdcEngine:
             if self.config.lww_strategy in ("ordinal", "auto")
             else None
         )
+        bound = None
+        if offset_span is not None:
+            chunk_rows = (
+                self.config.incremental_chunks_per_batch
+                * max(self._incr_state().get("chunk_size", 0), 1024)
+                if self.snapshot_source
+                else 0
+            )
+            bound = 2 * offset_span + chunk_rows
         return R.resolve_lww(
             self._envelope(slice_df, upto_offset=upto_offset),
             key_cols=self.config.key_columns,
@@ -864,6 +879,7 @@ class CdcEngine:
             ),
             winner_source=winner,
             broadcast_key_budget=self.config.lww_broadcast_key_budget,
+            live_key_bound=bound,
         )
 
     # ------------------------------------------------------------- batch apply
@@ -894,7 +910,9 @@ class CdcEngine:
         # The resolved actions feed three consumers (lineage aggregation, the
         # merge's touched-bucket probe, and the merge join itself); persist so the
         # WAL-scan -> dedup -> envelope -> LWW pipeline runs once, not three times.
-        actions = self._transform(slice_df, upto_offset=hi).persist()
+        actions = self._transform(
+            slice_df, upto_offset=hi, offset_span=max(hi - lo, 0)
+        ).persist()
         nb = lake.n_buckets
         from debezium_spark.plans.lake import bucket_expr
 
@@ -932,9 +950,6 @@ class CdcEngine:
         if n_bad:
             if cfg.failure_handling == "fail":
                 actions.unpersist()
-                probe = getattr(actions, "_lww_probe_cache", None)
-                if probe is not None:
-                    probe.unpersist()
                 raise ValueError(
                     f"batch {batch_id}: {n_bad} malformed key(s) (null key column); "
                     "set failure_handling='warn'|'skip' to quarantine/drop"
@@ -970,9 +985,6 @@ class CdcEngine:
             )
         finally:
             actions.unpersist()
-            probe = getattr(actions, "_lww_probe_cache", None)
-            if probe is not None:
-                probe.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         if res.get("applied"):
             self._append_jsonl(
@@ -1025,16 +1037,14 @@ class CdcEngine:
         """
         cfg = self.config
         actions = self._transform(
-            slice_df, upto_offset=hi, bucket_into=lake.n_buckets
+            slice_df,
+            upto_offset=hi,
+            bucket_into=lake.n_buckets,
+            offset_span=max(hi - lo, 0),
         )
-        try:
-            staged = lake.stage_initial(
-                actions, batch_id=batch_id, truncate_below=truncate_below
-            )
-        finally:
-            probe = getattr(actions, "_lww_probe_cache", None)
-            if probe is not None:
-                probe.unpersist()
+        staged = lake.stage_initial(
+            actions, batch_id=batch_id, truncate_below=truncate_below
+        )
         if staged is None:  # replayed batch (batch_id already committed)
             return {"applied": False, "batch_id": batch_id,
                     "rows_applied": 0, "rows_deleted": 0, "wall_ms": 0}

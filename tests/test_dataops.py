@@ -199,3 +199,32 @@ def test_ivf_assign_tie_breaks_to_smallest_cell(spark):
     cent = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
     out = S.ivf_assign(df, cent).select("ivf_cell").distinct().collect()
     assert [r["ivf_cell"] for r in out] == [0]
+
+
+def test_ivf_kmeans_trained_centroids(spark, vecs):
+    """ivf_train_kmeans: deterministic (same input -> identical centroids),
+    bounded-sample spherical k-means whose trained quantizer slots into
+    ivf_topk unchanged and matches brute force on recall@10 at a probe
+    fraction where the training-free quantizer is the baseline."""
+    sample = vecs.limit(400)
+    c1 = S.ivf_train_kmeans(sample, n_cells=16, sample=256, iters=5)
+    c2 = S.ivf_train_kmeans(sample, n_cells=16, sample=256, iters=5)
+    assert c1 == c2  # bit-identical: no RNG anywhere
+    assert len(c1) == 16 and all(len(v) == len(c1[0][1]) for _, v in c1)
+    # centroids are unit-norm (spherical k-means)
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-9 for _, v in c1)
+
+    q = list(sample.first()["embedding"])
+    exact = [r["vec_id"] for r in S.brute_force_topk(sample, q, k=10).collect()]
+    trained = [
+        r["vec_id"]
+        for r in S.ivf_topk(sample, q, k=10, nprobe=6, centroids=c1).collect()
+    ]
+    free = [
+        r["vec_id"]
+        for r in S.ivf_topk(sample, q, k=10, n_cells=16, nprobe=6).collect()
+    ]
+    recall_trained = len(set(trained) & set(exact)) / 10
+    recall_free = len(set(free) & set(exact)) / 10
+    assert recall_trained >= recall_free  # training never hurts here
+    assert recall_trained >= 0.7

@@ -92,7 +92,6 @@ def test_lww_auto_falls_back_past_broadcast_budget(spark):
     assert sorted(map(tuple, small.select(cols).collect())) == sorted(
         map(tuple, big.select(cols).collect())
     )
-    big._lww_probe_cache.unpersist()
 
 
 def test_engine_auto_fallback_end_to_end(spark, tmpdir_path):
@@ -224,3 +223,21 @@ def test_transaction_metadata_ordering(spark):
         if r["tx_id"] in last:
             assert r["to"] == last[r["tx_id"]] + 1
         last[r["tx_id"]] = r["to"]
+
+
+def test_lww_auto_bound_skips_probe(spark):
+    """A free live-key upper bound under the budget proves ordinal is safe —
+    no probe job, no persisted winner cache (auto costs what pinned ordinal
+    costs on every batch that cannot exceed the broadcast limit)."""
+    spec = W.WalSpec(n_keys=50, n_events=400, seed=5)
+    env = R.split_pk_changes(_env(spark, spec))
+    out = R.resolve_lww(
+        env, strategy="auto", broadcast_key_budget=10_000, live_key_bound=800
+    )
+    assert out._lww_chosen == "ordinal"
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    # bound ABOVE the budget still probes (and here degrades: 50 keys > 10)
+    probed = R.resolve_lww(
+        env, strategy="auto", broadcast_key_budget=10, live_key_bound=999_999
+    )
+    assert probed._lww_chosen == "aggregate"
