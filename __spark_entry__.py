@@ -928,6 +928,152 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_read_to_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadToInsertEvent SMT (connector-mysql transforms/ReadToInsertEvent.java:
+    35-60): snapshot READ ('r') envelopes rewritten to CREATE ('c'); other ops
+    untouched. 'view' events stand in for snapshot reads here."""
+    from debezium_spark.functions.transforms import read_to_insert
+
+    ev = _events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "view", F.lit("r"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(op.alias("op")).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    return (
+        read_to_insert(env)
+        .groupBy(F.col("value.op").alias("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_crdt_pn_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRDT PN counter (crdt/StateBasedPNCounter.java:1): per-user adds/removes
+    rolled up independently on two 'replicas' (even/odd offsets) then merged
+    with the state-based CRDT merge (sum pairwise) — the merge result must
+    equal a single-pass rollup, which is exactly what the oracle computes."""
+    from debezium_spark.functions.crdt import merge_counter_states, pn_counter_from_ops
+
+    ev = _events(spark, sf_dir)
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(_op_col().alias("op")).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    replica_a = pn_counter_from_ops(env.where(F.col("offset") % 2 == 0), ["user_id"])
+    replica_b = pn_counter_from_ops(env.where(F.col("offset") % 2 == 1), ["user_id"])
+    return merge_counter_states(replica_a, replica_b).select(
+        "user_id", "adds", "removes", "value"
+    )
+
+
+def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium JSON serde (serde/json/JsonSerde.java:86-103): envelope ->
+    Kafka-Connect schema+payload JSON wire -> typed unwrap from the 'after'
+    field. Deletes carry no after image, so they deserialize to null content
+    (the serde parses them as extracted records with no matching fields)."""
+    from debezium_spark.functions.serde import deserialize_values, serialize_records
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    op = _op_col()
+    payload = F.struct(F.col("event_type"), F.col("props"))
+    env = ev.select(
+        F.struct(F.col("user_id")).alias("key"),
+        F.struct(
+            F.when(op == "d", payload).alias("before"),
+            F.when(op != "d", payload).alias("after"),
+            op.alias("op"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.struct(
+                F.lit("0.1.0").alias("version"),
+                F.lit("spark-cdc").alias("connector"),
+                F.lit("events").alias("name"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.lit("false").alias("snapshot"),
+                F.lit("lake").alias("db"),
+                F.col("event_id").cast("string").alias("sequence"),
+            ).alias("source"),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    wire = serialize_records(env, schema_payload_wrapper=True)
+    payload_t = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = deserialize_values(wire, payload_t)  # from_field="after"
+    return back.select(
+        "offset",
+        F.col("value.event_type").alias("rt_event_type"),
+        F.col("value.props").alias("rt_props"),
+    )
+
+
+def q_dt_variable_scale_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.debezium.data.VariableScaleDecimal (data/VariableScaleDecimal.java:1):
+    decimal -> {scale, big-endian two's-complement unscaled bytes}, exactly
+    BigDecimal.unscaledValue().toByteArray(); the hex of those bytes and the
+    decoded unscaled value are both checked against DuckDB."""
+    from debezium_spark.functions.datatypes import (
+        variable_scale_decimal,
+        variable_scale_decimal_decode,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    vsd = variable_scale_decimal(dec, 2)
+    return od.select(
+        F.col("o_orderkey"),
+        vsd.getField("scale").alias("vsd_scale"),
+        F.hex(vsd.getField("value")).alias("vsd_hex"),
+        (variable_scale_decimal_decode(vsd) * 100).cast("long").alias("unscaled_back"),
+    )
+
+
+def q_dt_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.debezium.data.Bits (data/Bits.java:1): long mask -> BitSet.toByteArray
+    little-endian minimal bytes; hex + decode round-trip checked vs DuckDB."""
+    from debezium_spark.functions.datatypes import bits_decode, bits_encode
+
+    ev = _events(spark, sf_dir)
+    enc = bits_encode(F.col("event_id"))
+    return ev.select(
+        F.col("event_id"),
+        F.hex(enc).alias("bits_hex"),
+        bits_decode(enc).alias("bits_back"),
+    )
+
+
+def q_dt_point_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.debezium.data.geometry.Point (geometry/Point.java:24-55): (x, y) ->
+    21-byte WKB via an Arrow-batched pandas UDF, parsed back bit-exactly; the
+    round-trip doubles and the fixed WKB length are the oracle-checked
+    invariants (DuckDB cannot emit IEEE-754 bytes to compare directly)."""
+    from debezium_spark.functions.datatypes import point_decode, point_encode
+
+    cu = _customer(spark, sf_dir).select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("x"),
+        F.col("c_custkey").cast("double").alias("y"),
+    )
+    enc = point_encode(cu, "x", "y", srid=4326)
+    dec = point_decode(enc.select("c_custkey", F.col("point.wkb").alias("wkb")), "wkb")
+    return dec.select(
+        "c_custkey",
+        F.col("pt_x"),
+        F.col("pt_y"),
+        F.octet_length("wkb").alias("wkb_len"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -986,6 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cloudevents_attrs": q_cloudevents_attrs,
         "mm_media_features": q_media_features,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "cdc_read_to_insert": q_read_to_insert,
+        "cdc_crdt_pn_counter": q_crdt_pn_counter,
+        "cdc_serde_roundtrip": q_serde_roundtrip,
+        "dt_variable_scale_decimal": q_dt_variable_scale_decimal,
+        "dt_bits": q_dt_bits,
+        "dt_point_wkb": q_dt_point_wkb,
     }
 
 
@@ -1584,5 +1736,66 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM c
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "cdc_read_to_insert": """
+            SELECT op, count(*) AS n FROM (
+              SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'c'
+                          WHEN 'error' THEN 'd' ELSE 'u' END AS op
+              FROM events) t
+            GROUP BY op
+        """,
+        "cdc_crdt_pn_counter": f"""
+            WITH ops AS (SELECT user_id, {_OP_CASE_SQL} AS op FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN op IN ('c','r') THEN 1 ELSE 0 END) AS BIGINT) AS adds,
+                   CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS removes,
+                   CAST(sum(CASE WHEN op IN ('c','r') THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS value
+            FROM ops GROUP BY user_id
+        """,
+        "cdc_serde_roundtrip": f"""
+            SELECT event_id AS offset,
+                   CASE WHEN {_OP_CASE_SQL} = 'd' THEN NULL ELSE event_type END
+                       AS rt_event_type,
+                   CASE WHEN {_OP_CASE_SQL} = 'd' THEN NULL ELSE props END AS rt_props
+            FROM events
+        """,
+        "dt_variable_scale_decimal": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS un
+              FROM orders
+            ), h0 AS (
+              SELECT o_orderkey, un, upper(format('{:x}', un)) AS h FROM u
+            ), h1 AS (
+              SELECT o_orderkey, un,
+                     CASE WHEN length(h) % 2 = 1 THEN '0' || h ELSE h END AS h
+              FROM h0
+            )
+            SELECT o_orderkey, 2 AS vsd_scale,
+                   CASE WHEN substr(h, 1, 1) IN ('8','9','A','B','C','D','E','F')
+                        THEN '00' || h ELSE h END AS vsd_hex,
+                   un AS unscaled_back
+            FROM h1
+        """,
+        "dt_bits": """
+            SELECT event_id,
+                   upper(regexp_replace(
+                     lpad(format('{:x}', (event_id >> 0)  & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 8)  & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 16) & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 24) & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 32) & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 40) & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 48) & 255), 2, '0') ||
+                     lpad(format('{:x}', (event_id >> 56) & 255), 2, '0'),
+                     '(00)+$', '')) AS bits_hex,
+                   event_id AS bits_back
+            FROM events
+        """,
+        "dt_point_wkb": """
+            SELECT c_custkey, c_acctbal AS pt_x, CAST(c_custkey AS DOUBLE) AS pt_y,
+                   21 AS wkb_len
+            FROM customer
         """,
     }

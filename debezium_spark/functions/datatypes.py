@@ -1,0 +1,248 @@
+"""Semantic value types (io.debezium.data) as Spark column encodings.
+
+Each Debezium logical type is a Kafka-Connect base type + a logical ``name``
+schema parameter. Spark's analogue of the schema parameter is StructField
+METADATA (same convention as transforms.propagate_source_types), and the wire
+encodings are reproduced exactly:
+
+* ``Bits``      — little-endian minimal bytes of a bit set
+  (data/Bits.java:1, ``BitSet.toByteArray()``: byte i holds bits 8i..8i+7,
+  trailing zero bytes trimmed).
+* ``VariableScaleDecimal`` — struct ``{scale:int, value:bytes}`` where value
+  is the BIG-endian two's-complement of the unscaled integer
+  (data/VariableScaleDecimal.java:1, ``BigDecimal.unscaledValue().toByteArray()``).
+* ``Uuid``      — string logical type (data/Uuid.java:1).
+* ``Enum`` / ``EnumSet`` — string + ``allowed`` parameter
+  (data/Enum.java:1, data/EnumSet.java:1; EnumSet is comma-joined).
+* ``geometry.Point`` — struct ``{x:double, y:double, wkb:bytes, srid:int}``
+  with 21-byte WKB: BOM byte 1, little-endian int32 type=1, two little-endian
+  IEEE-754 doubles (data/geometry/Point.java:24-40).
+
+Everything except the WKB pack/unpack is pure column algebra (hex-string
+construction + ``unhex``, whole-stage codegen). WKB needs raw IEEE-754 double
+bytes, which Spark SQL cannot express — that pair is an Arrow-batched pandas
+UDF over numpy (the sanctioned vectorized path; never per-row Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "bits_encode",
+    "bits_decode",
+    "variable_scale_decimal",
+    "variable_scale_decimal_decode",
+    "as_logical",
+    "enum_check",
+    "enum_set_check",
+    "point_encode",
+    "point_decode",
+]
+
+LOGICAL_NAME_KEY = "__debezium.logical.name"
+ALLOWED_KEY = "__debezium.logical.allowed"
+
+_HIGH_NIBBLE = "[89a-fA-F]"
+
+
+def bits_encode(value: Column, *, max_bytes: int = 8) -> Column:
+    """Long bit-mask -> ``io.debezium.data.Bits`` bytes (Bits.java:1).
+
+    ``BitSet.toByteArray()`` layout: little-endian byte order (byte j carries
+    bits 8j..8j+7), minimal length (trailing zero bytes dropped; 0 -> empty).
+    Built as a hex string byte-by-byte then ``unhex`` — codegen-only."""
+    v = value.cast("long")
+    parts = [
+        F.lpad(F.hex(F.shiftright(v, 8 * j).bitwiseAND(F.lit(255))), 2, "0")
+        for j in range(max_bytes)
+    ]
+    hexs = F.regexp_replace(F.concat(*parts), "(00)+$", "")
+    return F.when(v.isNotNull(), F.unhex(hexs))
+
+
+def bits_decode(data: Column, *, max_bytes: int = 8) -> Column:
+    """Bits bytes -> long mask (Bits.toBitSet, Bits.java:1). Bounded at
+    ``max_bytes`` octets (64 bits in a long)."""
+    hexs = F.rpad(F.hex(data), 2 * max_bytes, "0")
+    total = F.lit(0).cast("long")
+    for j in range(max_bytes):
+        byte_j = F.conv(F.substring(hexs, 2 * j + 1, 2), 16, 10).cast("long")
+        total = total + F.shiftleft(byte_j, 8 * j)
+    return F.when(data.isNotNull(), total)
+
+
+def _twos_complement_hex(unscaled: Column) -> Column:
+    """Minimal big-endian two's-complement hex of a long — the exact
+    ``BigInteger.toByteArray()`` encoding for |v| < 2^63. ``hex(long)`` is the
+    full 16-digit 64-bit two's complement for negatives and the minimal
+    unsigned digits for positives; normalize to 16 digits then greedily strip
+    redundant sign-extension bytes (leading FF while the next byte keeps the
+    sign bit set, leading 00 while it stays clear — regex backtracking finds
+    the maximal legal strip)."""
+    full = F.lpad(F.hex(unscaled), 16, "0")
+    neg = unscaled < 0
+    stripped_neg = F.regexp_replace(full, f"^(?:[fF]{{2}})+(?={_HIGH_NIBBLE})", "")
+    stripped_pos = F.regexp_replace(full, "^(?:00)+(?=[0-7])", "")
+    return F.when(neg, stripped_neg).otherwise(stripped_pos)
+
+
+def variable_scale_decimal(dec: Column, scale: int) -> Column:
+    """Decimal column -> ``io.debezium.data.VariableScaleDecimal`` struct
+    ``{scale, value}`` (VariableScaleDecimal.fromLogical,
+    VariableScaleDecimal.java:1: value = big-endian two's-complement bytes of
+    ``unscaledValue()``). Exact for unscaled magnitudes < 2^63 (covers
+    NUMERIC payloads up to 18 full digits; wider needs a pandas UDF, same
+    seam as point_encode)."""
+    unscaled = (dec * F.lit(10**scale)).cast("long")
+    return F.when(
+        dec.isNotNull(),
+        F.struct(
+            F.lit(scale).cast("int").alias("scale"),
+            F.unhex(_twos_complement_hex(unscaled)).alias("value"),
+        ),
+    )
+
+
+def variable_scale_decimal_decode(vsd: Column) -> Column:
+    """VariableScaleDecimal struct -> decimal(38,18)
+    (VariableScaleDecimal.toLogical: new BigDecimal(new BigInteger(value),
+    scale)). Sign-extends from the top bit of the first byte."""
+    hexs = F.hex(vsd.getField("value"))
+    n_digits = F.length(hexs)
+    unsigned = F.conv(hexs, 16, 10).cast("decimal(38,0)")
+    is_neg = F.substring(hexs, 1, 1).rlike(_HIGH_NIBBLE)
+    # conv() is unsigned; subtract 2^(4*digits) to recover the two's-complement
+    magnitude = F.when(
+        is_neg, unsigned - F.pow(F.lit(2.0), (n_digits * 4).cast("double")).cast("decimal(38,0)")
+    ).otherwise(unsigned)
+    scale_pow = F.pow(F.lit(10.0), vsd.getField("scale").cast("double"))
+    return (magnitude.cast("decimal(38,18)") / scale_pow.cast("decimal(38,0)")).cast(
+        "decimal(38,18)"
+    )
+
+
+def as_logical(df: DataFrame, column: str, logical_name: str, **params: str) -> DataFrame:
+    """Tag a column with a Debezium logical-type name (the Connect schema
+    ``name()`` parameter — data/Uuid.java:1, data/Json.java, data/Xml.java) as
+    StructField metadata, parquet-stable. Extra params (e.g. Bits ``length``,
+    Enum ``allowed``) land as ``__debezium.logical.<param>``."""
+    field = df.schema[column]
+    meta = dict(field.metadata or {})
+    meta[LOGICAL_NAME_KEY] = logical_name
+    for k, v in params.items():
+        meta[f"__debezium.logical.{k}"] = str(v)
+    return df.withMetadata(column, meta)
+
+
+def enum_check(col: Column, allowed: list[str]) -> Column:
+    """Enum membership validation (data/Enum.java:1: string whose value must
+    be one of the ``allowed`` parameter's comma-separated literals). Returns
+    the value, or null for out-of-set values (the relaxed Connect behavior —
+    strict mode is the caller raising on ``count(value is null)``)."""
+    return F.when(col.isin(list(allowed)), col)
+
+
+def enum_set_check(col: Column, allowed: list[str]) -> Column:
+    """EnumSet validation (data/EnumSet.java:1: comma-separated subset of
+    ``allowed``). Null when any element is out of set; preserves order and the
+    empty string (empty set)."""
+    elems = F.split(col, ",")
+    ok = F.forall(elems, lambda e: (e == "") | e.isin(list(allowed)))
+    return F.when(col.isNotNull() & ok, col)
+
+
+_POINT_T = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("wkb", T.BinaryType()),
+        T.StructField("srid", T.IntegerType()),
+    ]
+)
+
+
+def point_encode(df: DataFrame, x_col: str, y_col: str, *, srid: int | None = None,
+                 out: str = "point") -> DataFrame:
+    """(x, y) doubles -> ``io.debezium.data.geometry.Point`` struct with the
+    reference's 21-byte WKB (Point.buildWKBPoint, geometry/Point.java:24-33:
+    BOM=1, LE int32 type=1, LE float64 x, LE float64 y).
+
+    IEEE-754 byte extraction is not SQL-expressible, so the WKB pack runs as
+    one Arrow-batched pandas UDF (numpy '<f8' views, no per-row Python)."""
+    @pandas_udf(T.BinaryType())
+    def _pack(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(x)
+        buf = np.zeros((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1  # BOM: little-endian
+        buf[:, 1:5] = np.frombuffer(
+            np.full(n, 1, dtype="<i4").tobytes(), dtype=np.uint8
+        ).reshape(n, 4)
+        buf[:, 5:13] = np.frombuffer(
+            x.to_numpy(dtype="<f8").tobytes(), dtype=np.uint8
+        ).reshape(n, 8)
+        buf[:, 13:21] = np.frombuffer(
+            y.to_numpy(dtype="<f8").tobytes(), dtype=np.uint8
+        ).reshape(n, 8)
+        out_bytes = [bytes(row) for row in buf]
+        mask = x.isna() | y.isna()
+        return pd.Series([None if m else b for m, b in zip(mask, out_bytes)])
+
+    wkb = _pack(F.col(x_col), F.col(y_col))
+    return df.withColumn(
+        out,
+        F.struct(
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+            wkb.alias("wkb"),
+            (F.lit(srid).cast("int") if srid is not None else F.lit(None).cast("int")).alias(
+                "srid"
+            ),
+        ),
+    )
+
+
+def point_decode(df: DataFrame, wkb_col: str, *, out_prefix: str = "pt") -> DataFrame:
+    """WKB bytes -> (x, y) doubles (Point.parseWKBPoint,
+    geometry/Point.java:35-55; honors the BOM's byte order, rejects non-Point
+    types and wrong lengths as nulls). Arrow-batched pandas UDF."""
+    @pandas_udf(T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]))
+    def _unpack(wkb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(wkb)
+        xs = np.full(n, np.nan)
+        ys = np.full(n, np.nan)
+        valid_idx = np.array(
+            [i for i, b in enumerate(wkb) if b is not None and len(b) == 21], dtype=np.int64
+        )
+        if len(valid_idx):
+            arr = np.frombuffer(
+                b"".join(wkb.iloc[i] for i in valid_idx), dtype=np.uint8
+            ).reshape(len(valid_idx), 21)
+            for little in (True, False):  # two byte-order groups, each vectorized
+                grp = (arr[:, 0] != 0) == little
+                if not grp.any():
+                    continue
+                order = "<" if little else ">"
+                sub = arr[grp]
+                gtype = sub[:, 1:5].copy().view(order + "i4")[:, 0]
+                gx = sub[:, 5:13].copy().view(order + "f8")[:, 0]
+                gy = sub[:, 13:21].copy().view(order + "f8")[:, 0]
+                ok = gtype == 1
+                dst = valid_idx[grp][ok]
+                xs[dst] = gx[ok]
+                ys[dst] = gy[ok]
+        return pd.DataFrame({"x": xs, "y": ys})  # NaN -> null for invalid rows
+
+    parsed = _unpack(F.col(wkb_col))
+    return df.withColumn(f"{out_prefix}_x", parsed.getField("x")).withColumn(
+        f"{out_prefix}_y", parsed.getField("y")
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .envelope import OP_CREATE, OP_READ
+
 
 def op_skip_filter(env: DataFrame, skipped: list[str]) -> DataFrame:
     """skipped.operations (EventDispatcher.java:121-122,224): drop selected op codes.
@@ -151,6 +153,21 @@ def propagate_source_types(
                 meta[f"__debezium.source.column.{k}"] = str(info[k])
         out = out.withMetadata(f_.name, meta)
     return out
+
+
+def read_to_insert(env: DataFrame) -> DataFrame:
+    """ReadToInsertEvent SMT (connector-mysql transforms/ReadToInsertEvent.java:35-60):
+    rewrite snapshot READ events (op='r') to CREATE ('c') so consumers that only
+    understand stream ops see the snapshot as inserts. Non-'r' records and
+    tombstones (null value — not a valid envelope, :37) pass through untouched."""
+    v = F.col("value")
+    return env.withColumn(
+        "value",
+        F.when(
+            v.isNotNull() & (v.getField("op") == OP_READ),
+            v.withField("op", F.lit(OP_CREATE)),
+        ).otherwise(v),
+    )
 
 
 def content_filter(env: DataFrame, condition: str) -> DataFrame:
