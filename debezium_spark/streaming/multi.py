@@ -65,6 +65,7 @@ class MultiTableEngine:
     ):
         self.spark = spark
         self.wal_path = wal_path
+        self.work_root = work_root
         self.tables = {
             name: spec
             for name, spec in tables.items()
@@ -132,8 +133,56 @@ class MultiTableEngine:
 
     def run(self, **kw) -> dict[str, list[dict[str, Any]]]:
         """Replay each captured table's pipeline (independent at cluster scale;
-        sequential here). Returns per-table batch results."""
-        return {name: eng.run(**kw) for name, eng in self.engines.items()}
+        sequential here). Returns per-table batch results.
+
+        After the pass, the dispatcher's per-partition offset map (one
+        partition per captured table — GtidSet.java:36's per-source-UUID shape
+        specialized to tables) is checked monotone against the persisted map
+        and re-persisted: a resumed dispatcher can never move any table's
+        committed offset backwards, even though each table commits
+        independently."""
+        prior = self.offsets(persisted=True)
+        results = {name: eng.run(**kw) for name, eng in self.engines.items()}
+        now = self.offsets()
+        if not prior.is_contained_within(now):
+            raise RuntimeError(
+                f"offset regression: persisted {prior} not contained in {now}"
+            )
+        self._persist_offsets(now.merge(prior))
+        return results
+
+    # ------------------------------------------------- per-partition offsets
+    @property
+    def _offsets_path(self) -> str:
+        return os.path.join(self.work_root, "_offsets.json")
+
+    def offsets(self, *, persisted: bool = False) -> "PartitionedOffsets":
+        """Per-table committed offsets as one PartitionedOffsets map
+        (sources/gtids.py:241): ``persisted=True`` reads the dispatcher's last
+        durably stored map; otherwise the map is derived live from each
+        engine's lake manifest (`committed_max_offset`) — the map is pure
+        metadata, no data scan."""
+        from debezium_spark.sources.gtids import PartitionedOffsets
+
+        if persisted:
+            try:
+                with open(self._offsets_path) as f:
+                    return PartitionedOffsets.from_json(f.read())
+            except FileNotFoundError:
+                return PartitionedOffsets()
+        po = PartitionedOffsets()
+        for name, eng in self.engines.items():
+            off = eng.target().committed_max_offset
+            if off >= 0:
+                po = po.advance(name, off)
+        return po
+
+    def _persist_offsets(self, po) -> None:
+        tmp = self._offsets_path + ".tmp"
+        os.makedirs(self.work_root, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(po.to_json())
+        os.replace(tmp, self._offsets_path)  # atomic, same rule as the manifest
 
     def target(self, name: str):
         return self.engines[name].target()

@@ -111,3 +111,35 @@ def test_dispatcher_table_exclude(spark, tmpdir_path):
     eng.run()
     assert eng.target("repos").read().count() == 2
     assert not os.path.exists(os.path.join(tmpdir_path, "targetsb", "users"))
+
+
+def test_partitioned_offsets_map(spark, tmpdir_path):
+    """The dispatcher maintains one PartitionedOffsets map (partition = table,
+    sources/gtids.py:241): persisted atomically after run(), monotone across
+    replays, and containment-checked so a resume can never regress a table."""
+    from debezium_spark.sources.gtids import PartitionedOffsets
+
+    wal_dir = os.path.join(tmpdir_path, "mwal3")
+    spark.createDataFrame(_wal_rows(), WAL_SCHEMA).repartition(1).write.parquet(wal_dir)
+
+    eng = _mk(spark, tmpdir_path, wal_dir, "c")
+    assert eng.offsets(persisted=True) == PartitionedOffsets()  # nothing yet
+    eng.run()
+    po = eng.offsets()
+    # committed watermark = batch window hi (>= last event offset per table)
+    assert po.get("repos") >= 11 and po.get("users") >= 10
+    # persisted map matches the live manifests
+    assert eng.offsets(persisted=True) == po
+
+    # replay on a fresh dispatcher: same targets, map unchanged (monotone)
+    eng2 = _mk(spark, tmpdir_path, wal_dir, "c")
+    assert eng2.offsets(persisted=True) == po
+    eng2.run()
+    assert eng2.offsets(persisted=True) == po
+    assert po.is_contained_within(eng2.offsets())
+
+    # merge algebra: a foreign map with a lagging table and an extra partition
+    other = PartitionedOffsets({"repos": 5, "audit": 3})
+    merged = po.merge(other)
+    assert merged.get("repos") == po.get("repos") and merged.get("audit") == 3
+    assert other.is_contained_within(merged) and po.is_contained_within(merged)
