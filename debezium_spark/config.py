@@ -119,6 +119,11 @@ class EngineConfig:
     # (AbstractIncrementalSnapshotChangeEventSource.java:199-259 readChunk pacing)
     incremental_chunk_size: int = 1024
     incremental_chunks_per_batch: int = 4
+    # chunk plans with more chunks than this leave the driver entirely: the
+    # key bounds land in a range-clustered parquet sidecar and each batch
+    # reads only its window (pushed-down _chunk range). 64k bounds ~ a few MB
+    # of driver memory — above that a 10^8-chunk plan would be driver-OOM.
+    incremental_bounds_driver_max: int = 65_536
 
     # --- batching / replay (ChangeEventQueue.java:62-106 analogues) ---
     # max offsets pulled into one micro-batch during batch replay

@@ -90,6 +90,31 @@ def ranged_row_number(
     return out, total
 
 
+def chunk_bounds_frame(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    *,
+    chunk_size: int = 1024,
+) -> tuple[DataFrame, int, DataFrame]:
+    """Distributed form of :func:`chunk_bounds`: the boundary keys as a
+    DataFrame ``(_chunk long, <key cols...>)`` that is never collected — the
+    caller lands it wherever it wants (the engine writes a parquet sidecar
+    when the chunk count would not fit driver memory; ~10^8 chunks at 10^11
+    rows / 1024-row chunks is a 10 GB bounds list, not a driver object).
+
+    Returns ``(bounds_frame, total_rows, persisted_intermediate)``; the caller
+    must ``persisted_intermediate.unpersist()`` after materializing the frame.
+    """
+    numbered, total = ranged_row_number(df.select(*key_cols), key_cols)
+    bf = numbered.where(
+        (F.col("_rn") % chunk_size == 0) | (F.col("_rn") == F.lit(total))
+    ).select(
+        ((F.col("_rn") - 1) / chunk_size).cast("long").alias("_chunk"),
+        *key_cols,
+    )
+    return bf, total, numbered._ranged_persisted
+
+
 def chunk_bounds(
     df: DataFrame,
     key_cols: tuple[str, ...],
@@ -119,22 +144,13 @@ def chunk_bounds(
     gap, no overlap — even if the key is not unique; ``n_rows`` is nominal in
     that degenerate case and per-chunk lineage reports actual counts.
     """
-    numbered, total = ranged_row_number(df.select(*key_cols), key_cols)
+    bf, total, persisted = chunk_bounds_frame(df, key_cols, chunk_size=chunk_size)
     try:
         if total == 0:
             return [], 0
-        rows = (
-            numbered.where(
-                (F.col("_rn") % chunk_size == 0) | (F.col("_rn") == total)
-            )
-            .select(
-                ((F.col("_rn") - 1) / chunk_size).cast("long").alias("_chunk"),
-                *key_cols,
-            )
-            .collect()
-        )
+        rows = bf.collect()
     finally:
-        numbered._ranged_persisted.unpersist()
+        persisted.unpersist()
     n_chunks = (total + chunk_size - 1) // chunk_size
     by_chunk = {int(r["_chunk"]): [r[c] for c in key_cols] for r in rows}
     bounds = []

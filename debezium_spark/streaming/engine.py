@@ -93,6 +93,8 @@ class CdcEngine:
         # durable per-chunk key bounds of the in-flight ad-hoc snapshot (one
         # JSONL line per chunk, written once at snapshot start)
         self._incr_bounds_path = os.path.join(work_dir, "_incr_chunks.jsonl")
+        # big-plan variant: bounds as a range-clustered parquet sidecar
+        self._incr_bounds_parquet = os.path.join(work_dir, "_incr_chunks.parquet")
         self._bounds_cache: list[dict] | None = None
         self._snapshot_mode_resolved: str | None = None
 
@@ -406,29 +408,84 @@ class CdcEngine:
         immutable parquet snapshot and no chunk was emitted yet."""
         if st.get("n_chunks") is not None:
             return st
-        from debezium_spark.sources.snapshot import chunk_bounds
+        from debezium_spark.sources.snapshot import chunk_bounds_frame
 
         cs = st["chunk_size"] or self.config.incremental_chunk_size
         src = self.spark.read.parquet(self.snapshot_source)
-        bounds, total = chunk_bounds(src, self.config.key_columns, chunk_size=cs)
-        tmp = self._incr_bounds_path + ".tmp"
-        with open(tmp, "w") as f:
-            for b in bounds:
-                f.write(json.dumps(b) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._incr_bounds_path)
-        self._bounds_cache = bounds
-        st = {**st, "chunk_size": cs, "n_chunks": len(bounds), "total_rows": total}
+        bf, total, persisted = chunk_bounds_frame(
+            src, self.config.key_columns, chunk_size=cs
+        )
+        n_chunks = (total + cs - 1) // cs
+        fmt = (
+            "jsonl"
+            if n_chunks <= self.config.incremental_bounds_driver_max
+            else "parquet"
+        )
+        try:
+            if fmt == "jsonl":
+                # small plan: driver-resident list + JSONL sidecar (no per-batch
+                # read job — the common case and the bench path)
+                key_cols = self.config.key_columns
+                rows = bf.collect()
+                by_chunk = {int(r["_chunk"]): [r[c] for c in key_cols] for r in rows}
+                bounds = [
+                    {"chunk": c, "hi": by_chunk[c]} for c in range(n_chunks)
+                ]
+                tmp = self._incr_bounds_path + ".tmp"
+                with open(tmp, "w") as f:
+                    for b in bounds:
+                        f.write(json.dumps(b) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._incr_bounds_path)
+                self._bounds_cache = bounds
+            else:
+                # big plan: bounds NEVER materialize on the driver — land them
+                # range-clustered on _chunk so each batch's window read prunes
+                # to one file via parquet min/max stats (10^8 chunks = a few GB
+                # of parquet, a per-batch read of <= chunks_per_batch+1 rows)
+                n_files = max(n_chunks // 65536, 1)
+                bf.repartitionByRange(n_files, F.col("_chunk")).write.mode(
+                    "overwrite"
+                ).parquet(self._incr_bounds_parquet)
+                self._bounds_cache = None
+        finally:
+            persisted.unpersist()
+        st = {
+            **st,
+            "chunk_size": cs,
+            "n_chunks": n_chunks,
+            "total_rows": total,
+            "bounds_format": fmt,
+        }
         self._save_incr_state(st)
         return st
 
     def _chunk_window_bounds(
-        self, lo_chunk: int, hi_chunk: int
+        self, lo_chunk: int, hi_chunk: int, *, fmt: str = "jsonl"
     ) -> tuple[list[dict], list | None]:
         """Bounds of chunks [lo_chunk, hi_chunk) + the exclusive lower key
-        (the previous chunk's hi), from the in-memory cache or the durable
-        sidecar after a restart."""
+        (the previous chunk's hi), from the in-memory cache / durable JSONL
+        sidecar (small plans), or from the parquet sidecar (plans too big for
+        driver memory): a pushed-down ``_chunk`` range read of at most
+        ``chunks_per_batch + 1`` rows — per-batch driver memory is O(window)
+        no matter how many chunks the snapshot has."""
+        if fmt == "parquet":
+            key_cols = self.config.key_columns
+            rows = sorted(
+                self.spark.read.parquet(self._incr_bounds_parquet)
+                .where(
+                    (F.col("_chunk") >= lo_chunk - 1) & (F.col("_chunk") < hi_chunk)
+                )
+                .collect(),
+                key=lambda r: r["_chunk"],
+            )
+            by_chunk = {int(r["_chunk"]): [r[c] for c in key_cols] for r in rows}
+            window = [
+                {"chunk": c, "hi": by_chunk[c]} for c in range(lo_chunk, hi_chunk)
+            ]
+            lo_key = by_chunk[lo_chunk - 1] if lo_chunk > 0 else None
+            return window, lo_key
         if self._bounds_cache is None:
             with open(self._incr_bounds_path) as f:
                 self._bounds_cache = [json.loads(x) for x in f if x.strip()]
@@ -471,7 +528,9 @@ class CdcEngine:
         key_cols = cfg.key_columns
         p = st["position"]
         p_hi = min(p + cfg.incremental_chunks_per_batch, st["n_chunks"])
-        window_bounds, lo_key = self._chunk_window_bounds(p, p_hi)
+        window_bounds, lo_key = self._chunk_window_bounds(
+            p, p_hi, fmt=st.get("bounds_format", "jsonl")
+        )
         hi_key = window_bounds[-1]["hi"]
 
         def lit_key(kv: list) -> F.Column:

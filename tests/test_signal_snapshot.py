@@ -128,3 +128,35 @@ def test_stop_snapshot_cancels(spark, tmpdir_path):
         eng.target().read().select("repo", "path", "content").toPandas()
     )
     assert got == oracle.state_hashes(oracle.reduce_wal(stream))
+
+
+def test_parquet_bounds_sidecar_matches_jsonl_path(spark, tmpdir_path):
+    """Big-plan variant: with incremental_bounds_driver_max forced below the
+    chunk count, the key bounds land in the range-clustered parquet sidecar
+    and every batch reads only its chunk window — final state identical to the
+    driver-resident JSONL path, and no JSONL bounds file exists."""
+    spec, src_dir, wal_dir = _setup(spark, tmpdir_path)
+    sig = os.path.join(tmpdir_path, "signals_pq.jsonl")
+    with open(sig, "w") as f:
+        f.write(json.dumps({"type": "execute-snapshot"}) + "\n")
+
+    eng = _engine(
+        spark, tmpdir_path, wal_dir, src_dir, "pq", sig,
+        incremental_bounds_driver_max=2,  # 300 keys / 64-row chunks = 5 chunks
+    )
+    eng.run()
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == _expected(spark, src_dir, wal_dir)
+    work = os.path.join(tmpdir_path, "wpq")
+    assert os.path.isdir(os.path.join(work, "_incr_chunks.parquet"))
+    assert not os.path.exists(os.path.join(work, "_incr_chunks.jsonl"))
+    st = json.load(open(os.path.join(work, "_incr_snapshot.json")))
+    assert st["bounds_format"] == "parquet" and st["n_chunks"] == 5
+    chunks = [
+        json.loads(x)
+        for x in open(os.path.join(work, "_metrics.jsonl"))
+        if "incremental_chunk" in x
+    ]
+    assert sum(c["n_rows"] for c in chunks) == spec.n_keys
