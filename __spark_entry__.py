@@ -1074,6 +1074,38 @@ def q_dt_point_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topic_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro fullname adjustment over a data column of topic/schema names
+    (util/SchemaNameAdjuster.validFullname, SchemaNameAdjuster.java:149-190):
+    invalid chars -> '_', an invalid FIRST char is replaced (not prefixed).
+    One column exercises the valid-first-char path, one the digit-first path."""
+    from debezium_spark.functions.naming import sanitize_topic_col
+
+    ev = _events(spark, sf_dir)
+    a = F.concat(F.col("event_type"), F.lit("-v+1"))
+    b = F.concat(F.col("user_id").cast("string"), F.lit("."), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        sanitize_topic_col(a).alias("topic_ok_first"),
+        sanitize_topic_col(b).alias("topic_digit_first"),
+    )
+
+
+def q_dt_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.debezium.data.Enum / EnumSet validation (data/Enum.java:1,
+    data/EnumSet.java:1): values outside the ``allowed`` parameter become null
+    (relaxed Connect behavior); EnumSet checks every comma-separated element."""
+    from debezium_spark.functions.datatypes import enum_check, enum_set_check
+
+    ev = _events(spark, sf_dir)
+    es = F.concat(F.col("event_type"), F.lit(",click"))
+    return ev.select(
+        "event_id",
+        enum_check(F.col("event_type"), ["click", "view"]).alias("enum_ok"),
+        enum_set_check(es, ["click", "view"]).alias("enum_set_ok"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1138,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_variable_scale_decimal": q_dt_variable_scale_decimal,
         "dt_bits": q_dt_bits,
         "dt_point_wkb": q_dt_point_wkb,
+        "cdc_topic_sanitize": q_topic_sanitize,
+        "dt_enum": q_dt_enum,
     }
 
 
@@ -1797,5 +1831,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal AS pt_x, CAST(c_custkey AS DOUBLE) AS pt_y,
                    21 AS wkb_len
             FROM customer
+        """,
+        "cdc_topic_sanitize": """
+            WITH t AS (
+              SELECT event_id,
+                     event_type || '-v+1' AS a,
+                     CAST(user_id AS VARCHAR) || '.' || event_type AS b
+              FROM events
+            ), s AS (
+              SELECT event_id, a, b,
+                     regexp_replace(a, '[^A-Za-z0-9_.]', '_', 'g') AS sa,
+                     regexp_replace(b, '[^A-Za-z0-9_.]', '_', 'g') AS sb
+              FROM t
+            )
+            SELECT event_id,
+                   CASE WHEN regexp_matches(substr(a, 1, 1), '^[A-Za-z_]$')
+                        THEN sa ELSE '_' || substr(sa, 2, 100000) END
+                       AS topic_ok_first,
+                   CASE WHEN regexp_matches(substr(b, 1, 1), '^[A-Za-z_]$')
+                        THEN sb ELSE '_' || substr(sb, 2, 100000) END
+                       AS topic_digit_first
+            FROM s
+        """,
+        "dt_enum": """
+            SELECT event_id,
+                   CASE WHEN event_type IN ('click','view') THEN event_type END
+                       AS enum_ok,
+                   CASE WHEN len(list_filter(
+                            string_split(event_type || ',click', ','),
+                            x -> x <> '' AND x NOT IN ('click','view'))) = 0
+                        THEN event_type || ',click' END AS enum_set_ok
+            FROM events
         """,
     }

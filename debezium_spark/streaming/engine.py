@@ -1366,6 +1366,66 @@ class CdcEngine:
                 ]
         return self.spark.createDataFrame(rows, schema)
 
+    def meters(self) -> dict[str, Any]:
+        """Reference-named monitoring attributes (the JMX MBean surface:
+        pipeline/meters/CommonEventMeter.java, SnapshotMeter.java,
+        StreamingMeter.java getters), derived entirely from the engine's
+        durable metrics / lineage / snapshot-state files — a pure driver-side
+        file read, zero Spark jobs, so a monitoring poller costs nothing.
+
+        Semantics mapping (single-captured-table engine): events seen = sum of
+        committed batch offset spans (offsets are the event currency here);
+        filtered/erroneous = malformed-key quarantine counts (P18);
+        a committed micro-batch is the transaction analogue for
+        NumberOfCommittedTransactions (each batch commits atomically);
+        RowsScanned = per-source incremental-snapshot chunk rows
+        (SnapshotMeter.rowsScanned); SnapshotAborted = a stop-snapshot signal
+        was consumed (StopSnapshot.java)."""
+        raw: list[dict] = []
+        if os.path.exists(self._metrics_path):
+            with open(self._metrics_path) as f:
+                raw = [json.loads(x) for x in f if x.strip()]
+        batches = [r for r in raw if r.get("hi") is not None]
+        chunks = [r for r in raw if "incremental_chunk" in r]
+        malformed = sum(int(r.get("malformed_skipped") or 0) for r in raw)
+        signals = [r["signal"] for r in raw if r.get("signal")]
+        st = self._incr_state()
+        last = batches[-1] if batches else None
+        table = self.config.table_name or "captured"
+        snapshot_running = bool(st.get("active")) and not st.get("paused")
+        return {
+            # CommonEventMeter.java getters
+            "TotalNumberOfEventsSeen": sum(
+                max(int(r["hi"]) - int(r["lo"]), 0) for r in batches
+            ),
+            "NumberOfEventsFiltered": malformed,
+            "NumberOfErroneousEvents": malformed,
+            "LastEvent": (
+                f"offset={last['hi']}, batch_id={last['batch_id']}" if last else None
+            ),
+            # SnapshotMeter.java getters
+            "SnapshotRunning": snapshot_running,
+            "SnapshotPaused": bool(st.get("paused")),
+            "SnapshotCompleted": (
+                not st.get("active") and int(st.get("position") or 0) > 0
+            ),
+            "SnapshotAborted": "stop-snapshot" in signals,
+            "RowsScanned": {
+                table: sum(int(c.get("n_rows") or 0) for c in chunks)
+            },
+            "ChunkId": (
+                f"incremental-{chunks[-1]['incremental_chunk']}" if chunks else None
+            ),
+            "CapturedTables": [table],
+            "TotalTableCount": 1,
+            "RemainingTableCount": 1 if snapshot_running else 0,
+            # StreamingMeter.java getters
+            "NumberOfCommittedTransactions": len(batches),
+            "SourceEventPosition": (
+                {"offset": str(last["hi"])} if last else {}
+            ),
+        }
+
 
 class _PauseSignal(Exception):
     """In-band pause signal received; the streaming query stops cleanly before

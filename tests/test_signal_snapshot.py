@@ -160,3 +160,23 @@ def test_parquet_bounds_sidecar_matches_jsonl_path(spark, tmpdir_path):
         if "incremental_chunk" in x
     ]
     assert sum(c["n_rows"] for c in chunks) == spec.n_keys
+
+
+def test_meters_surface(spark, tmpdir_path):
+    """Reference-named monitoring attributes (pipeline/meters/*.java getters)
+    derived from the durable files — no Spark job to poll."""
+    spec, src_dir, wal_dir = _setup(spark, tmpdir_path)
+    sig = os.path.join(tmpdir_path, "signals_m.jsonl")
+    with open(sig, "w") as f:
+        f.write(json.dumps({"type": "execute-snapshot"}) + "\n")
+    eng = _engine(spark, tmpdir_path, wal_dir, src_dir, "m", sig)
+    eng.run()
+    m = eng.meters()
+    assert m["SnapshotCompleted"] and not m["SnapshotRunning"]
+    assert not m["SnapshotAborted"] and not m["SnapshotPaused"]
+    assert m["RowsScanned"] == {"repos": spec.n_keys}  # config.table_name default
+    assert m["NumberOfCommittedTransactions"] >= 1
+    assert m["TotalNumberOfEventsSeen"] > 0
+    assert m["LastEvent"].startswith("offset=")
+    assert m["SourceEventPosition"]["offset"] == str(eng.target().committed_max_offset)
+    assert m["RemainingTableCount"] == 0 and m["TotalTableCount"] == 1
