@@ -143,3 +143,24 @@ def test_partitioned_offsets_map(spark, tmpdir_path):
     merged = po.merge(other)
     assert merged.get("repos") == po.get("repos") and merged.get("audit") == 3
     assert other.is_contained_within(merged) and po.is_contained_within(merged)
+
+
+def test_offsets_survive_table_exclusion_on_restart(spark, tmpdir_path):
+    """Narrowing the captured set on restart must not trip the monotonicity
+    check: the excluded table's persisted watermark is retained (carried
+    through the merge), not compared against a non-existent engine."""
+    wal_dir = os.path.join(tmpdir_path, "mwal4")
+    spark.createDataFrame(_wal_rows(), WAL_SCHEMA).repartition(1).write.parquet(wal_dir)
+
+    eng = _mk(spark, tmpdir_path, wal_dir, "d")
+    eng.run()
+    po_full = eng.offsets(persisted=True)
+    assert po_full.get("users") >= 10
+
+    eng2 = _mk(spark, tmpdir_path, wal_dir, "d", table_exclude="^users$")
+    assert set(eng2.engines) == {"repos"}
+    eng2.run()  # must not raise
+    po_after = eng2.offsets(persisted=True)
+    # excluded table's watermark retained; captured table stayed monotone
+    assert po_after.get("users") == po_full.get("users")
+    assert po_after.get("repos") >= po_full.get("repos")
