@@ -262,15 +262,10 @@ def q_unwrap_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-engine end-to-end under the driver's hash gate: derive a WAL from
-    the events table (one c/u/d change per event, keyed by a synthetic
-    repo+path), replay it through the shipped CdcEngine (envelope wrap ->
-    offset dedup -> ordinal LWW resolve -> bucket-pruned copy-on-write merge,
-    3 offset-range batches with lineage checkpoints), and return the final
-    lake state. Oracle: per-key last-writer-wins window, deletes remove the
-    key — the reference's golden-state replay-and-diff (ConnectorOutputTest)
-    as a hash-checked driver entry."""
+def _derived_wal_engine(spark: SparkSession, sf_dir: str, *, prefix: str):
+    """Shared harness for the full-engine entries: derive a WAL from the
+    events table (one c/u/d change per event, keyed by a synthetic repo+path),
+    write it to a temp dir, and return a fresh CdcEngine over it."""
     import tempfile
 
     from debezium_spark import CdcEngine, EngineConfig
@@ -298,15 +293,26 @@ def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("tx_id"),
         F.lit(0).alias("schema_version"),
     )
-    root = tempfile.mkdtemp(prefix="dbz_e2e_entry_")
-    wal.write.mode("overwrite").parquet(os.path.join(root, "wal"))
-    eng = CdcEngine(
+    root = tempfile.mkdtemp(prefix=prefix)
+    wal.repartition(4).write.mode("overwrite").parquet(os.path.join(root, "wal"))
+    return CdcEngine(
         spark,
         EngineConfig(max_offsets_per_batch=4000),
         wal_path=os.path.join(root, "wal"),
         target_path=os.path.join(root, "target"),
         work_dir=os.path.join(root, "work"),
     )
+
+
+def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine end-to-end under the driver's hash gate: replay the derived
+    WAL through the shipped CdcEngine (envelope wrap -> offset dedup ->
+    ordinal LWW resolve -> bucket-pruned copy-on-write merge, 3 offset-range
+    batches with lineage checkpoints), and return the final lake state.
+    Oracle: per-key last-writer-wins window, deletes remove the key — the
+    reference's golden-state replay-and-diff (ConnectorOutputTest) as a
+    hash-checked driver entry."""
+    eng = _derived_wal_engine(spark, sf_dir, prefix="dbz_e2e_entry_")
     eng.run()
     # Return the lake state straight off its kept parquet files — the "write
     # to a kept path" pattern. The earlier localCheckpoint(eager=True) copied
@@ -314,6 +320,19 @@ def q_e2e_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the temp dir early: harmless at gate scale, an anti-pattern at 100 TB.
     # The temp root is left for the OS tmp reaper (bounded: one sf0.01 state
     # per driver run).
+    return eng.target().read().select("repo", "path", "content")
+
+
+def q_stateful_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-materialization end-to-end: the SAME derived WAL as
+    cdc_e2e_engine_replay, driven through run_streaming_stateful — Structured
+    Streaming file source, applyInPandasWithState per-key LWW against all
+    history (streaming/stateful.py), changed-keys-only lake merge. The final
+    lake state must hash-match the batch engine's oracle exactly: batch and
+    continuous modes share one ordinal rule (offset*128+seq), so this entry
+    pins their equivalence under the driver's gate."""
+    eng = _derived_wal_engine(spark, sf_dir, prefix="dbz_stateful_entry_")
+    eng.run_streaming_stateful(max_files_per_trigger=2)
     return eng.target().read().select("repo", "path", "content")
 
 
@@ -1119,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_wrap": q_envelope_wrap,
         "cdc_lww_last_state": q_lww_last_state,
         "cdc_e2e_engine_replay": q_e2e_engine_replay,
+        "cdc_stateful_lww_state": q_stateful_lww_state,
         "cdc_dedup_by_offset": q_dedup_by_offset,
         "cdc_op_skip_filter": q_op_skip_filter,
         "cdc_table_filter": q_table_filter,
@@ -1415,6 +1435,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_e2e_engine_replay": f"""
+            WITH w AS (
+              SELECT event_id AS off,
+                     'r' || CAST(user_id % 31 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     {_OP_CASE_SQL} AS op,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                       AS content
+              FROM events
+            ),
+            last AS (
+              SELECT repo, path, op, content,
+                     row_number() OVER (
+                       PARTITION BY repo, path ORDER BY off DESC
+                     ) AS rn
+              FROM w
+            )
+            SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+        """,
+        "cdc_stateful_lww_state": f"""
             WITH w AS (
               SELECT event_id AS off,
                      'r' || CAST(user_id % 31 AS VARCHAR) AS repo,

@@ -1339,6 +1339,137 @@ class CdcEngine:
             if not self._pause_requested:
                 raise
 
+    def run_streaming_stateful(
+        self, *, max_files_per_trigger: int | None = None
+    ) -> None:
+        """Continuous-materialization drive: the streaming state store resolves
+        per-key LWW winners against ALL history (streaming/stateful.stateful_lww,
+        applyInPandasWithState) and each micro-batch MERGEs only the keys whose
+        winner CHANGED — the Spark-native analogue of consuming a compacted
+        topic (RelationalChangeRecordEmitter -> Kafka log compaction; SURVEY
+        §2.4) straight into the lake, kept incrementally instead of re-resolved
+        per batch like run()/run_streaming().
+
+        Scale shape: per-key state shards across executors with
+        ``spark.sql.shuffle.partitions``; each trigger shuffles only its own
+        events, and the merge's source side carries at most one row per
+        changed key — batches late in a long tail touch (and rewrite) only the
+        buckets that actually changed, where the batch path re-resolves every
+        batch from scratch.
+
+        Crash safety / exactly-once: the state store checkpoints with the
+        query; a replayed epoch re-emits the same transitions, and the lake
+        merge's strict ``s._offset > t._offset`` guard makes the re-apply a
+        no-op. Re-delivered WAL files lose the all-history ordinal comparison
+        inside the state store and never reach the merge at all.
+
+        Scope: the final schema is fixed for the life of the query (a state
+        store's payload schema cannot change mid-stream), so all schema-history
+        DDL is applied to the lake up-front and envelopes align to the final
+        schema (``upto_offset=None``). ``provide_transaction_metadata`` is
+        unsupported here (per-tx ranking needs a window over the unbounded
+        stream); signals/incremental snapshots remain batch-engine features.
+        """
+        from debezium_spark.streaming.stateful import stateful_lww
+
+        cfg = self.config
+        if cfg.provide_transaction_metadata:
+            raise ValueError(
+                "provide_transaction_metadata is not supported in stateful "
+                "streaming mode (unbounded per-tx ranking window); use run() "
+                "or run_streaming()"
+            )
+        lake = self.target()
+        reg = self.registry()
+        for change in reg.pending_upto(2**62):  # fixed final schema up-front
+            reg.apply_to_lake(lake, change)
+            if change.table_changes != "create":
+                self.history.record(change)
+        key_cols = list(cfg.key_columns)
+
+        reader = self.spark.readStream.schema(self._wal().schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(self.wal_path)
+        changelog = stateful_lww(
+            self._envelope(stream), key_cols=tuple(key_cols)
+        )
+        data_cols = [
+            c for c in changelog.columns
+            if c not in (*key_cols, "action", "_offset", "_ts_ms")
+        ]
+
+        self._pause_requested = False
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            if self._poll_signals()["pause"]:
+                self._pause_requested = True
+                raise _PauseSignal()
+            t0 = time.time()
+            df = df.persist()
+            try:
+                agg = df.agg(
+                    F.max("_offset").alias("hi"),
+                    F.sum(
+                        F.when(F.col("action") == R.ACTION_UPSERT, 1).otherwise(0)
+                    ).alias("ups"),
+                    F.sum(
+                        F.when(F.col("action") == R.ACTION_DELETE, 1).otherwise(0)
+                    ).alias("dels"),
+                ).collect()[0]
+                if agg["hi"] is None:
+                    return  # trigger resolved no state transitions
+                actions = df.select(
+                    *key_cols,
+                    F.col("action"),
+                    F.struct(*[F.col(c) for c in data_cols]).alias("after"),
+                    F.col("_offset"),
+                    F.col("_ts_ms"),
+                )
+                stats = {
+                    "rows_applied": int(agg["ups"]), "rows_deleted": int(agg["dels"])
+                }
+                res = lake.merge(
+                    actions,
+                    batch_id=lake.committed_batch_id + 1,
+                    max_offset=int(agg["hi"]),
+                    stats=stats,
+                )
+                if res.get("applied"):
+                    self._append_jsonl(
+                        self._metrics_path,
+                        [
+                            {
+                                "batch_id": res["batch_id"],
+                                "lo": None,
+                                "hi": int(agg["hi"]),
+                                "keys_touched": stats["rows_applied"]
+                                + stats["rows_deleted"],
+                                "rows_applied": stats["rows_applied"],
+                                "rows_deleted": stats["rows_deleted"],
+                                "wall_ms": int((time.time() - t0) * 1000),
+                            }
+                        ],
+                    )
+            finally:
+                df.unpersist()
+
+        q = (
+            changelog.writeStream.outputMode("update")
+            .foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.work_dir, "stateful_ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            if not self._pause_requested:
+                raise
+
     # ------------------------------------------------------------- inspection
     def checkpoints(self) -> DataFrame:
         schema = (
@@ -1366,12 +1497,21 @@ class CdcEngine:
                 ]
         return self.spark.createDataFrame(rows, schema)
 
-    def meters(self) -> dict[str, Any]:
+    def meters(self, *, per_op_counts: bool = False) -> dict[str, Any]:
         """Reference-named monitoring attributes (the JMX MBean surface:
         pipeline/meters/CommonEventMeter.java, SnapshotMeter.java,
         StreamingMeter.java getters), derived entirely from the engine's
         durable metrics / lineage / snapshot-state files — a pure driver-side
         file read, zero Spark jobs, so a monitoring poller costs nothing.
+
+        ``per_op_counts=True`` additionally reports
+        TotalNumberOf{Create,Update,Delete}EventsSeen
+        (CommonEventMetricsMXBean.java:19-23; the reference tallies them on
+        each dispatched event, CommonEventMeter.java:53-66). The batch engine
+        has no per-event hook, so these are derived by ONE extra Spark job: a
+        (op, offset)-pruned scan of the committed WAL range (offset predicate
+        pushed to parquet) through the same table filter the dispatcher
+        applies — opt-in so the default poller stays zero-job.
 
         Semantics mapping (single-captured-table engine): events seen = sum of
         committed batch offset spans (offsets are the event currency here);
@@ -1393,10 +1533,35 @@ class CdcEngine:
         last = batches[-1] if batches else None
         table = self.config.table_name or "captured"
         snapshot_running = bool(st.get("active")) and not st.get("paused")
+        op_counts: dict[str, int] = {}
+        if per_op_counts and batches:
+            hi = max(int(r["hi"]) for r in batches)
+            seen = self._prefilter(
+                self._wal().where(F.col("offset") <= hi)
+            )
+            # 'r' (snapshot read) rows count toward the total only — the
+            # reference's switch tallies CREATE/UPDATE/DELETE and falls
+            # through for READ (CommonEventMeter.java:56-67).
+            op_counts = {
+                r["op"]: int(r["n"])
+                for r in seen.groupBy("op").agg(F.count("*").alias("n")).collect()
+                if r["op"] in ("c", "u", "d")
+            }
         return {
             # CommonEventMeter.java getters
             "TotalNumberOfEventsSeen": sum(
-                max(int(r["hi"]) - int(r["lo"]), 0) for r in batches
+                max(int(r["hi"]) - int(r["lo"]), 0)
+                for r in batches
+                if r.get("lo") is not None  # stateful-mode triggers have no lo
+            ),
+            **(
+                {
+                    "TotalNumberOfCreateEventsSeen": op_counts.get("c", 0),
+                    "TotalNumberOfUpdateEventsSeen": op_counts.get("u", 0),
+                    "TotalNumberOfDeleteEventsSeen": op_counts.get("d", 0),
+                }
+                if per_op_counts
+                else {}
             ),
             "NumberOfEventsFiltered": malformed,
             "NumberOfErroneousEvents": malformed,

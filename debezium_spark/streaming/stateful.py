@@ -50,10 +50,12 @@ def stateful_lww(
 
     Input: a (streaming or batch) envelope frame ``(key, value, offset[, seq])``
     (envelope.wrap_wal schema). Output: one row per key whose winner CHANGED in
-    the trigger — ``key_cols*, action ('u'|'d'), <non-key payload cols>,
-    _offset`` — i.e. the stream a sink would apply; unchanged keys emit
-    nothing (a stale re-delivery with a lower ordinal is absorbed by the
-    state comparison, the resume/dedup rule S8 applied against all history).
+    the trigger — ``key_cols*, action ('upsert'|'delete'), <non-key payload
+    cols>, _offset, _ts_ms`` — i.e. the stream a sink would apply; unchanged
+    keys emit nothing (a stale re-delivery with a lower ordinal is absorbed by
+    the state comparison, the resume/dedup rule S8 applied against all
+    history). ``_ts_ms`` is the winning event's source timestamp, so the row
+    is directly mergeable by LakeTable.merge (run_streaming_stateful).
 
     Ordering key: the same ``offset * 128 + seq`` ordinal as the batch
     resolver (resolver.py:resolve_lww), so batch and continuous modes resolve
@@ -74,6 +76,7 @@ def stateful_lww(
     flat = env.select(
         *[F.col("key").getField(c).alias(c) for c in key_cols],
         (F.col("offset").cast("long") * 128 + seq).alias("_ord"),
+        F.coalesce(val.getField("ts_ms").cast("long"), F.lit(0)).alias("_ts"),
         is_del.alias("_is_delete"),
         *[
             F.when(~is_del, val.getField("after").getField(f.name))
@@ -86,6 +89,7 @@ def stateful_lww(
     state_t = T.StructType(
         [
             T.StructField("_ord", T.LongType()),
+            T.StructField("_ts", T.LongType()),
             T.StructField("_is_delete", T.BooleanType()),
             *[T.StructField(f.name, f.dataType) for f in data_fields],
         ]
@@ -96,6 +100,7 @@ def stateful_lww(
             T.StructField("action", T.StringType()),
             *[T.StructField(f.name, f.dataType) for f in data_fields],
             T.StructField("_offset", T.LongType()),
+            T.StructField("_ts_ms", T.LongType()),
         ]
     )
     data_names = [f.name for f in data_fields]
@@ -105,7 +110,7 @@ def stateful_lww(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         best_ord: int | None = None
-        best_row: tuple[bool, list[Any]] | None = None
+        best_row: tuple[int, bool, list[Any]] | None = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -115,17 +120,17 @@ def stateful_lww(
                 best_ord = o
                 row = pdf.loc[i]
                 vals = [None if pd.isna(row[c]) else row[c] for c in data_names]
-                best_row = (bool(row["_is_delete"]), vals)
+                best_row = (int(row["_ts"]), bool(row["_is_delete"]), vals)
         if best_ord is None:
             return
         if state.exists and int(state.get[0]) >= best_ord:
             return  # stale re-delivery: all-history dedup, no emission
-        is_delete, vals = best_row
-        state.update((best_ord, is_delete, *vals))
+        ts, is_delete, vals = best_row
+        state.update((best_ord, ts, is_delete, *vals))
         action = ACTION_DELETE if is_delete else ACTION_UPSERT
         yield pd.DataFrame(
-            [[*key, action, *vals, best_ord // 128]],
-            columns=[*key_cols, "action", *data_names, "_offset"],
+            [[*key, action, *vals, best_ord // 128, ts]],
+            columns=[*key_cols, "action", *data_names, "_offset", "_ts_ms"],
         )
 
     return flat.groupBy(*key_cols).applyInPandasWithState(

@@ -180,3 +180,24 @@ def test_meters_surface(spark, tmpdir_path):
     assert m["LastEvent"].startswith("offset=")
     assert m["SourceEventPosition"]["offset"] == str(eng.target().committed_max_offset)
     assert m["RemainingTableCount"] == 0 and m["TotalTableCount"] == 1
+    assert "TotalNumberOfCreateEventsSeen" not in m  # opt-in: default is zero-job
+
+    # per-op counters (CommonEventMetricsMXBean:19-23): one pruned scan of the
+    # committed WAL range, counts match a direct groupBy over the same range
+    mo = eng.meters(per_op_counts=True)
+    wal = spark.read.parquet(wal_dir).where(
+        F.col("offset") <= eng.target().committed_max_offset
+    )
+    want = {
+        r["op"]: r["n"]
+        for r in wal.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    assert mo["TotalNumberOfCreateEventsSeen"] == want.get("c", 0)
+    assert mo["TotalNumberOfUpdateEventsSeen"] == want.get("u", 0)
+    assert mo["TotalNumberOfDeleteEventsSeen"] == want.get("d", 0)
+    assert (
+        mo["TotalNumberOfCreateEventsSeen"]
+        + mo["TotalNumberOfUpdateEventsSeen"]
+        + mo["TotalNumberOfDeleteEventsSeen"]
+        > 0
+    )
