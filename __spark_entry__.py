@@ -1125,6 +1125,37 @@ def q_dt_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dt_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the io.debezium.time.* family (time/Time.java:1,
+    MicroTime.java:1, NanoTime.java:1, NanoTimestamp.java:1, Year.java:1,
+    ZonedTime.java:1, Interval.java:1, MicroDuration.java:1): past-midnight
+    milli/micro/nano ints, epoch nanos, year int, zoned time string, ISO-8601
+    period string with trailing-zero-stripped seconds, and the
+    average-days-per-month approximate duration. Interval/duration components
+    are synthesized deterministically from event_id (quarter-second fractions
+    keep the double arithmetic exact, so the truncation cross-checks
+    bit-for-bit against the oracle)."""
+    from debezium_spark.functions import converters as C
+
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts")
+    eid = F.col("event_id")
+    y, mo, d = eid % 3, eid % 12, eid % 28
+    h, mi = eid % 24, eid % 60
+    s = (eid % 60).cast("double") + (eid % 4).cast("double") / F.lit(4.0)
+    return ev.select(
+        eid.alias("offset"),
+        C.milli_of_day(ts).alias("t_ms"),
+        C.micro_of_day(ts).alias("t_us"),
+        C.nano_of_day(ts).alias("t_ns"),
+        C.epoch_nanos(ts).alias("ts_ns"),
+        C.year_int(ts).alias("yr"),
+        C.zoned_time_iso(ts).alias("zt"),
+        C.interval_iso(y, mo, d, h, mi, s).alias("period_iso"),
+        C.duration_micros(y, mo, d, h, mi, s).alias("dur_us"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1192,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_point_wkb": q_dt_point_wkb,
         "cdc_topic_sanitize": q_topic_sanitize,
         "dt_enum": q_dt_enum,
+        "dt_temporal": q_dt_temporal,
     }
 
 
@@ -1902,5 +1934,42 @@ def oracle_sql() -> dict[str, str]:
                             x -> x <> '' AND x NOT IN ('click','view'))) = 0
                         THEN event_type || ',click' END AS enum_set_ok
             FROM events
+        """,
+        # io.debezium.time.* temporal family: past-midnight millis/micros/
+        # nanos, epoch nanos, year, zoned time, ISO period with
+        # stripTrailingZeros seconds, MicroDuration's avg-days-per-month
+        # double arithmetic (same association order -> bit-exact).
+        "dt_temporal": """
+            WITH t AS (
+              SELECT event_id, ts,
+                     epoch_us(ts) AS us,
+                     epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS us_day,
+                     event_id % 3 AS y, event_id % 12 AS mo,
+                     event_id % 28 AS d, event_id % 24 AS h,
+                     event_id % 60 AS mi,
+                     CAST(event_id % 60 AS DOUBLE)
+                         + CAST(event_id % 4 AS DOUBLE) / 4.0 AS s
+              FROM events
+            )
+            SELECT event_id AS offset,
+                   CAST(us_day // 1000 AS INT) AS t_ms,
+                   CAST(us_day AS BIGINT) AS t_us,
+                   CAST(us_day * 1000 AS BIGINT) AS t_ns,
+                   CAST(us * 1000 AS BIGINT) AS ts_ns,
+                   CAST(year(ts) AS INT) AS yr,
+                   strftime(ts, '%H:%M:%S.%f') || 'Z' AS zt,
+                   'P' || y || 'Y' || mo || 'M' || d || 'DT' || h || 'H'
+                       || mi || 'M'
+                       || regexp_replace(regexp_replace(
+                              CAST(CAST(s AS DECIMAL(29,9)) AS VARCHAR),
+                              '0+$', ''), '\\.$', '')
+                       || 'S' AS period_iso,
+                   CAST(trunc(
+                       (((((CAST(y AS DOUBLE) * 12.0 + CAST(mo AS DOUBLE))
+                              * 30.4375 + CAST(d AS DOUBLE)) * 24.0
+                             + CAST(h AS DOUBLE)) * 60.0
+                            + CAST(mi AS DOUBLE)) * 60.0 + s)
+                       * 1000000.0) AS BIGINT) AS dur_us
+            FROM t
         """,
     }

@@ -13,6 +13,9 @@ Reference surface (jdbc/JdbcValueConverters.java:73-136 + io.debezium.time.*):
       - connect -> Kafka Connect logical types: Timestamp = epoch MILLIseconds
         (org.apache.kafka.connect.data.Timestamp), Date = epoch days
   * ZonedTimestamp -> ISO-8601 UTC string (io.debezium.time.ZonedTimestamp)
+  * the rest of the io.debezium.time.* family: Time / MicroTime / NanoTime
+    (past-midnight int), NanoTimestamp, Year, ZonedTime, Interval
+    (ISO-8601 period string), MicroDuration (approximate micros)
 
 Everything is JVM-side column algebra (no UDFs); each converter is a pure
 Column -> Column function usable standalone or through apply_converters() on a
@@ -62,6 +65,99 @@ def zoned_iso(ts_col: Column) -> Column:
     return F.date_format(
         ts_col.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
     )
+
+
+def milli_of_day(ts_col: Column) -> Column:
+    """io.debezium.time.Time: milliseconds past midnight (int32,
+    Time.toMilliOfDay). Day boundary taken in the session timezone-free
+    timestamp, matching the source-local wall clock the reference converts."""
+    ts = ts_col.cast("timestamp")
+    return F.floor(
+        (F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))) / F.lit(1000)
+    ).cast("int")
+
+
+def micro_of_day(ts_col: Column) -> Column:
+    """io.debezium.time.MicroTime: microseconds past midnight (int64)."""
+    ts = ts_col.cast("timestamp")
+    return (F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))).cast("long")
+
+
+def nano_of_day(ts_col: Column) -> Column:
+    """io.debezium.time.NanoTime: nanoseconds past midnight (int64,
+    NanoTime.toNanoOfDay). Spark timestamps carry microsecond precision, so
+    the sub-microsecond digits are zero — same as the reference converting a
+    micro-precision source value."""
+    return micro_of_day(ts_col) * F.lit(1000)
+
+
+def epoch_nanos(ts_col: Column) -> Column:
+    """io.debezium.time.NanoTimestamp: nanoseconds past epoch (int64,
+    NanoTimestamp.toEpochNanos); micro-precision source -> trailing zeros."""
+    return F.unix_micros(ts_col.cast("timestamp")) * F.lit(1000)
+
+
+def year_int(ts_col: Column) -> Column:
+    """io.debezium.time.Year: the year number as int32 (MySQL YEAR columns)."""
+    return F.year(ts_col.cast("timestamp")).cast("int")
+
+
+def zoned_time_iso(ts_col: Column) -> Column:
+    """io.debezium.time.ZonedTime: ISO-8601 time-with-offset string; the
+    engine normalizes to UTC ('Z'), like ZonedTimestamp handling above."""
+    return F.date_format(ts_col.cast("timestamp"), "HH:mm:ss.SSSSSS'Z'")
+
+
+def _strip_trailing_zeros(dec_str: Column) -> Column:
+    # BigDecimal.stripTrailingZeros().toPlainString(): the cast-to-string of a
+    # decimal(_,9) ALWAYS contains '.', so stripping '0' then '.' from the
+    # right cannot eat integer digits ("200.000000000" -> "200").
+    return F.regexp_replace(F.regexp_replace(dec_str, r"0+$", ""), r"\.$", "")
+
+
+def interval_iso(
+    years: Column, months: Column, days: Column,
+    hours: Column, minutes: Column, seconds: Column,
+) -> Column:
+    """io.debezium.time.Interval: ISO-8601 period string
+    'P<y>Y<m>M<d>DT<h>H<m>M<s>S' with the seconds' trailing fractional zeros
+    stripped (Interval.toIsoString — BigDecimal.stripTrailingZeros, scale
+    capped at 9)."""
+    secs = _strip_trailing_zeros(seconds.cast("decimal(29,9)").cast("string"))
+    return F.concat(
+        F.lit("P"), years.cast("int").cast("string"),
+        F.lit("Y"), months.cast("int").cast("string"),
+        F.lit("M"), days.cast("int").cast("string"),
+        F.lit("DT"), hours.cast("int").cast("string"),
+        F.lit("H"), minutes.cast("int").cast("string"),
+        F.lit("M"), secs, F.lit("S"),
+    )
+
+
+#: MicroDuration.DAYS_PER_MONTH_AVG (365.25 / 12 = 30.4375, exact in binary).
+DAYS_PER_MONTH_AVG = 365.25 / 12.0
+
+
+def duration_micros(
+    years: Column, months: Column, days: Column,
+    hours: Column, minutes: Column, seconds: Column,
+    *, days_per_month_avg: float = DAYS_PER_MONTH_AVG,
+) -> Column:
+    """io.debezium.time.MicroDuration.durationMicros: approximate interval ->
+    microseconds, using an average-days-per-month convention (the reference
+    defaults to ChronoUnit.MONTHS' 30.436875 when unset; connectors pass
+    DAYS_PER_MONTH_AVG = 30.4375 — same knob here). Same double-arithmetic
+    association order as the Java, truncated toward zero."""
+    nd = (
+        (years.cast("double") * F.lit(12.0) + months.cast("double"))
+        * F.lit(float(days_per_month_avg))
+        + days.cast("double")
+    )
+    nsec = (
+        (nd * F.lit(24.0) + hours.cast("double")) * F.lit(60.0)
+        + minutes.cast("double")
+    ) * F.lit(60.0) + seconds.cast("double")
+    return (nsec * F.lit(1e6)).cast("long")  # Spark cast truncates, like (long)
 
 
 def convert_timestamp(ts_col: Column, mode: str = "adaptive") -> Column:

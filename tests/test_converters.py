@@ -57,6 +57,46 @@ def test_temporal_modes(frame):
         C.convert_timestamp(F.col("ts"), "bogus")
 
 
+def test_time_family(frame):
+    """io.debezium.time.{Time,MicroTime,NanoTime,NanoTimestamp,Year,
+    ZonedTime}: past-midnight values, epoch nanos, year int, zoned time."""
+    out = frame.where(F.col("ts").isNotNull()).select(
+        C.milli_of_day(F.col("ts")).alias("ms"),
+        C.micro_of_day(F.col("ts")).alias("us"),
+        C.nano_of_day(F.col("ts")).alias("ns"),
+        C.epoch_nanos(F.col("ts")).alias("ens"),
+        C.year_int(F.col("ts")).alias("yr"),
+        C.zoned_time_iso(F.col("ts")).alias("zt"),
+    ).collect()
+    r = out[0]  # 2024-01-02 03:04:05.678901
+    us = ((3 * 60 + 4) * 60 + 5) * 1_000_000 + 678_901
+    assert r["ms"] == us // 1000 and r["us"] == us and r["ns"] == us * 1000
+    assert r["ens"] == 1704164645678901000 and r["yr"] == 2024
+    assert r["zt"] == "03:04:05.678901Z"
+    e = out[1]  # epoch midnight
+    assert e["ms"] == 0 and e["us"] == 0 and e["ns"] == 0 and e["ens"] == 0
+
+
+def test_interval_and_duration(spark):
+    """io.debezium.time.Interval.toIsoString (stripTrailingZeros seconds) and
+    MicroDuration.durationMicros (30.4375 days/month, truncating)."""
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5, 6.25), (0, 0, 0, 0, 0, 7.0)],
+        "y int, mo int, d int, h int, mi int, s double",
+    )
+    cols = [F.col(c) for c in ("y", "mo", "d", "h", "mi", "s")]
+    out = df.select(
+        C.interval_iso(*cols).alias("iso"),
+        C.duration_micros(*cols).alias("us"),
+    ).collect()
+    assert out[0]["iso"] == "P1Y2M3DT4H5M6.25S"
+    assert out[1]["iso"] == "P0Y0M0DT0H0M7S"
+    # Java: numberOfDays = (1*12+2)*30.4375 + 3; ((nd*24+4)*60+5)*60+6.25
+    nd = (1 * 12 + 2) * 30.4375 + 3
+    assert out[0]["us"] == int((((nd * 24 + 4) * 60 + 5) * 60 + 6.25) * 1e6)
+    assert out[1]["us"] == 7_000_000
+
+
 def test_heartbeat_records(spark):
     """P15 heartbeat (HeartbeatImpl.java:30-69): one record per elapsed
     interval window, topic '__debezium-heartbeat.<server>', key={serverName},
