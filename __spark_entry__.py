@@ -1156,6 +1156,72 @@ def q_dt_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dt_special_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecialValueDecimal (data/SpecialValueDecimal.java:33-192): textual
+    NaN/Infinity/-Infinity decimals through all three decimal.handling.modes —
+    string renders the enum NAME, double renders IEEE specials, precise nulls
+    them out (the reference throws; the engine's failure-handling predicate is
+    the `special` column). Plain values are exact '<id>.25' strings so the
+    decimal casts cross-check digit-for-digit."""
+    from debezium_spark.functions import converters as C
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    raw = (
+        F.when(eid % 7 == 0, F.lit("NaN"))
+        .when(eid % 7 == 1, F.lit("Infinity"))
+        .when(eid % 7 == 2, F.lit("-Infinity"))
+        .otherwise(F.concat(eid.cast("string"), F.lit(".25")))
+    )
+    return ev.select(
+        eid.alias("offset"),
+        C.decimal_special_name(raw).alias("special"),
+        C.convert_decimal_special(raw, "string", precision=38, scale=6).alias("d_str"),
+        C.convert_decimal_special(raw, "double").alias("d_dbl"),
+        C.convert_decimal_special(raw, "precise", precision=38, scale=6).alias(
+            "d_prec"
+        ),
+    )
+
+
+def q_dt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.debezium.data.geometry.Geometry (geometry/Geometry.java:30-76) /
+    Geography (Geography.java:24-42): {wkb, srid} struct with optional srid
+    (createValue sets it only when non-null). Point WKB feeds the struct; the
+    oracle-checked invariants are the srid pattern (incl. nulls), the 21-byte
+    WKB length, and the bit-exact (x, y) round-trip through the WKB bytes."""
+    from debezium_spark.functions.datatypes import (
+        geometry_encode,
+        point_decode,
+        point_encode,
+    )
+
+    cu = _customer(spark, sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.col("c_custkey").cast("double").alias("y"),
+    )
+    ck = F.col("c_custkey")
+    enc = point_encode(cu, "x", "y").select(
+        "c_custkey",
+        F.col("point.wkb").alias("wkb"),
+        F.when(ck % 3 != 0, (F.lit(4326) + ck % 10).cast("int")).alias("srid_in"),
+    )
+    geom = geometry_encode(enc, "wkb", srid_col="srid_in", out="geom")
+    dec = point_decode(
+        geom.select("c_custkey", F.col("geom.srid").alias("srid"),
+                    F.col("geom.wkb").alias("gwkb")),
+        "gwkb",
+    )
+    return dec.select(
+        "c_custkey",
+        F.col("srid"),
+        F.octet_length("gwkb").alias("wkb_len"),
+        F.col("pt_x"),
+        F.col("pt_y"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1224,6 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_topic_sanitize": q_topic_sanitize,
         "dt_enum": q_dt_enum,
         "dt_temporal": q_dt_temporal,
+        "dt_special_decimal": q_dt_special_decimal,
+        "dt_geometry": q_dt_geometry,
     }
 
 
@@ -1971,5 +2039,47 @@ def oracle_sql() -> dict[str, str]:
                             + CAST(mi AS DOUBLE)) * 60.0 + s)
                        * 1000000.0) AS BIGINT) AS dur_us
             FROM t
+        """,
+        # SpecialValueDecimal: enum names in string mode, IEEE specials in
+        # double mode, null in precise mode; plain '<id>.25' decimals are
+        # exact in both engines at scale 6.
+        "dt_special_decimal": """
+            WITH t AS (
+              SELECT event_id,
+                     CASE event_id % 7
+                          WHEN 0 THEN 'NaN'
+                          WHEN 1 THEN 'Infinity'
+                          WHEN 2 THEN '-Infinity'
+                          ELSE event_id || '.25' END AS raw,
+                     CASE event_id % 7
+                          WHEN 0 THEN 'NAN'
+                          WHEN 1 THEN 'POSITIVE_INFINITY'
+                          WHEN 2 THEN 'NEGATIVE_INFINITY' END AS special
+              FROM events
+            )
+            SELECT event_id AS offset,
+                   special,
+                   COALESCE(special,
+                            CAST(CAST(raw AS DECIMAL(38,6)) AS VARCHAR))
+                       AS d_str,
+                   CASE special
+                        WHEN 'NAN' THEN CAST('nan' AS DOUBLE)
+                        WHEN 'POSITIVE_INFINITY' THEN CAST('inf' AS DOUBLE)
+                        WHEN 'NEGATIVE_INFINITY' THEN CAST('-inf' AS DOUBLE)
+                        ELSE CAST(raw AS DOUBLE) END AS d_dbl,
+                   CASE WHEN special IS NULL
+                        THEN CAST(raw AS DECIMAL(38,6)) END AS d_prec
+            FROM t
+        """,
+        # Geometry/Geography struct: srid passthrough incl. optional nulls,
+        # fixed 21-byte point WKB, bit-exact (x, y) round-trip.
+        "dt_geometry": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 <> 0
+                        THEN CAST(4326 + c_custkey % 10 AS INT) END AS srid,
+                   21 AS wkb_len,
+                   CAST(c_acctbal AS DOUBLE) AS pt_x,
+                   CAST(c_custkey AS DOUBLE) AS pt_y
+            FROM customer
         """,
     }

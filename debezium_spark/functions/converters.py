@@ -160,6 +160,60 @@ def duration_micros(
     return (nsec * F.lit(1e6)).cast("long")  # Spark cast truncates, like (long)
 
 
+#: Source-side textual special values (PostgreSQL numeric NaN/Infinity) ->
+#: SpecialValueDecimal.SpecialValue names (data/SpecialValueDecimal.java:33-42).
+SPECIAL_DECIMAL_TOKENS = {
+    "NaN": "NAN",
+    "Infinity": "POSITIVE_INFINITY",
+    "-Infinity": "NEGATIVE_INFINITY",
+}
+
+
+def decimal_special_name(col: Column) -> Column:
+    """The SpecialValue enum name for a textual decimal, else null
+    (data/SpecialValueDecimal.java:33-42 — NAN / POSITIVE_INFINITY /
+    NEGATIVE_INFINITY; ``toString()`` renders ``specialValue.name()``)."""
+    out = F.lit(None).cast("string")
+    for token, name in SPECIAL_DECIMAL_TOKENS.items():
+        out = F.when(F.trim(col) == F.lit(token), F.lit(name)).otherwise(out)
+    return out
+
+
+def convert_decimal_special(
+    col: Column, mode: str = "precise", *, precision: int = 38, scale: int = 18
+) -> Column:
+    """decimal.handling.mode with SpecialValueDecimal semantics
+    (data/SpecialValueDecimal.java:161-192, ``fromLogical``):
+
+    * string  -> special values render as the enum NAME ("NAN",
+      "POSITIVE_INFINITY", "NEGATIVE_INFINITY"); plain values as
+      toPlainString.
+    * double  -> Double.NaN / ±Infinity.
+    * precise -> the reference THROWS (specials aren't representable as
+      Connect Decimal). The batch analogue is a null here — pair with
+      ``decimal_special_name()`` as the predicate for the engine's
+      event.processing.failure.handling.mode (fail/warn/skip + DLQ), which
+      is where a per-record ConnectException maps in a vectorized engine.
+    """
+    special = decimal_special_name(col)
+    if mode == "precise":
+        return F.when(special.isNotNull(), F.lit(None).cast(
+            f"decimal({precision},{scale})"
+        )).otherwise(col.cast(f"decimal({precision},{scale})"))
+    if mode == "double":
+        return (
+            F.when(special == "NAN", F.lit(float("nan")))
+            .when(special == "POSITIVE_INFINITY", F.lit(float("inf")))
+            .when(special == "NEGATIVE_INFINITY", F.lit(float("-inf")))
+            .otherwise(col.cast("double"))
+        )
+    if mode == "string":
+        return F.coalesce(
+            special, col.cast(f"decimal({precision},{scale})").cast("string")
+        )
+    raise ValueError(f"invalid decimal.handling.mode {mode!r}")
+
+
 def convert_timestamp(ts_col: Column, mode: str = "adaptive") -> Column:
     """time.precision.mode for timestamp columns (JdbcValueConverters.java:100-136)."""
     if mode in ("adaptive", "adaptive_time_microseconds"):

@@ -41,6 +41,7 @@ __all__ = [
     "as_logical",
     "enum_check",
     "enum_set_check",
+    "geometry_encode",
     "point_encode",
     "point_decode",
 ]
@@ -155,6 +156,41 @@ def enum_set_check(col: Column, allowed: list[str]) -> Column:
     elems = F.split(col, ",")
     ok = F.forall(elems, lambda e: (e == "") | e.isin(list(allowed)))
     return F.when(col.isNotNull() & ok, col)
+
+
+GEOMETRY_LOGICAL = "io.debezium.data.geometry.Geometry"
+GEOGRAPHY_LOGICAL = "io.debezium.data.geometry.Geography"
+
+
+def geometry_encode(
+    df: DataFrame,
+    wkb_col: str,
+    *,
+    srid_col: str | None = None,
+    srid: int | None = None,
+    out: str = "geom",
+    geography: bool = False,
+) -> DataFrame:
+    """WKB bytes (+ optional SRID) -> ``io.debezium.data.geometry.Geometry``
+    struct ``{wkb: bytes, srid: int32?}`` (geometry/Geometry.java:30-76:
+    ``createValue`` puts wkb always, srid only when non-null) — or the
+    ``Geography`` logical name (geometry/Geography.java:24-42, same layout).
+    Pair with ``point_encode(...).point.wkb`` for point geometries; any other
+    OGC WKB payload (from a connector's native-geometry decode) passes through
+    opaquely, which is exactly the reference's contract."""
+    if srid_col is not None:
+        srid_c = F.col(srid_col).cast("int")
+    elif srid is not None:
+        srid_c = F.lit(int(srid)).cast("int")
+    else:
+        srid_c = F.lit(None).cast("int")
+    tagged = df.withColumn(
+        out,
+        F.struct(F.col(wkb_col).cast("binary").alias("wkb"), srid_c.alias("srid")),
+    )
+    return as_logical(
+        tagged, out, GEOGRAPHY_LOGICAL if geography else GEOMETRY_LOGICAL
+    )
 
 
 _POINT_T = T.StructType(

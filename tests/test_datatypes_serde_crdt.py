@@ -108,6 +108,52 @@ def test_point_decode_big_endian_bom(spark):
     assert got == {(7.5, -1.0), (None, None)}
 
 
+def test_geometry_struct_and_logical_name(spark):
+    """Geometry/Geography struct {wkb, srid} with optional srid
+    (geometry/Geometry.java:30-76 createValue, Geography.java:24-42)."""
+    df = spark.createDataFrame(
+        [(bytearray(b"\x01\x01"), 4326), (bytearray(b"\x00"), None)],
+        "wkb binary, s int",
+    )
+    geo = DT.geometry_encode(df, "wkb", srid_col="s")
+    rows = {bytes(r["geom"]["wkb"]): r["geom"]["srid"] for r in geo.collect()}
+    assert rows == {b"\x01\x01": 4326, b"\x00": None}
+    assert geo.schema["geom"].metadata[DT.LOGICAL_NAME_KEY] == DT.GEOMETRY_LOGICAL
+    gg = DT.geometry_encode(df, "wkb", srid=3857, geography=True)
+    assert gg.schema["geom"].metadata[DT.LOGICAL_NAME_KEY] == DT.GEOGRAPHY_LOGICAL
+    assert {r["geom"]["srid"] for r in gg.collect()} == {3857}
+    plain = DT.geometry_encode(df, "wkb")
+    assert {r["geom"]["srid"] for r in plain.collect()} == {None}
+
+
+def test_special_value_decimal_modes(spark):
+    """SpecialValueDecimal.fromLogical (data/SpecialValueDecimal.java:161-192):
+    string -> enum names, double -> IEEE specials, precise -> null (the
+    engine-side stand-in for the reference's ConnectException)."""
+    import math
+
+    from debezium_spark.functions import converters as C
+
+    df = spark.createDataFrame(
+        [("NaN",), ("Infinity",), ("-Infinity",), ("12.5",), (None,)],
+        "raw string",
+    )
+    out = df.select(
+        C.decimal_special_name(F.col("raw")).alias("sp"),
+        C.convert_decimal_special(F.col("raw"), "string", scale=2).alias("s"),
+        C.convert_decimal_special(F.col("raw"), "double").alias("d"),
+        C.convert_decimal_special(F.col("raw"), "precise", scale=2).alias("p"),
+    ).collect()
+    got = {r["s"]: r for r in out}
+    assert set(got) == {"NAN", "POSITIVE_INFINITY", "NEGATIVE_INFINITY", "12.50", None}
+    assert math.isnan(got["NAN"]["d"]) and got["NAN"]["p"] is None
+    assert got["POSITIVE_INFINITY"]["d"] == float("inf")
+    assert got["NEGATIVE_INFINITY"]["d"] == float("-inf")
+    r = got["12.50"]
+    assert r["sp"] is None and r["d"] == 12.5 and str(r["p"]) == "12.50"
+    assert got[None]["sp"] is None and got[None]["p"] is None
+
+
 def test_as_logical_metadata_survives(spark):
     df = spark.createDataFrame([("u1",)], "id string")
     tagged = DT.as_logical(df, "id", "io.debezium.data.Uuid")
