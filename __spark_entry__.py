@@ -1222,6 +1222,59 @@ def q_dt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tracing_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ActivateTracingSpan SMT (transforms/tracing/ActivateTracingSpan.java:
+    1-186): every third event carries a Properties-serialized parent span
+    context in its after-block; the transform extracts it (DebeziumTextMap
+    load, comment lines skipped), chains db-log-write -> operation spans with
+    deterministic md5-derived ids, and injects the operation span's context
+    as headers. Span lineage, start timestamps, a db.* tag, and the injected
+    header are all oracle-checked."""
+    from debezium_spark.functions.converters import epoch_millis
+    from debezium_spark.functions.tracing import activate_tracing_span
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    ctx = F.when(
+        eid % 3 == 0,
+        F.concat(
+            F.lit("#exported span\ntraceid="),
+            F.substring(F.md5(F.concat(F.lit("t"), es)), 1, 16),
+            F.lit("\nspanid="),
+            F.substring(F.md5(F.concat(F.lit("s"), es)), 1, 16),
+        ),
+    )
+    ts_ms = epoch_millis(F.col("ts"))
+    env = ev.select(
+        eid.alias("offset"),
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                ctx.alias("tracingspancontext"),
+            ).alias("after"),
+            F.when(eid % 2 == 0, F.lit("c")).otherwise(F.lit("u")).alias("op"),
+            ts_ms.alias("ts_ms"),
+            F.struct(
+                F.lit("spark-cdc").alias("connector"),
+                ts_ms.alias("ts_ms"),
+            ).alias("source"),
+        ).alias("value"),
+    )
+    out = activate_tracing_span(env)
+    tr = F.col("tracing")
+    return out.select(
+        "offset",
+        tr["trace_id"].alias("trace_id"),
+        tr["parent_span_id"].alias("parent_span_id"),
+        tr["tx_log_span"]["span_id"].alias("tx_span_id"),
+        tr["debezium_span"]["span_id"].alias("op_span_id"),
+        tr["debezium_span"]["start_us"].alias("start_us"),
+        tr["tx_log_span"]["tags"].getItem("db.connector").alias("db_connector"),
+        F.col("__header_spanid").alias("header_spanid"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1292,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_temporal": q_dt_temporal,
         "dt_special_decimal": q_dt_special_decimal,
         "dt_geometry": q_dt_geometry,
+        "cdc_tracing_span": q_tracing_span,
     }
 
 
@@ -2081,5 +2135,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_acctbal AS DOUBLE) AS pt_x,
                    CAST(c_custkey AS DOUBLE) AS pt_y
             FROM customer
+        """,
+        # ActivateTracingSpan: parent context extraction, md5-derived span
+        # lineage, ts_ms*1000 start micros, db.* tag, injected header.
+        "cdc_tracing_span": """
+            WITH t AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN substr(md5('t' || event_id), 1, 16) END AS ptr,
+                     CASE WHEN event_id % 3 = 0
+                          THEN substr(md5('s' || event_id), 1, 16) END AS psp,
+                     CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ts_ms
+              FROM events
+            ), u AS (
+              SELECT event_id, psp, ts_ms,
+                     COALESCE(ptr, substr(md5('trace:' || event_id), 1, 16))
+                         AS trace_id
+              FROM t
+            )
+            SELECT event_id AS offset,
+                   trace_id,
+                   psp AS parent_span_id,
+                   substr(md5(trace_id || ':db-log-write:' || event_id), 1, 16)
+                       AS tx_span_id,
+                   substr(md5(trace_id || ':debezium-read:' || event_id), 1, 16)
+                       AS op_span_id,
+                   ts_ms * 1000 AS start_us,
+                   'spark-cdc' AS db_connector,
+                   substr(md5(trace_id || ':debezium-read:' || event_id), 1, 16)
+                       AS header_spanid
+            FROM u
         """,
     }
