@@ -493,7 +493,81 @@ def replay_only(cpus: int) -> dict:
     return result
 
 
+def run_replay_stateful(spark, sf: str) -> dict:
+    """Full WAL replay through the CONTINUOUS path (run_streaming_stateful:
+    applyInPandasWithState per-key LWW + changed-keys-only merges) instead of
+    the batch re-resolve. Slower per event by design — the state store pays an
+    Arrow round-trip per trigger — but each trigger's work is O(trigger), so
+    this is the number that matters for long-running tail-latency ingest."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from debezium_spark import CdcEngine, EngineConfig
+    from debezium_spark.sources import wal as W
+
+    n_keys, n_events = WAL_SCALE.get(sf, WAL_SCALE["0.1"])
+    wal_dir = ensure_wal(spark, sf)
+    n_rows = spark.read.parquet(wal_dir).count()
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="dbzbench-st-", dir=BENCH_ROOT)
+    spec = W.WalSpec(n_keys=n_keys, n_events=n_events, seed=42)
+    eng = CdcEngine(
+        spark,
+        EngineConfig(target_buckets=128),
+        wal_path=wal_dir,
+        target_path=os.path.join(work, "target"),
+        work_dir=os.path.join(work, "work"),
+        schema_changes=W.schema_history(spark, spec),
+    )
+    fpt = int(os.environ.get("BENCH_STATEFUL_FPT", "8"))
+    t0 = time.time()
+    eng.run_streaming_stateful(max_files_per_trigger=fpt or None)
+    wall = time.time() - t0
+    final_rows = eng.target().read().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "wall_sec": wall,
+        "events": n_rows,
+        "events_per_sec": n_rows / wall,
+        "final_rows": final_rows,
+        "files_per_trigger": fpt,
+    }
+
+
+def stateful(cpus: int) -> dict:
+    """`--stateful`: continuous stateful-LWW ingest throughput at
+    $BENCH_STATEFUL_SF (default: one WAL scale below $SPARK_GRAFT_SF_DIR's —
+    the state store's Python round-trip makes per-event cost ~5-10x batch, and
+    the statistic of interest is steady-state events/s, which is
+    size-independent once past JIT warm-up)."""
+    sf = os.environ.get("BENCH_STATEFUL_SF") or warmup_sf_for(sf_of(SF_DIR))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_replay_stateful(spark, warmup_sf_for(sf))  # untimed JIT/Arrow warm-up
+    trials = [
+        run_replay_stateful(spark, sf)
+        for _ in range(int(os.environ.get("BENCH_TRIALS", "2")))
+    ]
+    best = max(trials, key=lambda r: r["events_per_sec"])
+    result = {
+        "metric": "stateful streaming LWW replay events/sec",
+        "value": round(best["wall_sec"], 3),
+        "unit": "sec",
+        "queries": {"cdc_replay_stateful": round(best["wall_sec"], 3)},
+        "sf": float(sf),
+        "cpus": cpus,
+        "events_per_sec": round(best["events_per_sec"], 1),
+        "replay_events": best["events"],
+        "final_rows": best["final_rows"],
+        "files_per_trigger": best["files_per_trigger"],
+        "replay_trials_sec": [round(r["wall_sec"], 3) for r in trials],
+    }
+    spark.stop()
+    return result
+
+
 if __name__ == "__main__":
+    if "--stateful" in sys.argv:
+        print(json.dumps(stateful(CPUS)))
+        sys.exit(0)
     if "--scaling" in sys.argv:
         rep = scaling()
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
