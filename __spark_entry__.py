@@ -1275,6 +1275,26 @@ def q_tracing_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_message_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """message.key.columns custom key mapper (relational/Key.java:92-148):
+    the spec '(.*)\\.EVENTS:event_type,user_id' full-matches the captured
+    table 'lake.events' case-insensitively and re-keys the stream by
+    (user_id, event_type) — TABLE column order, not spec order (the reference
+    filters table.columns() in place). The re-keyed per-key aggregation is
+    the oracle-checked consequence."""
+    from debezium_spark.functions.transforms import resolve_message_key
+
+    ev = _events(spark, sf_dir)
+    key = resolve_message_key(
+        "(.*)\\.EVENTS:event_type,user_id", "lake.events",
+        ev.columns, ("event_id",),
+    )
+    return ev.groupBy(*key).agg(
+        F.count("*").alias("n_changes"),
+        F.max("event_id").alias("max_offset"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1346,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_special_decimal": q_dt_special_decimal,
         "dt_geometry": q_dt_geometry,
         "cdc_tracing_span": q_tracing_span,
+        "cdc_message_key": q_message_key,
     }
 
 
@@ -2165,5 +2186,13 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(trace_id || ':debezium-read:' || event_id), 1, 16)
                        AS header_spanid
             FROM u
+        """,
+        # message.key.columns: re-keyed per-(user_id, event_type) aggregation
+        "cdc_message_key": """
+            SELECT user_id, event_type,
+                   COUNT(*) AS n_changes,
+                   MAX(event_id) AS max_offset
+            FROM events
+            GROUP BY user_id, event_type
         """,
     }

@@ -146,6 +146,11 @@ class EngineConfig:
     # --- target layout ---
     target_buckets: int = 16            # bucket(16, repo) partitioning (FIXTURES.md §4)
     key_columns: tuple[str, ...] = ("repo", "path")
+    # message.key.columns custom key mapper (relational/Key.java:92-148):
+    # '<tableRegex>:<col1,col2>;...' — the engine resolves it against the
+    # captured table id '<database>.<table_name>' and the WAL payload columns
+    # at run start; matches override key_columns, no match keeps the PK above
+    message_key_columns: str | None = None
 
     def __post_init__(self) -> None:
         if self.snapshot_mode not in VALID_SNAPSHOT_MODES:

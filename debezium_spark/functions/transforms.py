@@ -7,10 +7,54 @@ Catalyst-expressible — whole-stage codegen, no Python row path.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .envelope import OP_CREATE, OP_READ
+
+_MSG_KEY_PART = re.compile(r"^\s*([^\s:]+):([^:\s]+)\s*$")
+
+
+def resolve_message_key(
+    spec: str | None,
+    table_id: str,
+    columns: Sequence[str],
+    default_key: Sequence[str],
+) -> tuple[str, ...]:
+    """``message.key.columns`` custom key mapper (relational/Key.java:92-148,
+    ``CustomKeyMapper.getInstance``; config at
+    RelationalDatabaseConnectorConfig.java:275).
+
+    ``spec`` is ``'<tableRegex>:<col1,col2>;...'``. Each (tableRegex, col)
+    pair becomes the regex ``<tableRegex>.<col>``; a column is a key candidate
+    when its fully-qualified name ``<table_id>.<col>`` FULL-matches any of
+    them case-insensitively (Predicates.includes semantics,
+    function/Predicates.java:205). Candidates keep the TABLE's column order
+    (the reference filters ``table.columns()`` in place, not spec order); no
+    candidates -> the default primary key. Malformed parts raise (the
+    reference's config validator rejects them,
+    MSG_KEY_COLUMNS_PATTERN at Key.java:98)."""
+    if not spec:
+        return tuple(default_key)
+    pats: list[re.Pattern[str]] = []
+    for part in spec.split(";"):
+        if not part.strip():
+            continue
+        m = _MSG_KEY_PART.match(part)
+        if not m:
+            raise ValueError(f"invalid message.key.columns part {part!r}")
+        tbl, cols = m.group(1), m.group(2)
+        for c in cols.split(","):
+            # the joining '.' stays a regex-dot — the reference concatenates
+            # '<tableRegex>.<col>' into the pattern verbatim (Key.java:121-127)
+            pats.append(re.compile(f"^(?:{tbl}.{c})$", re.IGNORECASE))
+    candidates = [
+        c for c in columns if any(p.match(f"{table_id}.{c}") for p in pats)
+    ]
+    return tuple(candidates) if candidates else tuple(default_key)
 
 
 def op_skip_filter(env: DataFrame, skipped: list[str]) -> DataFrame:

@@ -97,6 +97,30 @@ class CdcEngine:
         self._incr_bounds_parquet = os.path.join(work_dir, "_incr_chunks.parquet")
         self._bounds_cache: list[dict] | None = None
         self._snapshot_mode_resolved: str | None = None
+        self._msg_key_resolved = False
+
+    def _resolve_message_key(self) -> None:
+        """message.key.columns -> effective key_columns, resolved ONCE against
+        the captured table id and the WAL payload columns
+        (relational/Key.java:92-148 via transforms.resolve_message_key). The
+        resolved tuple replaces config.key_columns for the whole run, so every
+        downstream consumer (envelope keys, LWW, PK split, merge) re-keys
+        consistently — the reference's KeyMapper likewise feeds
+        TableSchemaBuilder once per table schema."""
+        cfg = self.config
+        if self._msg_key_resolved or not cfg.message_key_columns:
+            return
+        import dataclasses
+
+        cols = [f.name for f in self._wal().schema["after"].dataType.fields]
+        resolved = X.resolve_message_key(
+            cfg.message_key_columns,
+            f"{cfg.database}.{cfg.table_name}",
+            cols,
+            cfg.key_columns,
+        )
+        self.config = dataclasses.replace(cfg, key_columns=tuple(resolved))
+        self._msg_key_resolved = True
 
     # ------------------------------------------------------------------ setup
     def _wal(self) -> DataFrame:
@@ -1208,6 +1232,7 @@ class CdcEngine:
         slicing is by offset range, so parquet min/max stats prune unread segments
         (predicate pushdown on `offset`).
         """
+        self._resolve_message_key()
         lake = self.target()
         if self.config.snapshot_mode == SNAPSHOT_SCHEMA_ONLY_RECOVERY:
             # History store was lost/corrupted: re-record every already-crossed
@@ -1298,6 +1323,7 @@ class CdcEngine:
         for source progress (offset store B3 analogue). WAL segments are written in
         offset order (sources/wal.write_wal), matching binlog segment ordering.
         """
+        self._resolve_message_key()
         lake = self.target()
         wal_schema = self._wal().schema
         reader = self.spark.readStream.schema(wal_schema)
@@ -1372,6 +1398,7 @@ class CdcEngine:
         """
         from debezium_spark.streaming.stateful import stateful_lww
 
+        self._resolve_message_key()
         cfg = self.config
         if cfg.provide_transaction_metadata:
             raise ValueError(

@@ -169,3 +169,68 @@ def test_provide_transaction_metadata_emits_block(spark, tmpdir_path):
         e.target().read().select("repo", "path", "content").toPandas()
     )
     assert h(meta) == h(plain)
+
+
+def test_resolve_message_key_mapper():
+    """message.key.columns resolution (relational/Key.java:92-148): full-match
+    case-insensitive regexes over '<table_id>.<col>', candidates in TABLE
+    column order, no-match -> default PK, malformed part raises."""
+    import pytest
+
+    from debezium_spark.functions.transforms import resolve_message_key
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    # spec order (path,repo) does NOT dictate key order — table order does
+    assert resolve_message_key(
+        "lake\\.repos:path,repo", "lake.repos", cols, ("repo", "path")
+    ) == ("repo", "path")
+    # regex table part + case-insensitive match
+    assert resolve_message_key(
+        "(.*)\\.REPOS:LANG", "lake.repos", cols, ("repo", "path")
+    ) == ("lang",)
+    # multiple ';' entries; only the matching one applies
+    assert resolve_message_key(
+        "other\\.tbl:commit;lake\\.repos:commit,lang", "lake.repos", cols,
+        ("repo", "path"),
+    ) == ("commit", "lang")
+    # substring-only match must NOT qualify (full-match anchoring)
+    assert resolve_message_key(
+        "repos:lang", "lake.repos", cols, ("repo", "path")
+    ) == ("repo", "path")
+    # no candidates -> default PK; empty/None spec -> default PK
+    assert resolve_message_key(
+        "lake\\.repos:nope", "lake.repos", cols, ("repo", "path")
+    ) == ("repo", "path")
+    assert resolve_message_key(None, "lake.repos", cols, ("repo", "path")) == (
+        "repo", "path",
+    )
+    with pytest.raises(ValueError):
+        resolve_message_key("no-colon-part", "lake.repos", cols, ("repo",))
+
+
+def test_engine_resolves_message_key_columns(spark, tmpdir_path):
+    """An engine with message.key.columns matching the captured table re-keys
+    the run; an equivalent spec naming the default PK converges to the
+    identical state as the unconfigured engine."""
+    spec = W.WalSpec(n_keys=80, n_events=320, seed=46, schema_changes=False)
+    wal_dir = _wal(spark, tmpdir_path, spec, "mkwal")
+    plain = _engine(spark, tmpdir_path, wal_dir, spec, EngineConfig(), "mk0")
+    same = _engine(
+        spark, tmpdir_path, wal_dir, spec,
+        # resolves to (repo, path) — table column order, same as the default
+        EngineConfig(message_key_columns="lake\\.repos:path,repo"), "mk1",
+    )
+    plain.run()
+    same.run()
+    assert same.config.key_columns == ("repo", "path")
+    h = lambda e: oracle.target_hashes(  # noqa: E731
+        e.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert h(plain) == h(same)
+    # non-matching spec falls back to the configured PK before running
+    fallback = _engine(
+        spark, tmpdir_path, wal_dir, spec,
+        EngineConfig(message_key_columns="other\\.table:commit"), "mk2",
+    )
+    fallback._resolve_message_key()
+    assert fallback.config.key_columns == ("repo", "path")
