@@ -11,9 +11,18 @@ Everything is pyspark.sql DataFrame column algebra; no per-row Python UDFs.
 """
 
 from debezium_spark.config import EngineConfig
+from debezium_spark.plans.ddl import history_rows_from_ddl, parse_ddl
 from debezium_spark.plans.lake import LakeTable
 from debezium_spark.streaming.engine import CdcEngine
 from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
 
-__all__ = ["EngineConfig", "LakeTable", "CdcEngine", "MultiTableEngine", "TableSpec"]
+__all__ = [
+    "EngineConfig",
+    "LakeTable",
+    "CdcEngine",
+    "MultiTableEngine",
+    "TableSpec",
+    "parse_ddl",
+    "history_rows_from_ddl",
+]
 __version__ = "0.1.0"

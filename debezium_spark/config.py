@@ -160,3 +160,120 @@ class EngineConfig:
             raise ValueError(f"invalid skipped_operations {sorted(bad)}")
         if self.failure_handling not in {"fail", "warn", "skip"}:
             raise ValueError(f"invalid failure_handling {self.failure_handling!r}")
+
+    @classmethod
+    def from_properties(cls, props: dict[str, str], **overrides) -> "EngineConfig":
+        """Build a config from the REFERENCE's own dotted connector
+        properties (config/CommonConnectorConfig.java,
+        relational/RelationalDatabaseConnectorConfig.java,
+        config/Configuration.java:1 `Configuration.from(props)`) — a Debezium
+        user's existing `.properties` keys keep working verbatim.
+
+        Recognized keys map 1:1 onto fields (see _PROPERTY_MAP); the
+        parameterized column mappers use the reference's key-embedded-config
+        forms (`column.mask.with.<n>.chars`, `column.truncate.to.<n>.chars`,
+        `column.mask.hash.<algo>.with.salt.<salt>` —
+        RelationalDatabaseConnectorConfig.java:56-57 validation pattern);
+        fully-qualified column values keep only the column segment (the
+        engine captures one table per instance). Transport-only keys with no
+        Spark analogue (connector.class, database.hostname, ...) are accepted
+        and ignored, like a Connect worker passing them through. Anything
+        else raises — `Configuration.validateAndRecord` likewise rejects
+        unknown knobs instead of silently dropping a typo. `overrides` are
+        applied last as constructor kwargs."""
+        kwargs: dict = {}
+        for key, raw in props.items():
+            k = key.strip()
+            if k in _IGNORED_PROPERTIES or k.startswith(_IGNORED_PREFIXES):
+                continue
+            m = _MASK_CHARS.match(k)
+            if m:
+                kwargs.setdefault("mask_columns", {}).update(
+                    {_col(c): "*" * int(m.group(1)) for c in _csv(raw)}
+                )
+                continue
+            m = _TRUNCATE_CHARS.match(k)
+            if m:
+                kwargs.setdefault("truncate_columns", {}).update(
+                    {_col(c): int(m.group(1)) for c in _csv(raw)}
+                )
+                continue
+            m = _MASK_HASH.match(k)
+            if m:
+                kwargs.setdefault("hash_mask_columns", {}).update(
+                    {_col(c): m.group(2) for c in _csv(raw)}
+                )
+                continue
+            if k not in _PROPERTY_MAP:
+                raise ValueError(f"unknown connector property {k!r}")
+            field_name, conv = _PROPERTY_MAP[k]
+            kwargs[field_name] = conv(raw)
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+def _csv(v: str) -> list[str]:
+    return [p.strip() for p in str(v).split(",") if p.strip()]
+
+
+def _col(fq: str) -> str:
+    """Fully-qualified '<db>.<table>.<col>' (or bare) -> column name."""
+    return fq.rsplit(".", 1)[-1]
+
+
+def _bool(v: str) -> bool:
+    s = str(v).strip().lower()
+    if s not in {"true", "false"}:
+        raise ValueError(f"invalid boolean property value {v!r}")
+    return s == "true"
+
+
+def _skipped_ops(v: str) -> list[str]:
+    ops = _csv(v)
+    return [] if ops == ["none"] else ops  # 'none' sentinel (CommonConnectorConfig)
+
+
+# reference property -> (EngineConfig field, parser)
+_PROPERTY_MAP: dict[str, tuple[str, callable]] = {
+    "topic.prefix": ("server_name", str),
+    "database.server.name": ("server_name", str),  # legacy alias
+    "database.dbname": ("database", str),
+    "table.include.list": ("table_include", str),
+    "table.exclude.list": ("table_exclude", str),
+    "column.include.list": ("column_include", _csv),
+    "column.exclude.list": ("column_exclude", _csv),
+    "skipped.operations": ("skipped_operations", _skipped_ops),
+    "tombstones.on.delete": ("tombstones_on_delete", _bool),
+    "snapshot.mode": ("snapshot_mode", str),
+    "event.processing.failure.handling.mode": ("failure_handling", str),
+    "provide.transaction.metadata": ("provide_transaction_metadata", _bool),
+    "heartbeat.interval.ms": ("heartbeat_interval_ms", int),
+    "heartbeat.topics.prefix": ("heartbeat_topics_prefix", str),
+    "incremental.snapshot.chunk.size": ("incremental_chunk_size", int),
+    "max.batch.size": ("max_offsets_per_batch", int),
+    "message.key.columns": ("message_key_columns", str),
+    "message.prefix.include.list": ("message_prefix_include", str),
+    "message.prefix.exclude.list": ("message_prefix_exclude", str),
+    # the reference's value is the signal table id; presence enables the
+    # in-band channel here (the WAL carries op='s' rows for that table)
+    "signal.data.collection": ("signal_data_collection", lambda v: bool(str(v).strip())),
+}
+
+import re as _re  # noqa: E402  (module-tail helpers for from_properties)
+
+_MASK_CHARS = _re.compile(r"^column\.mask\.with\.(\d+)\.chars$")
+_TRUNCATE_CHARS = _re.compile(r"^column\.truncate\.to\.(\d+)\.chars$")
+_MASK_HASH = _re.compile(r"^column\.mask\.hash\.([\w-]+)\.with\.salt\.(.+)$")
+
+# transport/connection keys a Connect worker consumes — no Spark analogue
+_IGNORED_PROPERTIES = {
+    "name", "connector.class", "tasks.max", "database.hostname",
+    "database.port", "database.user", "database.password",
+    "database.connectionTimeZone", "schema.history.internal",
+    "schema.history.internal.kafka.topic",
+    "schema.history.internal.kafka.bootstrap.servers",
+    "key.converter", "value.converter", "key.converter.schemas.enable",
+    "value.converter.schemas.enable", "include.schema.changes",
+    "max.queue.size", "poll.interval.ms",
+}
+_IGNORED_PREFIXES = ("database.history.", "schema.history.internal.kafka.")

@@ -1,0 +1,310 @@
+"""DDL-statement parser feeding the schema registry.
+
+Reference surface: ``relational/ddl/DdlParser.java:18-42`` (``parse(ddl,
+Tables)`` + current-schema resolution), ``DdlParserListener.java:35-47``
+(event types CREATE/ALTER/DROP/TRUNCATE TABLE, USE/SET passthrough) and
+``DdlChanges.java`` (events grouped per database, in statement order). The
+connectors feed captured DDL strings through a parser to evolve the
+in-memory relational model; here the same role is: raw DDL text ->
+``SchemaChange``-compatible ``table_changes`` strings
+(``plans/registry.py:13-16`` — ``create`` / ``add_column:<n>:<t>`` /
+``widen:<n>:<t>`` / ``drop_column:<n>`` / ``rename_column:<o>:<n>``) that
+``SchemaRegistry``/``LakeTable`` replay onto the lake.
+
+Scope: the ANSI/MySQL/Postgres subset Debezium's own history records for a
+captured table's evolution — CREATE TABLE with a column list, ALTER TABLE
+ADD/DROP/RENAME/MODIFY/ALTER COLUMN (single action per event, like the
+reference's per-action listener callbacks), DROP/TRUNCATE TABLE, USE and SET
+recognized-but-schema-neutral. Parsing is driver-side pure Python — DDL
+volume is O(schema changes), never O(data), so this is the one place a loop
+beats a DataFrame at any scale.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+__all__ = ["DdlEvent", "parse_ddl", "history_rows_from_ddl", "sql_type_to_spark"]
+
+# SQL type -> Spark DDL type (registry.parse_type consumes the right side).
+# Sizes on character types are capture-metadata only (Spark strings are
+# unbounded); numeric precision maps onto the engine's decimal convention.
+_SQL_TYPES = {
+    "int": "int", "integer": "int", "int4": "int", "mediumint": "int",
+    "smallint": "smallint", "int2": "smallint", "tinyint": "tinyint",
+    "bigint": "bigint", "int8": "bigint", "serial": "int",
+    "bigserial": "bigint",
+    "float": "float", "real": "float", "float4": "float",
+    "double": "double", "float8": "double", "double precision": "double",
+    "boolean": "boolean", "bool": "boolean", "bit": "boolean",
+    "date": "date",
+    "timestamp": "timestamp", "datetime": "timestamp",
+    "timestamptz": "timestamp", "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "text": "string", "varchar": "string", "char": "string",
+    "character": "string", "character varying": "string", "json": "string",
+    "jsonb": "string", "uuid": "string", "xml": "string", "enum": "string",
+    "longtext": "string", "mediumtext": "string", "tinytext": "string",
+    "binary": "binary", "varbinary": "binary", "blob": "binary",
+    "bytea": "binary", "longblob": "binary",
+    "numeric": "decimal(38,18)", "decimal": "decimal(38,18)",
+}
+
+_COMMENT = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+_IDENT = r"(?:`[^`]+`|\"[^\"]+\"|\[[^\]]+\]|[A-Za-z_][\w$]*)"
+_QUALIFIED = rf"{_IDENT}(?:\.{_IDENT})*"
+
+
+def _unquote(ident: str) -> str:
+    if ident and ident[0] in "`\"[":
+        return ident[1:-1]
+    return ident
+
+
+def _norm_table(raw: str) -> str:
+    return ".".join(_unquote(p) for p in re.findall(_IDENT, raw))
+
+
+def sql_type_to_spark(sql_type: str) -> str:
+    """'VARCHAR(255)' -> 'string', 'NUMERIC(10,2)' -> 'decimal(10,2)', ...
+    Unknown types fall through verbatim (registry.parse_type accepts any
+    Spark DDL type string, so 'array<int>' etc. just work)."""
+    t = re.sub(r"\s+", " ", sql_type.strip().lower())
+    m = re.match(r"^([a-z ]+?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$", t)
+    if not m:
+        return t
+    base, p, s = m.group(1).strip(), m.group(2), m.group(3)
+    if base in ("numeric", "decimal", "dec") and p:
+        return f"decimal({p},{s or 0})"
+    return _SQL_TYPES.get(base, t)
+
+
+@dataclass
+class DdlEvent:
+    """One listener event (DdlParserListener.java:49-90): the statement, the
+    table it affects, and — for schema-shape changes — the registry delta."""
+
+    event_type: str          # CREATE_TABLE | ALTER_TABLE | DROP_TABLE |
+    #                          TRUNCATE_TABLE | USE_DATABASE | SET_VARIABLE
+    table_id: str | None     # schema-qualified, unquoted
+    table_changes: str | None  # registry delta, None for non-shape events
+    statement: str           # the normalized single statement
+    columns: list[tuple[str, str]] | None = None  # CREATE TABLE column list
+
+
+_ADD = re.compile(
+    rf"^add\s+(?:column\s+)?(?:if\s+not\s+exists\s+)?({_IDENT})\s+(.+?)"
+    r"(?:\s+(?:not\s+null|null|default\s+.+|primary\s+key.*|unique.*|"
+    r"comment\s+.+|first|after\s+.+))*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    rf"^drop\s+(?:column\s+)?(?:if\s+exists\s+)?({_IDENT})"
+    r"(?:\s+(?:cascade|restrict))?$",
+    re.IGNORECASE,
+)
+_RENAME = re.compile(
+    rf"^rename\s+(?:column\s+)?({_IDENT})\s+to\s+({_IDENT})$", re.IGNORECASE
+)
+_MODIFY = re.compile(  # MySQL MODIFY col type | ANSI/PG ALTER col [SET DATA] TYPE t
+    rf"^(?:modify\s+(?:column\s+)?({_IDENT})\s+(.+)"
+    rf"|alter\s+(?:column\s+)?({_IDENT})\s+(?:set\s+data\s+)?type\s+(.+))$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes."""
+    parts, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_CONSTRAINT_LEAD = re.compile(
+    r"^(?:primary\s+key|foreign\s+key|unique|key|index|constraint|check|"
+    r"period\s+for)\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_create_columns(body: str) -> list[tuple[str, str]]:
+    cols = []
+    for item in _split_top_level(body, ","):
+        if _CONSTRAINT_LEAD.match(item):
+            continue
+        m = re.match(rf"^({_IDENT})\s+(.+)$", item, re.DOTALL)
+        if not m:
+            continue
+        name, rest = _unquote(m.group(1)), m.group(2)
+        # the type runs until the first constraint-ish keyword
+        tm = re.match(
+            r"^(.+?)(?:\s+(?:not\s+null|null|default\b|primary\s+key|unique|"
+            r"references\b|check\b|comment\b|auto_increment|generated\b|"
+            r"collate\b|character\s+set\b).*)?$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        cols.append((name, sql_type_to_spark(tm.group(1) if tm else rest)))
+    return cols
+
+
+def parse_ddl(ddl: str) -> list[DdlEvent]:
+    """Parse a DDL script into listener events, in statement order
+    (DdlChanges.java groups and replays them the same way). One ALTER TABLE
+    statement with several comma-separated actions emits one event per
+    action, mirroring the reference's per-action callbacks. Unsupported
+    statements raise ``ValueError`` (the reference's parsing error path) —
+    silently skipping a shape-changing statement would corrupt the registry's
+    replayed history."""
+    events: list[DdlEvent] = []
+    clean = _COMMENT.sub(" ", ddl)
+    for stmt in _split_top_level(clean, ";"):
+        stmt = re.sub(r"\s+", " ", stmt).strip()
+        if not stmt:
+            continue
+        low = stmt.lower()
+        if low.startswith("use "):
+            events.append(DdlEvent("USE_DATABASE", None, None, stmt))
+            continue
+        if low.startswith("set "):
+            events.append(DdlEvent("SET_VARIABLE", None, None, stmt))
+            continue
+        m = re.match(
+            rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?({_QUALIFIED})\s*\((.*)\)\s*[^)]*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            events.append(
+                DdlEvent(
+                    "CREATE_TABLE", _norm_table(m.group(1)), "create", stmt,
+                    columns=_parse_create_columns(m.group(2)),
+                )
+            )
+            continue
+        m = re.match(
+            rf"^drop\s+table\s+(?:if\s+exists\s+)?({_QUALIFIED})", stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            events.append(DdlEvent("DROP_TABLE", _norm_table(m.group(1)), None, stmt))
+            continue
+        m = re.match(rf"^truncate\s+(?:table\s+)?({_QUALIFIED})", stmt, re.IGNORECASE)
+        if m:
+            events.append(
+                DdlEvent("TRUNCATE_TABLE", _norm_table(m.group(1)), None, stmt)
+            )
+            continue
+        m = re.match(
+            rf"^alter\s+table\s+(?:only\s+)?({_QUALIFIED})\s+(.*)$", stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table = _norm_table(m.group(1))
+            for action in _split_top_level(m.group(2), ","):
+                am = _ADD.match(action)
+                if am:
+                    typ = sql_type_to_spark(
+                        re.split(
+                            r"\s+(?:not\s+null|null|default|primary|unique|"
+                            r"comment|first|after)\b",
+                            am.group(2),
+                            maxsplit=1,
+                            flags=re.IGNORECASE,
+                        )[0]
+                    )
+                    change = f"add_column:{_unquote(am.group(1))}:{typ}"
+                elif (dm := _DROP.match(action)) is not None:
+                    change = f"drop_column:{_unquote(dm.group(1))}"
+                elif (rm := _RENAME.match(action)) is not None:
+                    change = (
+                        f"rename_column:{_unquote(rm.group(1))}:"
+                        f"{_unquote(rm.group(2))}"
+                    )
+                elif (mm := _MODIFY.match(action)) is not None:
+                    name = _unquote(mm.group(1) or mm.group(3))
+                    typ = sql_type_to_spark(mm.group(2) or mm.group(4))
+                    change = f"widen:{name}:{typ}"
+                else:
+                    raise ValueError(
+                        f"unsupported ALTER TABLE action {action!r} in {stmt!r}"
+                    )
+                events.append(DdlEvent("ALTER_TABLE", table, change, stmt))
+            continue
+        raise ValueError(f"unsupported DDL statement {stmt!r}")
+    return events
+
+
+def history_rows_from_ddl(
+    ddl: str, *, offsets: list[int], first_version: int = 2,
+    table_filter: str | None = None,
+) -> list[dict]:
+    """DDL script -> schema-history rows consumable by
+    ``SchemaRegistry.from_history_rows`` / the engine's ``schema_changes``
+    frame: ``{offset, version, ddl, table_changes}`` per SHAPE-changing event
+    (CREATE TABLE events seed the base schema and are skipped — the registry's
+    v1 IS the create; USE/SET/TRUNCATE are schema-neutral). ``offsets`` pins
+    each emitted change at the WAL offset it took effect; versions number
+    consecutively from ``first_version`` in statement order, exactly how the
+    reference's history recovery replays (HistorizedRelationalDatabaseSchema)."""
+    shape = [
+        e for e in parse_ddl(ddl)
+        if e.table_changes and e.table_changes != "create"
+        and (table_filter is None or e.table_id == table_filter)
+    ]
+    if len(offsets) != len(shape):
+        raise ValueError(
+            f"{len(shape)} shape-changing DDL events but {len(offsets)} offsets"
+        )
+    return [
+        {
+            "offset": off,
+            "version": first_version + i,
+            "ddl": e.statement,
+            "table_changes": e.table_changes,
+        }
+        for i, (e, off) in enumerate(zip(shape, offsets))
+    ]
+
+
+def schema_changes_frame(
+    spark, ddl: str, *, offsets: list[int], first_version: int = 2,
+    table_filter: str | None = None,
+):
+    """Raw DDL -> the engine's ``schema_changes`` DataFrame (same shape as
+    ``sources.wal.schema_history``: offset/version/ddl/table_changes, one row
+    per shape-changing statement, plus the implicit v1 'create' row when the
+    script contains the CREATE TABLE). Lets a user drive ``CdcEngine`` from
+    the DDL text their source actually captured."""
+    rows = [
+        (r["offset"], r["version"], r["ddl"], r["table_changes"])
+        for r in history_rows_from_ddl(
+            ddl, offsets=offsets, first_version=first_version,
+            table_filter=table_filter,
+        )
+    ]
+    for e in parse_ddl(ddl):
+        if e.table_changes == "create" and (
+            table_filter is None or e.table_id == table_filter
+        ):
+            rows.insert(0, (0, 1, e.statement, "create"))
+            break
+    return spark.createDataFrame(
+        rows, "offset bigint, version int, ddl string, table_changes string"
+    )

@@ -1,0 +1,86 @@
+"""EngineConfig.from_properties: the reference's dotted connector property
+surface (config/CommonConnectorConfig.java,
+relational/RelationalDatabaseConnectorConfig.java) mapped onto EngineConfig.
+Pure driver-side — no SparkSession."""
+
+import pytest
+
+from debezium_spark.config import EngineConfig
+
+
+def test_reference_properties_map_onto_fields():
+    cfg = EngineConfig.from_properties(
+        {
+            # transport keys a Connect worker eats — accepted, ignored
+            "name": "repos-connector",
+            "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+            "tasks.max": "1",
+            "database.hostname": "db",
+            "database.port": "5432",
+            "database.user": "cdc",
+            "database.password": "secret",
+            # real engine knobs, reference names verbatim
+            "topic.prefix": "prod",
+            "database.dbname": "inventory",
+            "table.include.list": "inventory\\.repos",
+            "column.exclude.list": "inventory.repos.content, lang",
+            "skipped.operations": "t,r",
+            "tombstones.on.delete": "false",
+            "snapshot.mode": "when_needed",
+            "event.processing.failure.handling.mode": "warn",
+            "provide.transaction.metadata": "true",
+            "heartbeat.interval.ms": "5000",
+            "incremental.snapshot.chunk.size": "2048",
+            "max.batch.size": "100000",
+            "message.key.columns": "inventory\\.repos:repo,path",
+            "signal.data.collection": "inventory.dbz_signal",
+            # key-embedded column mappers
+            "column.mask.with.8.chars": "inventory.repos.commit",
+            "column.truncate.to.16.chars": "content",
+            "column.mask.hash.SHA-256.with.salt.s4lt": "repos.path",
+        }
+    )
+    assert cfg.server_name == "prod"
+    assert cfg.database == "inventory"
+    assert cfg.table_include == "inventory\\.repos"
+    assert cfg.column_exclude == ["inventory.repos.content", "lang"]
+    assert cfg.skipped_operations == ["t", "r"]
+    assert cfg.tombstones_on_delete is False
+    assert cfg.snapshot_mode == "when_needed"
+    assert cfg.failure_handling == "warn"
+    assert cfg.provide_transaction_metadata is True
+    assert cfg.heartbeat_interval_ms == 5000
+    assert cfg.incremental_chunk_size == 2048
+    assert cfg.max_offsets_per_batch == 100000
+    assert cfg.message_key_columns == "inventory\\.repos:repo,path"
+    assert cfg.signal_data_collection is True
+    # column-segment extraction on fully-qualified names
+    assert cfg.mask_columns == {"commit": "********"}
+    assert cfg.truncate_columns == {"content": 16}
+    assert cfg.hash_mask_columns == {"path": "s4lt"}
+
+
+def test_defaults_aliases_and_sentinels():
+    cfg = EngineConfig.from_properties({})
+    assert cfg == EngineConfig()
+    # legacy alias + 'none' skipped-operations sentinel
+    cfg = EngineConfig.from_properties(
+        {"database.server.name": "legacy", "skipped.operations": "none"}
+    )
+    assert cfg.server_name == "legacy" and cfg.skipped_operations == []
+    # overrides win last
+    cfg = EngineConfig.from_properties(
+        {"topic.prefix": "a"}, server_name="b", target_buckets=64
+    )
+    assert cfg.server_name == "b" and cfg.target_buckets == 64
+
+
+def test_unknown_and_invalid_properties_raise():
+    with pytest.raises(ValueError, match="unknown connector property"):
+        EngineConfig.from_properties({"snapsot.mode": "initial"})  # typo
+    with pytest.raises(ValueError, match="invalid boolean"):
+        EngineConfig.from_properties({"tombstones.on.delete": "yes"})
+    with pytest.raises(ValueError, match="invalid snapshot_mode"):
+        EngineConfig.from_properties({"snapshot.mode": "bogus"})
+    with pytest.raises(ValueError, match="invalid skipped_operations"):
+        EngineConfig.from_properties({"skipped.operations": "x"})

@@ -1,0 +1,178 @@
+"""DDL parser -> schema-registry deltas (relational/ddl/DdlParser.java:18-42,
+DdlParserListener.java:35-90, DdlChanges.java). Pure driver-side parsing —
+no SparkSession needed."""
+
+import pytest
+
+from debezium_spark.plans import ddl as D
+
+
+def test_create_table_columns_and_constraints():
+    [e] = D.parse_ddl(
+        """
+        CREATE TABLE IF NOT EXISTS lake.`repos` (
+          repo VARCHAR(255) NOT NULL,
+          path TEXT,
+          "commit" CHAR(40) DEFAULT 'x, y',
+          size_bytes BIGINT,
+          score NUMERIC(10, 2),
+          created TIMESTAMP WITH TIME ZONE,
+          PRIMARY KEY (repo, path),
+          CONSTRAINT fk FOREIGN KEY (repo) REFERENCES r(id)
+        )
+        """
+    )
+    assert e.event_type == "CREATE_TABLE"
+    assert e.table_id == "lake.repos"
+    assert e.table_changes == "create"
+    assert e.columns == [
+        ("repo", "string"),
+        ("path", "string"),
+        ("commit", "string"),
+        ("size_bytes", "bigint"),
+        ("score", "decimal(10,2)"),
+        ("created", "timestamp"),
+    ]
+
+
+def test_alter_actions_one_event_each():
+    evs = D.parse_ddl(
+        "ALTER TABLE lake.repos "
+        "ADD COLUMN size_bytes BIGINT NOT NULL DEFAULT 0, "
+        "DROP COLUMN IF EXISTS lang, "
+        "RENAME COLUMN `commit` TO commit_sha;"
+        "ALTER TABLE lake.repos MODIFY score DOUBLE;"
+        "ALTER TABLE ONLY lake.repos ALTER COLUMN path SET DATA TYPE TEXT"
+    )
+    assert [e.table_changes for e in evs] == [
+        "add_column:size_bytes:bigint",
+        "drop_column:lang",
+        "rename_column:commit:commit_sha",
+        "widen:score:double",
+        "widen:path:string",
+    ]
+    assert all(e.event_type == "ALTER_TABLE" for e in evs)
+    assert all(e.table_id == "lake.repos" for e in evs)
+
+
+def test_comments_use_set_truncate_drop():
+    evs = D.parse_ddl(
+        """
+        -- captured preamble
+        USE lake;
+        SET time_zone = '+00:00';
+        /* multi
+           line */
+        TRUNCATE TABLE lake.repos;
+        DROP TABLE IF EXISTS lake.old_repos;
+        """
+    )
+    assert [e.event_type for e in evs] == [
+        "USE_DATABASE", "SET_VARIABLE", "TRUNCATE_TABLE", "DROP_TABLE",
+    ]
+    assert evs[3].table_id == "lake.old_repos"
+    assert all(e.table_changes is None for e in evs)
+
+
+def test_unsupported_statement_raises():
+    with pytest.raises(ValueError):
+        D.parse_ddl("CREATE INDEX idx ON lake.repos (repo)")
+    with pytest.raises(ValueError):
+        D.parse_ddl("ALTER TABLE lake.repos FROBNICATE widget")
+
+
+def test_sql_type_mapping():
+    f = D.sql_type_to_spark
+    assert f("VARCHAR(255)") == "string"
+    assert f("double precision") == "double"
+    assert f("NUMERIC(12,4)") == "decimal(12,4)"
+    assert f("DECIMAL(9)") == "decimal(9,0)"
+    assert f("numeric") == "decimal(38,18)"
+    assert f("timestamptz") == "timestamp"
+    assert f("array<int>") == "array<int>"  # unknown: verbatim Spark DDL
+
+
+def test_history_rows_versions_and_filter():
+    ddl = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT);"
+        "ALTER TABLE lake.repos ADD size_bytes BIGINT;"
+        "ALTER TABLE other.t ADD x INT;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path"
+    )
+    rows = D.history_rows_from_ddl(
+        ddl, offsets=[100, 250], table_filter="lake.repos"
+    )
+    assert [(r["offset"], r["version"], r["table_changes"]) for r in rows] == [
+        (100, 2, "add_column:size_bytes:bigint"),
+        (250, 3, "rename_column:path:file_path"),
+    ]
+    with pytest.raises(ValueError):
+        D.history_rows_from_ddl(ddl, offsets=[1], table_filter="lake.repos")
+
+
+def test_registry_replays_parsed_ddl():
+    """Parsed rows drive SchemaRegistry.schema_at exactly like the engine's
+    schema-change source (registry.py from_history_rows/schema_at)."""
+    from pyspark.sql import types as T
+
+    from debezium_spark.plans.registry import SchemaRegistry
+
+    base = T.StructType(
+        [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]
+    )
+    rows = D.history_rows_from_ddl(
+        "ALTER TABLE lake.repos ADD score DOUBLE;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path;"
+        "ALTER TABLE lake.repos DROP COLUMN repo",
+        offsets=[10, 20, 30],
+    )
+    reg = SchemaRegistry.from_history_rows(base, rows)
+    assert [f.name for f in reg.schema_at(2).fields] == ["repo", "path", "score"]
+    assert [f.name for f in reg.schema_at(3).fields] == [
+        "repo", "file_path", "score",
+    ]
+    assert [f.name for f in reg.schema_at(4).fields] == ["file_path", "score"]
+    assert reg.schema_at(2)["score"].dataType == T.DoubleType()
+
+
+def test_engine_runs_from_parsed_ddl(spark, tmpdir_path):
+    """schema_changes_frame(ddl) drives CdcEngine to the same final state as
+    the structured schema_history fixture — raw captured DDL text is a
+    complete substitute input (DdlParser.parse -> Tables, engine-side)."""
+    import os
+
+    from debezium_spark import CdcEngine, EngineConfig
+    from debezium_spark.plans.ddl import schema_changes_frame
+    from debezium_spark.sources import wal as W
+    from tests import oracle
+
+    spec = W.WalSpec(n_keys=80, n_events=400, seed=47)  # with schema changes
+    wal_dir = os.path.join(tmpdir_path, "ddlwal")
+    W.write_wal(spark, spec, wal_dir, n_files=4)
+    sco = spec.schema_change_offsets()
+    ddl = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT, \"commit\" TEXT,"
+        " lang TEXT, content TEXT);"
+        "ALTER TABLE lake.repos ADD COLUMN size_bytes INT;"
+        "ALTER TABLE lake.repos ALTER COLUMN size_bytes TYPE BIGINT"
+    )
+    frames = {
+        "ref": W.schema_history(spark, spec),
+        "ddl": schema_changes_frame(
+            spark, ddl, offsets=[sco[2], sco[3]], table_filter="lake.repos"
+        ),
+    }
+    got = {}
+    for name, sc in frames.items():
+        eng = CdcEngine(
+            spark, EngineConfig(),
+            wal_path=wal_dir,
+            target_path=os.path.join(tmpdir_path, f"t_{name}"),
+            work_dir=os.path.join(tmpdir_path, f"w_{name}"),
+            schema_changes=sc,
+        )
+        eng.run()
+        got[name] = oracle.target_hashes(
+            eng.target().read().select("repo", "path", "content", "size_bytes").toPandas()
+        )
+    assert got["ref"] == got["ddl"]
