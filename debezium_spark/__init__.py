@@ -10,6 +10,7 @@ semantics.
 Everything is pyspark.sql DataFrame column algebra; no per-row Python UDFs.
 """
 
+from debezium_spark.api import ChangeConsumer, ChangeEvent, DebeziumEngine, StopEngineException
 from debezium_spark.config import EngineConfig
 from debezium_spark.plans.ddl import history_rows_from_ddl, parse_ddl
 from debezium_spark.plans.lake import LakeTable
@@ -17,6 +18,10 @@ from debezium_spark.streaming.engine import CdcEngine
 from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
 
 __all__ = [
+    "ChangeConsumer",
+    "ChangeEvent",
+    "DebeziumEngine",
+    "StopEngineException",
     "EngineConfig",
     "LakeTable",
     "CdcEngine",

@@ -1,0 +1,446 @@
+"""Embedded-engine API facade — ``io.debezium.engine.DebeziumEngine``.
+
+The reference's public embedded API (debezium-api
+``engine/DebeziumEngine.java:46-onwards``) is a fluent builder::
+
+    DebeziumEngine.create(Json.class)
+        .using(props)
+        .notifying(record -> ...)
+        .build()
+        .run();
+
+This module re-expresses that exact contract over :class:`CdcEngine`, so an
+application written against the reference's embedded engine ports almost
+line-for-line::
+
+    engine = (DebeziumEngine.create(Json)
+              .using(props)                # the reference's dotted property names
+              .using_spark(spark)          # the Spark analogue of the worker runtime
+              .notifying(lambda rec: ...)  # per-record Consumer<R>
+              .build())
+    engine.run()
+
+Pieces mirrored 1:1 (reference file:line cited on each):
+
+* ``DebeziumEngine.create(format)`` + ``Builder.using/notifying/build``
+  (DebeziumEngine.java:186-259, BuilderFactory) — formats ``Json``,
+  ``CloudEvents`` (engine/format/Json.java:1, CloudEvents.java:1).
+* ``ChangeEvent<K,V>`` with key/value/destination (engine/ChangeEvent.java:1).
+* ``ChangeConsumer.handleBatch(records, committer)`` +
+  ``RecordCommitter.markProcessed/markBatchFinished/buildOffsets`` and the
+  ``Offsets`` mutator (DebeziumEngine.java:107-180).
+* ``StopEngineException`` — a consumer raises it to stop the engine after the
+  current record is committed (engine/StopEngineException.java:1).
+* ``CompletionCallback`` / ``ConnectorCallback`` lifecycle hooks
+  (DebeziumEngine.java:53-102).
+* File-backed offset store honoring ``offset.storage.file.filename`` and
+  ``offset.flush.interval.ms`` / ``OffsetCommitPolicy`` always-vs-periodic
+  (DebeziumEngine.java:48 OFFSET_FLUSH_INTERVAL_MS_PROP,
+  embedded/EmbeddedEngine.java offset commit policy wiring).
+
+Spark-first honesty: the *plan* — capture filters, SMT chain, envelope wrap,
+JSON/CloudEvents serialization — is the engine's usual distributed column
+algebra (``CdcEngine.envelope_stream`` + ``serde.serialize_records``); only
+the final hand-off to the consumer crosses to the driver, one Arrow partition
+at a time via ``toLocalIterator`` (never a whole-frame ``collect``). That
+driver hand-off IS the embedded-engine contract — the reference pumps every
+record through a single application thread too — so this facade is the
+single-process tap; the distributed path for bulk state remains
+``CdcEngine.run()``'s lake apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.config import EngineConfig
+from debezium_spark.functions import serde as S
+from debezium_spark.functions import transforms as X
+from debezium_spark.streaming.engine import CdcEngine
+
+__all__ = [
+    "DebeziumEngine",
+    "ChangeEvent",
+    "ChangeConsumer",
+    "RecordCommitter",
+    "StopEngineException",
+    "Json",
+    "CloudEvents",
+]
+
+
+# --- serialization format markers (engine/format/SerializationFormat.java:1,
+#     Json.java:1, CloudEvents.java:1). Classes, not strings, so the call site
+#     reads exactly like the reference's DebeziumEngine.create(Json.class).
+class Json:
+    """JSON key/value format (engine/format/Json.java:1)."""
+
+
+class CloudEvents:
+    """CloudEvents v1.0 JSON value format (engine/format/CloudEvents.java:1)."""
+
+
+class StopEngineException(Exception):
+    """Raised BY A CONSUMER to stop the engine gracefully
+    (engine/StopEngineException.java:1): the record being handled is still
+    marked processed and offsets are flushed before run() returns."""
+
+
+@dataclass(frozen=True)
+class ChangeEvent:
+    """engine/ChangeEvent.java:1 — key()/value()/destination(); ``offset`` is
+    the record's source position (RecordChangeEvent's SourceRecord offset)."""
+
+    key: str | None
+    value: str | None  # None = tombstone (EventDispatcher tombstone contract)
+    destination: str
+    offset: int
+
+
+class _Offsets:
+    """DebeziumEngine.Offsets (DebeziumEngine.java:146-158): a mutable map a
+    consumer can attach to markProcessed to override source offsets."""
+
+    def __init__(self) -> None:
+        self._map: dict[str, Any] = {}
+
+    def set(self, key: str, value: Any) -> None:
+        self._map[key] = value
+
+
+class RecordCommitter:
+    """DebeziumEngine.RecordCommitter (DebeziumEngine.java:107-141).
+
+    ``mark_processed`` must be called per record; ``mark_batch_finished``
+    flushes offsets according to the commit policy ("always" flushes every
+    batch; "periodic" flushes when ``offset.flush.interval.ms`` elapsed —
+    embedded OffsetCommitPolicy.ALWAYS / PERIODIC_DEFAULT analogues)."""
+
+    def __init__(self, engine: "DebeziumEngine") -> None:
+        self._engine = engine
+        self._pending_offset: int | None = None
+        self._pending_extra: dict[str, Any] = {}
+
+    def mark_processed(self, record: ChangeEvent, offsets: _Offsets | None = None) -> None:
+        if self._pending_offset is None or record.offset > self._pending_offset:
+            self._pending_offset = record.offset
+        if offsets is not None:
+            self._pending_extra.update(offsets._map)
+
+    def mark_batch_finished(self) -> None:
+        self._engine._commit(self._pending_offset, self._pending_extra, force=False)
+
+    def build_offsets(self) -> _Offsets:
+        return _Offsets()
+
+    # verbatim-port aliases (the reference API is camelCase)
+    markProcessed = mark_processed
+    markBatchFinished = mark_batch_finished
+    buildOffsets = build_offsets
+
+
+class ChangeConsumer:
+    """DebeziumEngine.ChangeConsumer (DebeziumEngine.java:160-180): batch
+    hand-off with explicit commit control. Subclass and override
+    ``handle_batch``; return value is ignored."""
+
+    def handle_batch(self, records: list[ChangeEvent], committer: RecordCommitter) -> None:
+        raise NotImplementedError
+
+    def supports_tombstone_events(self) -> bool:
+        return True
+
+
+class _FunctionConsumer(ChangeConsumer):
+    """Wraps a per-record Consumer<R> the way the reference's builder does
+    (EmbeddedEngine notifying(Consumer) -> default batch handler that marks
+    each record processed after the callback returns)."""
+
+    def __init__(self, fn: Callable[[ChangeEvent], None]) -> None:
+        self._fn = fn
+
+    def handle_batch(self, records: list[ChangeEvent], committer: RecordCommitter) -> None:
+        for rec in records:
+            try:
+                self._fn(rec)
+            except StopEngineException:
+                # the record that requested the stop is still processed
+                # (StopEngineException.java:1 javadoc contract)
+                committer.mark_processed(rec)
+                committer.mark_batch_finished()
+                raise
+            committer.mark_processed(rec)
+        committer.mark_batch_finished()
+
+
+def _sanitize(part: str) -> str:
+    # AbstractTopicNamingStrategy.sanitizedTopicName — same class as topic_name()
+    return re.sub(r"[^a-zA-Z0-9\._\-]", "_", part)
+
+
+class _Builder:
+    """DebeziumEngine.Builder (DebeziumEngine.java:186-246): ``using`` merges
+    properties (callable repeatedly, later wins, exactly like
+    ``Configuration.from``); ``notifying`` takes a per-record callable or a
+    :class:`ChangeConsumer`."""
+
+    def __init__(self, fmt: type) -> None:
+        if fmt not in (Json, CloudEvents):
+            raise ValueError(f"unsupported serialization format {fmt!r}")
+        self._fmt = fmt
+        self._props: dict[str, str] = {}
+        self._spark: SparkSession | None = None
+        self._consumer: ChangeConsumer | None = None
+        self._completion: Callable[[bool, str, BaseException | None], None] | None = None
+        self._connector_cb: Any | None = None
+        self._policy: str | None = None
+
+    def using(self, props: dict) -> "_Builder":
+        self._props.update({str(k): v for k, v in props.items()})
+        return self
+
+    def using_spark(self, spark: SparkSession) -> "_Builder":
+        """The Spark analogue of handing the engine its runtime (the reference
+        embeds a Connect worker; here the worker is a SparkSession)."""
+        self._spark = spark
+        return self
+
+    def notifying(self, consumer: ChangeConsumer | Callable[[ChangeEvent], None]) -> "_Builder":
+        self._consumer = (
+            consumer if isinstance(consumer, ChangeConsumer) else _FunctionConsumer(consumer)
+        )
+        return self
+
+    def using_completion_callback(
+        self, cb: Callable[[bool, str, BaseException | None], None]
+    ) -> "_Builder":
+        self._completion = cb
+        return self
+
+    def using_connector_callback(self, cb: Any) -> "_Builder":
+        """Object with any of connector_started/connector_stopped/
+        task_started/task_stopped (DebeziumEngine.java:68-102)."""
+        self._connector_cb = cb
+        return self
+
+    def using_offset_commit_policy(self, policy: str) -> "_Builder":
+        """'always' or 'periodic' (embedded OffsetCommitPolicy.ALWAYS /
+        PERIODIC_DEFAULT)."""
+        if policy not in ("always", "periodic"):
+            raise ValueError(f"unknown offset commit policy {policy!r}")
+        self._policy = policy
+        return self
+
+    def build(self) -> "DebeziumEngine":
+        if self._consumer is None:
+            raise ValueError("notifying(...) consumer is required")  # builder contract
+        if self._spark is None:
+            raise ValueError("using_spark(SparkSession) is required")
+        props = dict(self._props)
+        # engine-level keys the facade consumes (popped before EngineConfig
+        # sees the rest). wal.path/work.dir are the Spark analogue of the
+        # connector's connection block (database.hostname etc.).
+        wal_path = props.pop("wal.path", None)
+        work_dir = props.pop("work.dir", None)
+        snapshot_source = props.pop("snapshot.source", None)
+        if not wal_path or not work_dir:
+            raise ValueError("properties must include wal.path and work.dir")
+        offset_file = props.pop(
+            "offset.storage.file.filename",  # FileOffsetBackingStore's knob
+            os.path.join(work_dir, "_api_offsets.json"),
+        )
+        flush_ms = int(props.pop("offset.flush.interval.ms", 60_000))
+        # JsonConverter schemas.enable -> schema+payload wrapper (Json format only)
+        wrapper = str(props.pop("value.converter.schemas.enable", "false")).lower() == "true"
+        max_batch = int(props.get("max.batch.size", 2048))
+        config = EngineConfig.from_properties(props, max_offsets_per_batch=max_batch)
+        return DebeziumEngine(
+            spark=self._spark,
+            config=config,
+            fmt=self._fmt,
+            consumer=self._consumer,
+            wal_path=wal_path,
+            work_dir=work_dir,
+            snapshot_source=snapshot_source,
+            offset_file=offset_file,
+            flush_interval_ms=flush_ms,
+            schema_payload_wrapper=wrapper,
+            completion_callback=self._completion,
+            connector_callback=self._connector_cb,
+            commit_policy=self._policy or "periodic",
+        )
+
+    # verbatim-port aliases
+    usingSpark = using_spark
+    usingCompletionCallback = using_completion_callback
+    usingConnectorCallback = using_connector_callback
+    usingOffsetCommitPolicy = using_offset_commit_policy
+
+
+class DebeziumEngine:
+    """The runnable engine (DebeziumEngine.java:46: Runnable + Closeable).
+
+    ``run()`` pumps every change record through the consumer in offset order
+    and returns when the WAL is exhausted (the bounded-log analogue of the
+    reference's poll loop) or when stopped — ``stop()`` from another thread,
+    or :class:`StopEngineException` from the consumer. Offsets flush to
+    ``offset.storage.file.filename`` atomically; a rebuilt engine resumes
+    after the last flushed offset (at-least-once for unflushed records, the
+    reference's exact redelivery contract)."""
+
+    OFFSET_FLUSH_INTERVAL_MS_PROP = "offset.flush.interval.ms"  # DebeziumEngine.java:48
+
+    @staticmethod
+    def create(fmt: type = Json) -> _Builder:
+        return _Builder(fmt)
+
+    def __init__(
+        self,
+        *,
+        spark: SparkSession,
+        config: EngineConfig,
+        fmt: type,
+        consumer: ChangeConsumer,
+        wal_path: str,
+        work_dir: str,
+        snapshot_source: str | None,
+        offset_file: str,
+        flush_interval_ms: int,
+        schema_payload_wrapper: bool,
+        completion_callback,
+        connector_callback,
+        commit_policy: str,
+    ) -> None:
+        self._cdc = CdcEngine(
+            spark,
+            config,
+            wal_path=wal_path,
+            # the facade never applies batches to a lake; the path is only the
+            # manifest anchor CdcEngine's ctor wants
+            target_path=os.path.join(work_dir, "_api_target"),
+            work_dir=work_dir,
+            snapshot_source=snapshot_source,
+        )
+        self._fmt = fmt
+        self._consumer = consumer
+        self._offset_file = offset_file
+        self._flush_interval_ms = flush_interval_ms
+        self._wrapper = schema_payload_wrapper
+        self._completion = completion_callback
+        self._connector_cb = connector_callback
+        self._policy = commit_policy
+        self._stop = threading.Event()
+        self._last_flush = time.monotonic()
+        cfg = self._cdc.config
+        self._destination = ".".join(
+            _sanitize(p) for p in (cfg.server_name, cfg.database, cfg.table_name)
+        )
+
+    # ------------------------------------------------------------- offsets
+    def _stored(self) -> dict[str, Any]:
+        if not os.path.exists(self._offset_file):
+            return {}
+        with open(self._offset_file) as f:
+            return json.load(f)
+
+    def _commit(self, offset: int | None, extra: dict[str, Any], *, force: bool) -> None:
+        if offset is None:
+            return
+        due = (
+            force
+            or self._policy == "always"
+            or (time.monotonic() - self._last_flush) * 1000.0 >= self._flush_interval_ms
+        )
+        if not due:
+            return
+        state = {"offset": int(offset), **extra}
+        tmp = self._offset_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._offset_file)  # atomic, like FileOffsetBackingStore
+        self._last_flush = time.monotonic()
+
+    # ------------------------------------------------------------- records
+    def _record_stream(self, lo: int, hi: int) -> Iterator[ChangeEvent]:
+        env = self._cdc.envelope_stream(lo, hi)
+        if self._fmt is CloudEvents:
+            # key serialization matches the Json path; value is the CE
+            # envelope — one projection, the key rides along via `keep`
+            wire = X.to_cloudevents(
+                env.withColumn("key_json", F.to_json(F.col("key"))),
+                connector=self._cdc.config.connector,
+                keep=["key_json"],
+            ).select("key_json", F.col("cloudevent").alias("value_json"), "offset")
+        else:
+            wire = S.serialize_records(env, schema_payload_wrapper=self._wrapper)
+        if not self._consumer.supports_tombstone_events():
+            # WorkerTask filters tombstones for consumers that opt out
+            wire = wire.where(F.col("value_json").isNotNull())
+        for row in wire.orderBy("offset").toLocalIterator(prefetchPartitions=True):
+            yield ChangeEvent(
+                key=row["key_json"],
+                value=row["value_json"],
+                destination=self._destination,
+                offset=row["offset"],
+            )
+
+    # ------------------------------------------------------------- lifecycle
+    def run(self) -> None:
+        cb = self._connector_cb
+        for hook in ("connector_started", "task_started"):
+            if cb is not None and hasattr(cb, hook):
+                getattr(cb, hook)()
+        committer = RecordCommitter(self)
+        try:
+            self._cdc._resolve_message_key()
+            wal = self._cdc._wal()
+            bounds = wal.agg(
+                F.min("offset").alias("lo"), F.max("offset").alias("hi")
+            ).collect()[0]
+            if bounds["hi"] is not None:
+                lo = int(self._stored().get("offset", bounds["lo"] - 1))
+                step = self._cdc.config.max_offsets_per_batch
+                while lo < bounds["hi"] and not self._stop.is_set():
+                    hi = lo + step
+                    batch = list(self._record_stream(lo, hi))
+                    if batch:
+                        try:
+                            self._consumer.handle_batch(batch, committer)
+                        except StopEngineException:
+                            # consumer-requested stop: whatever it marked is kept
+                            self._stop.set()
+                    lo = hi
+            self._commit(committer._pending_offset, committer._pending_extra, force=True)
+            if self._completion is not None:
+                self._completion(True, "Connector completed or was stopped", None)
+        except BaseException as e:  # noqa: BLE001 — reported via the callback
+            self._commit(committer._pending_offset, committer._pending_extra, force=True)
+            if self._completion is not None:
+                self._completion(False, f"Connector failed: {e}", e)
+            else:
+                raise
+        finally:
+            for hook in ("task_stopped", "connector_stopped"):
+                if cb is not None and hasattr(cb, hook):
+                    getattr(cb, hook)()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def close(self) -> None:
+        self.stop()
+
+    def __enter__(self) -> "DebeziumEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

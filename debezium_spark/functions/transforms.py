@@ -285,6 +285,7 @@ def to_cloudevents(
     source_uri: str = "/debezium-spark",
     connector: str = "spark-cdc",
     extension_attributes: bool = True,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """CloudEvents converter (converters/CloudEventsConverter.java:1-625):
     envelope -> CloudEvents v1.0 JSON string.
@@ -329,6 +330,10 @@ def to_cloudevents(
     return env.select(
         F.to_json(F.struct(*fields)).alias("cloudevent"),
         F.col("offset"),
+        # passthrough columns a caller wants beside the CE string (e.g. the
+        # serialized record key in api.DebeziumEngine) — same projection, no
+        # post-hoc join needed
+        *[F.col(c) for c in (keep or [])],
     )
 
 
