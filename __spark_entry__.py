@@ -1093,6 +1093,35 @@ def q_dt_point_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dt_avro_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro binary record encoding (functions/avro.py — the wire body the
+    reference's Avro converter ships: CloudEventsConverter.java data
+    serializer AVRO / engine/format/Avro.java). Record {lang, text}, both
+    ["null","string"] unions: each field = union branch varint 0x02 +
+    zigzag-varint byte length + utf8 bytes. DuckDB rebuilds the bytes hex-
+    for-hex, covering 1- and 2-byte varint lengths (text spans 48-553 B)."""
+    from debezium_spark.functions.avro import avro_binary
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "namespace": "io.debezium.spark",
+        "fields": [
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.struct("lang", "text").alias("rec")
+    )
+    out, _ = avro_binary(docs, "rec", schema=schema)
+    return out.select(
+        "doc_id",
+        F.hex(F.col("avro")).alias("avro_hex"),
+        F.octet_length(F.col("avro")).alias("avro_len"),
+    )
+
+
 def q_topic_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro fullname adjustment over a data column of topic/schema names
     (util/SchemaNameAdjuster.validFullname, SchemaNameAdjuster.java:149-190):
@@ -1360,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_variable_scale_decimal": q_dt_variable_scale_decimal,
         "dt_bits": q_dt_bits,
         "dt_point_wkb": q_dt_point_wkb,
+        "dt_avro_binary": q_dt_avro_binary,
         "cdc_topic_sanitize": q_topic_sanitize,
         "dt_enum": q_dt_enum,
         "dt_temporal": q_dt_temporal,
@@ -2046,6 +2076,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal AS pt_x, CAST(c_custkey AS DOUBLE) AS pt_y,
                    21 AS wkb_len
             FROM customer
+        """,
+        "dt_avro_binary": """
+            WITH b AS (
+              SELECT doc_id,
+                     octet_length(encode(lang)) AS ln,
+                     octet_length(encode(text)) AS lm,
+                     hex(encode(lang)) AS hn,
+                     hex(encode(text)) AS hm
+              FROM documents
+            )
+            SELECT doc_id,
+                   upper(
+                     '02' ||
+                     CASE WHEN ln < 64 THEN lpad(format('{:x}', ln*2), 2, '0')
+                          ELSE lpad(format('{:x}', (ln*2) % 128 + 128), 2, '0')
+                            || lpad(format('{:x}', (ln*2) // 128), 2, '0') END
+                     || hn ||
+                     '02' ||
+                     CASE WHEN lm < 64 THEN lpad(format('{:x}', lm*2), 2, '0')
+                          ELSE lpad(format('{:x}', (lm*2) % 128 + 128), 2, '0')
+                            || lpad(format('{:x}', (lm*2) // 128), 2, '0') END
+                     || hm
+                   ) AS avro_hex,
+                   CAST(1 + CASE WHEN ln < 64 THEN 1 ELSE 2 END + ln
+                      + 1 + CASE WHEN lm < 64 THEN 1 ELSE 2 END + lm
+                      AS INTEGER) AS avro_len
+            FROM b
         """,
         "cdc_topic_sanitize": """
             WITH t AS (

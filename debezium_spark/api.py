@@ -75,6 +75,7 @@ __all__ = [
     "StopEngineException",
     "Json",
     "CloudEvents",
+    "Avro",
 ]
 
 
@@ -86,7 +87,16 @@ class Json:
 
 
 class CloudEvents:
-    """CloudEvents v1.0 JSON value format (engine/format/CloudEvents.java:1)."""
+    """CloudEvents v1.0 JSON value format (engine/format/CloudEvents.java:1).
+    With property ``cloudevents.data.serializer.type=avro`` the CE ``data``
+    becomes Confluent-framed Avro carried as ``data_base64``
+    (CloudEventsConverter.java SerializerType.AVRO)."""
+
+
+class Avro:
+    """Confluent-framed Avro key/value format (engine/format/Avro.java:1):
+    0x00 magic + 4-byte schema id + Avro binary body, ids from the engine's
+    file-backed schema registry (functions/avro.py)."""
 
 
 class StopEngineException(Exception):
@@ -98,10 +108,11 @@ class StopEngineException(Exception):
 @dataclass(frozen=True)
 class ChangeEvent:
     """engine/ChangeEvent.java:1 — key()/value()/destination(); ``offset`` is
-    the record's source position (RecordChangeEvent's SourceRecord offset)."""
+    the record's source position (RecordChangeEvent's SourceRecord offset).
+    str for Json/CloudEvents, bytes for Avro."""
 
-    key: str | None
-    value: str | None  # None = tombstone (EventDispatcher tombstone contract)
+    key: str | bytes | None
+    value: str | bytes | None  # None = tombstone (EventDispatcher contract)
     destination: str
     offset: int
 
@@ -194,7 +205,7 @@ class _Builder:
     :class:`ChangeConsumer`."""
 
     def __init__(self, fmt: type) -> None:
-        if fmt not in (Json, CloudEvents):
+        if fmt not in (Json, CloudEvents, Avro):
             raise ValueError(f"unsupported serialization format {fmt!r}")
         self._fmt = fmt
         self._props: dict[str, str] = {}
@@ -261,6 +272,11 @@ class _Builder:
         flush_ms = int(props.pop("offset.flush.interval.ms", 60_000))
         # JsonConverter schemas.enable -> schema+payload wrapper (Json format only)
         wrapper = str(props.pop("value.converter.schemas.enable", "false")).lower() == "true"
+        # CloudEvents data serializer (CloudEventsConverterConfig's
+        # cloudevents.data.serializer.type, json|avro)
+        ce_data = str(props.pop("cloudevents.data.serializer.type", "json")).lower()
+        if ce_data not in ("json", "avro"):
+            raise ValueError(f"unknown cloudevents.data.serializer.type {ce_data!r}")
         max_batch = int(props.get("max.batch.size", 2048))
         config = EngineConfig.from_properties(props, max_offsets_per_batch=max_batch)
         return DebeziumEngine(
@@ -274,6 +290,7 @@ class _Builder:
             offset_file=offset_file,
             flush_interval_ms=flush_ms,
             schema_payload_wrapper=wrapper,
+            cloudevents_data_format=ce_data,
             completion_callback=self._completion,
             connector_callback=self._connector_cb,
             commit_policy=self._policy or "periodic",
@@ -316,6 +333,7 @@ class DebeziumEngine:
         offset_file: str,
         flush_interval_ms: int,
         schema_payload_wrapper: bool,
+        cloudevents_data_format: str = "json",
         completion_callback,
         connector_callback,
         commit_policy: str,
@@ -332,6 +350,8 @@ class DebeziumEngine:
         )
         self._fmt = fmt
         self._consumer = consumer
+        self._ce_data = cloudevents_data_format
+        self._registry_path = os.path.join(work_dir, "_avro_registry.jsonl")
         self._offset_file = offset_file
         self._flush_interval_ms = flush_interval_ms
         self._wrapper = schema_payload_wrapper
@@ -370,16 +390,36 @@ class DebeziumEngine:
         self._last_flush = time.monotonic()
 
     # ------------------------------------------------------------- records
+    def _avro_framed(self, env, col: str, subject_suffix: str, out_col: str):
+        """Struct column -> Confluent-framed Avro binary, schema registered
+        under '<destination>-<suffix>' (Confluent subject naming)."""
+        from debezium_spark.functions import avro as A
+
+        env, sch = A.avro_binary(env, col, out_col=out_col)
+        reg = A.AvroSchemaRegistry(self._registry_path)
+        sid = reg.register(f"{self._destination}-{subject_suffix}", sch)
+        return env.withColumn(out_col, A.frame_confluent(F.col(out_col), sid))
+
     def _record_stream(self, lo: int, hi: int) -> Iterator[ChangeEvent]:
         env = self._cdc.envelope_stream(lo, hi)
         if self._fmt is CloudEvents:
             # key serialization matches the Json path; value is the CE
             # envelope — one projection, the key rides along via `keep`
+            env = env.withColumn("key_json", F.to_json(F.col("key")))
+            avro_col = None
+            if self._ce_data == "avro":
+                env = self._avro_framed(env, "value", "value", "_avro_data")
+                avro_col = "_avro_data"
             wire = X.to_cloudevents(
-                env.withColumn("key_json", F.to_json(F.col("key"))),
+                env,
                 connector=self._cdc.config.connector,
                 keep=["key_json"],
+                avro_data_col=avro_col,
             ).select("key_json", F.col("cloudevent").alias("value_json"), "offset")
+        elif self._fmt is Avro:
+            env = self._avro_framed(env, "key", "key", "key_json")
+            env = self._avro_framed(env, "value", "value", "value_json")
+            wire = env.select("key_json", "value_json", "offset")
         else:
             wire = S.serialize_records(env, schema_payload_wrapper=self._wrapper)
         if not self._consumer.supports_tombstone_events():

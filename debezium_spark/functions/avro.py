@@ -1,0 +1,449 @@
+"""Avro wire format for change records (CloudEventsConverter's Avro data mode
++ the embedded API's ``Avro`` serialization format).
+
+The reference serializes record keys/values/CloudEvents ``data`` as
+Confluent-framed Avro when configured with an Avro converter + schema
+registry (converters/CloudEventsConverter.java:1-625 data serializer type
+AVRO; engine/format/Avro.java:1). This module reproduces that wire surface
+from the PUBLIC specs alone:
+
+* **Avro schema derivation** from a Spark struct type —
+  :func:`avro_schema` (records, nullable unions ``["null", T]``, arrays,
+  maps, the primitive map below).
+* **Avro binary encoding** (Avro 1.11 spec "Binary encoding"):
+  zigzag-varint ints/longs, length-prefixed utf8/bytes, union branch index,
+  record = field concatenation — :func:`avro_binary`.
+* **Framings**: Confluent wire format (magic ``0x00`` + big-endian 4-byte
+  schema id + body) and Avro single-object encoding (``C3 01`` + little-endian
+  CRC-64-AVRO fingerprint + body) — :func:`frame_confluent`,
+  :func:`frame_single_object`, :func:`fingerprint64`.
+* **Schema registry**: :class:`AvroSchemaRegistry`, a file-backed
+  subject -> (id, schema) store with Confluent subject semantics
+  (``<topic>-key`` / ``<topic>-value``, idempotent re-registration).
+
+Execution model: Spark ships a JVM ``to_avro`` in the separate spark-avro
+module — when that module is on the cluster's classpath we use it (codegen,
+zero Python). This container cannot load extra jars, so the default path is
+an **Arrow-batched pandas UDF** walking the derived schema — per-batch
+dispatch, never row-at-a-time plan nodes, same tier as the sanctioned
+multimodal/WKB encoders. :func:`avro_binary` probes the JVM function once and
+falls back automatically.
+
+Decoding (:func:`decode_record`, :func:`read_frame`) is plain Python for
+tests/consumers pulling single records off the embedded API; a distributed
+decode would mirror the encode UDF.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct as _struct
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "avro_schema",
+    "canonical_json",
+    "fingerprint64",
+    "avro_binary",
+    "frame_confluent",
+    "frame_single_object",
+    "AvroSchemaRegistry",
+    "encode_record",
+    "decode_record",
+    "read_frame",
+]
+
+_PRIMITIVES: dict[type, str] = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+    T.DateType: "int",        # Avro logical `date` (days)
+    T.TimestampType: "long",  # Avro logical `timestamp-micros`
+}
+
+
+def avro_schema(
+    dt: T.DataType, *, name: str = "Envelope", namespace: str = "io.debezium.spark"
+) -> Any:
+    """Spark type -> Avro schema (dict/str/list per the Avro JSON spec).
+
+    Nullable struct fields become ``["null", T]`` unions, null branch first —
+    the Connect AvroData convention the reference emits. Nested record names
+    are the field path, guaranteeing uniqueness without a name table."""
+
+    def walk(d: T.DataType, path: str) -> Any:
+        if isinstance(d, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "namespace": namespace,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": (
+                            ["null", walk(f.dataType, f"{path}_{f.name}")]
+                            if f.nullable
+                            else walk(f.dataType, f"{path}_{f.name}")
+                        ),
+                    }
+                    for f in d.fields
+                ],
+            }
+        if isinstance(d, T.ArrayType):
+            items = walk(d.elementType, f"{path}_item")
+            return {"type": "array", "items": ["null", items] if d.containsNull else items}
+        if isinstance(d, T.MapType):
+            vals = walk(d.valueType, f"{path}_value")
+            return {"type": "map", "values": ["null", vals] if d.valueContainsNull else vals}
+        if isinstance(d, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": d.precision,
+                "scale": d.scale,
+            }
+        for cls, avro_t in _PRIMITIVES.items():
+            if isinstance(d, cls):
+                if isinstance(d, T.TimestampType):
+                    return {"type": "long", "logicalType": "timestamp-micros"}
+                if isinstance(d, T.DateType):
+                    return {"type": "int", "logicalType": "date"}
+                return avro_t
+        raise TypeError(f"no Avro mapping for Spark type {d.simpleString()}")
+
+    return walk(dt, name)
+
+
+def canonical_json(schema: Any) -> str:
+    """Parsing Canonical Form (Avro spec): strip everything but
+    name/type/fields/items/values/size + inline the namespace into names,
+    no whitespace. Field order is semantic and preserved."""
+
+    def strip(s: Any, ns: str = "") -> Any:
+        if isinstance(s, list):
+            return [strip(x, ns) for x in s]
+        if isinstance(s, str):
+            if s in {
+                "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+            }:
+                return s
+            return s if "." in s else (f"{ns}.{s}" if ns else s)
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                ns2 = s.get("namespace", ns)
+                full = s["name"] if "." in s["name"] else (
+                    f"{ns2}.{s['name']}" if ns2 else s["name"]
+                )
+                return {
+                    "name": full,
+                    "type": "record",
+                    "fields": [
+                        {"name": f["name"], "type": strip(f["type"], ns2)}
+                        for f in s["fields"]
+                    ],
+                }
+            if t == "array":
+                return {"type": "array", "items": strip(s["items"], ns)}
+            if t == "map":
+                return {"type": "map", "values": strip(s["values"], ns)}
+            return strip(t, ns)  # logical types collapse to their base type
+        raise TypeError(f"bad schema node {s!r}")
+
+    # key order in PCF is fixed: name, type, fields (record); type-first others
+    def order(s: Any) -> Any:
+        if isinstance(s, list):
+            return [order(x) for x in s]
+        if isinstance(s, dict):
+            keys = ["name", "type", "fields", "items", "values"]
+            return {k: order(s[k]) for k in keys if k in s}
+        return s
+
+    return json.dumps(order(strip(schema)), separators=(",", ":"))
+
+
+_EMPTY64 = 0xC15D213AA4D7A795  # CRC-64-AVRO seed (Avro spec appendix)
+
+
+def fingerprint64(schema: Any) -> int:
+    """CRC-64-AVRO Rabin fingerprint of the Parsing Canonical Form (Avro spec
+    "Schema Fingerprints") — the id used by single-object encoding."""
+    table = []
+    for i in range(256):
+        fp = i
+        for _ in range(8):
+            fp = (fp >> 1) ^ (_EMPTY64 & -(fp & 1))
+        table.append(fp)
+    result = _EMPTY64
+    for b in canonical_json(schema).encode("utf-8"):
+        result = (result >> 8) ^ table[(result ^ b) & 0xFF]
+    return result
+
+
+# ------------------------------------------------------------- binary codec
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_varint(out: io.BytesIO, n: int) -> None:
+    n &= 0xFFFFFFFFFFFFFFFF
+    while n > 0x7F:
+        out.write(bytes([(n & 0x7F) | 0x80]))
+        n >>= 7
+    out.write(bytes([n]))
+
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    _write_varint(out, _zigzag(int(v)))
+
+
+def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
+    if isinstance(schema, list):  # union: branch index, then value
+        if v is None:
+            idx = schema.index("null")
+            _write_long(out, idx)
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        _write_long(out, idx)
+        _encode(out, schema[idx], v)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(out, f["type"], None if v is None else v.get(f["name"]))
+    elif t == "array":
+        items = [] if v is None else list(v)
+        if items:
+            _write_long(out, len(items))
+            for x in items:
+                _encode(out, schema["items"], x)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = {} if v is None else dict(v)
+        if entries:
+            _write_long(out, len(entries))
+            for k, x in entries.items():
+                _encode(out, "string", k)
+                _encode(out, schema["values"], x)
+        _write_long(out, 0)
+    elif t in ("long", "int"):
+        _write_long(out, int(v))
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        _write_long(out, len(b))
+        out.write(b)
+    elif t == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out.write(b)
+    elif t == "double":
+        out.write(_struct.pack("<d", float(v)))
+    elif t == "float":
+        out.write(_struct.pack("<f", float(v)))
+    elif t == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif t == "null":
+        pass
+    else:
+        raise TypeError(f"cannot encode Avro type {t!r}")
+
+
+def encode_record(schema: Any, value: dict | None) -> bytes:
+    """One record -> Avro binary body (no framing). Driver/test-side helper;
+    the distributed path is :func:`avro_binary`."""
+    out = io.BytesIO()
+    _encode(out, schema, value)
+    return out.getvalue()
+
+
+def _decode(buf: io.BytesIO, schema: Any) -> Any:
+    def read_varint() -> int:
+        shift = n = 0
+        while True:
+            b = buf.read(1)[0]
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (n >> 1) ^ -(n & 1)  # un-zigzag
+
+    if isinstance(schema, list):
+        idx = read_varint()
+        return None if schema[idx] == "null" else _decode(buf, schema[idx])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        items = []
+        while True:
+            n = read_varint()
+            if n == 0:
+                break
+            if n < 0:  # negative count = block with a byte-size prefix
+                read_varint()  # block size in bytes — not needed when reading all
+                n = -n
+            items.extend(_decode(buf, schema["items"]) for _ in range(n))
+        return items
+    if t == "map":
+        entries: dict[str, Any] = {}
+        while True:
+            n = read_varint()
+            if n == 0:
+                break
+            for _ in range(abs(n)):
+                k = _decode(buf, "string")
+                entries[k] = _decode(buf, schema["values"])
+        return entries
+    if t in ("long", "int"):
+        return read_varint()
+    if t == "string":
+        return buf.read(read_varint()).decode("utf-8")
+    if t == "bytes":
+        return buf.read(read_varint())
+    if t == "double":
+        return _struct.unpack("<d", buf.read(8))[0]
+    if t == "float":
+        return _struct.unpack("<f", buf.read(4))[0]
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t == "null":
+        return None
+    raise TypeError(f"cannot decode Avro type {t!r}")
+
+
+def decode_record(data: bytes, schema: Any) -> Any:
+    return _decode(io.BytesIO(data), schema)
+
+
+def read_frame(data: bytes) -> tuple[int | None, bytes]:
+    """Split a framed message -> (schema id or fingerprint, body). Detects
+    Confluent (0x00 + 4B BE id) and single-object (C3 01 + 8B LE rabin)."""
+    if data[:1] == b"\x00":
+        return int.from_bytes(data[1:5], "big"), data[5:]
+    if data[:2] == b"\xc3\x01":
+        return int.from_bytes(data[2:10], "little"), data[10:]
+    raise ValueError("unframed or unknown Avro framing")
+
+
+# ------------------------------------------------------------- Spark surface
+_JVM_AVRO: bool | None = None
+
+
+def _jvm_to_avro_usable(spark: SparkSession) -> bool:
+    """Probe the spark-avro module once (separate jar; present on real
+    clusters via --packages, absent here)."""
+    global _JVM_AVRO
+    if _JVM_AVRO is None:
+        try:
+            from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
+
+            spark.range(1).select(
+                to_avro(F.struct(F.col("id")))
+            ).schema  # forces resolution; raises if the module is not loaded
+            _JVM_AVRO = True
+        except Exception:
+            _JVM_AVRO = False
+    return _JVM_AVRO
+
+
+def avro_binary(
+    df: DataFrame, col: str, *, schema: Any | None = None, out_col: str = "avro"
+) -> tuple[DataFrame, Any]:
+    """Struct column -> Avro binary body column. Returns (df, avro schema).
+
+    JVM spark-avro when loadable (whole-stage codegen); otherwise the
+    Arrow-batched pandas UDF over the derived schema. NULL input rows encode
+    to NULL (tombstones), not to a union-null body — matching the converter
+    contract that a tombstone has no value at all."""
+    dt = df.schema[col].dataType
+    if not isinstance(dt, T.StructType):
+        raise TypeError(f"column {col!r} must be a struct, got {dt.simpleString()}")
+    sch = schema if schema is not None else avro_schema(dt, name=col.capitalize())
+    spark = df.sparkSession
+    if _jvm_to_avro_usable(spark):
+        from pyspark.sql.avro.functions import to_avro  # noqa: PLC0415
+
+        body = to_avro(F.col(col), json.dumps(sch))
+        return df.withColumn(
+            out_col, F.when(F.col(col).isNotNull(), body)
+        ), sch
+
+    sch_json = json.dumps(sch)
+
+    @pandas_udf(T.BinaryType())
+    def _enc(rows: pd.DataFrame) -> pd.Series:
+        s = json.loads(sch_json)
+        # object dtype + None-normalization: pandas floats NaN-coerce nullable
+        # ints; the encoder casts per the schema, so only NaN->None matters
+        recs = rows.astype(object).where(rows.notna(), None).to_dict("records")
+        return pd.Series([encode_record(s, r) for r in recs])
+
+    # outer null detection must ride INSIDE the struct for the UDF (a struct
+    # arriving as all-null fields vs null struct is indistinguishable in
+    # pandas) — guard with isNotNull at the column level instead
+    return df.withColumn(
+        out_col, F.when(F.col(col).isNotNull(), _enc(F.col(col)))
+    ), sch
+
+
+def frame_confluent(body: Column, schema_id: int) -> Column:
+    """Confluent wire format: 0x00 magic + 4-byte big-endian schema id + body."""
+    header = b"\x00" + int(schema_id).to_bytes(4, "big")
+    return F.when(body.isNotNull(), F.concat(F.lit(header), body))
+
+
+def frame_single_object(body: Column, schema: Any) -> Column:
+    """Avro single-object encoding: C3 01 + CRC-64-AVRO fingerprint (LE) + body."""
+    header = b"\xc3\x01" + fingerprint64(schema).to_bytes(8, "little")
+    return F.when(body.isNotNull(), F.concat(F.lit(header), body))
+
+
+class AvroSchemaRegistry:
+    """File-backed schema registry with Confluent subject semantics:
+    ``register(subject, schema)`` is idempotent per (subject, canonical form)
+    and hands out incrementing int ids — the embedded analogue of the schema
+    registry the reference's Avro converter talks to. One JSONL line per
+    registration; atomic append (ids are derived from file order, so a
+    re-read always agrees)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._by_key: dict[tuple[str, str], int] = {}
+        self._by_id: dict[int, str] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    row = json.loads(line)
+                    self._by_key[(row["subject"], row["schema"])] = row["id"]
+                    self._by_id[row["id"]] = row["schema"]
+
+    def register(self, subject: str, schema: Any) -> int:
+        cf = canonical_json(schema)
+        key = (subject, cf)
+        if key in self._by_key:
+            return self._by_key[key]
+        new_id = max(self._by_id, default=0) + 1
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"subject": subject, "schema": cf, "id": new_id}) + "\n")
+        self._by_key[key] = new_id
+        self._by_id[new_id] = cf
+        return new_id
+
+    def by_id(self, schema_id: int) -> Any:
+        return json.loads(self._by_id[schema_id])

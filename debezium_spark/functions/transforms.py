@@ -286,6 +286,7 @@ def to_cloudevents(
     connector: str = "spark-cdc",
     extension_attributes: bool = True,
     keep: list[str] | None = None,
+    avro_data_col: str | None = None,
 ) -> DataFrame:
     """CloudEvents converter (converters/CloudEventsConverter.java:1-625):
     envelope -> CloudEvents v1.0 JSON string.
@@ -293,8 +294,14 @@ def to_cloudevents(
     Emits the full required attribute set (id, source, specversion, type, time,
     datacontenttype) plus the reference's io.debezium extension attributes
     (iodebeziumop/-connector/-tsms/-txid — CloudEventsConverter's
-    CE extension naming) when the envelope carries the fields. Data payload is
-    JSON (SerializerType.JSON; Avro needs a registry, out of scope here)."""
+    CE extension naming) when the envelope carries the fields.
+
+    Data payload: JSON by default (SerializerType.JSON). With
+    ``avro_data_col`` naming a binary column of framed Avro bodies
+    (functions/avro.py), the record carries ``data_base64`` instead of
+    ``data`` — the CE v1.0 JSON-format rule for binary data — with
+    ``datacontenttype`` ``application/avro`` (SerializerType.AVRO,
+    CloudEventsConverter's data serializer switch)."""
     vt = env.schema["value"].dataType
     fields = [
         F.concat_ws(":", F.lit("id"), F.col("offset").cast("string")).alias("id"),
@@ -304,7 +311,9 @@ def to_cloudevents(
             F.lit("io.debezium.spark.datachangeevent."),
             F.coalesce(F.col("value.op"), F.lit("tombstone")),
         ).alias("type"),
-        F.lit("application/json").alias("datacontenttype"),
+        F.lit(
+            "application/avro" if avro_data_col else "application/json"
+        ).alias("datacontenttype"),
     ]
     if "ts_ms" in vt.fieldNames():
         fields.append(
@@ -323,10 +332,11 @@ def to_cloudevents(
             fields.append(
                 F.col("value.transaction.total_order").alias("iodebeziumtxtotalorder")
             )
-    fields += [
-        F.col("key").alias("partitionkey"),
-        F.col("value").alias("data"),
-    ]
+    fields.append(F.col("key").alias("partitionkey"))
+    if avro_data_col:
+        fields.append(F.base64(F.col(avro_data_col)).alias("data_base64"))
+    else:
+        fields.append(F.col("value").alias("data"))
     return env.select(
         F.to_json(F.struct(*fields)).alias("cloudevent"),
         F.col("offset"),
