@@ -667,6 +667,25 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the step after pair detection — near-dup relations
+    are not transitive, so the keep-one rule operates on connected components
+    of the pair graph (dedup.connected_components: distributed min-label
+    propagation, eager-checkpointed rounds; see its scale docstring). Pairs =
+    the exact 3-gram Jaccard operator at threshold 0.1; output = per-doc
+    component id (= smallest doc id = keep-representative) + cluster size,
+    checked against a DuckDB recursive-CTE reachability oracle."""
+    from debezium_spark.functions.dedup import dup_clusters
+
+    d = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.1, max_doc_freq=256).select(
+        "id_a", "id_b"
+    )
+    return dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): sign-LSH over 8 hyperplanes, multi-probe
     Hamming<=1, cosine top-10 for vec_id=0's embedding. At scale the bucket column
@@ -1368,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1873,6 +1893,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, {_scaled_sql("jac")} AS jac_c
             FROM j WHERE jac >= 0.1
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id AS id, list_sort(list_distinct({shingles3})) AS sh
+              FROM documents
+            ),
+            s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+            inv AS (
+              SELECT id, g FROM (SELECT id, unnest(sh) AS g FROM s2)
+              QUALIFY count(*) OVER (PARTITION BY g) <= 256
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM inv a JOIN inv b USING (g) WHERE a.id < b.id
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN s2 sa ON sa.id = cand.id_a
+              JOIN s2 sb ON sb.id = cand.id_b
+              WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a != id_b
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a != id_b
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(src, node) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            cc AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src),
+            sizes AS (
+              SELECT component, count(*) AS cluster_size FROM cc GROUP BY component
+            )
+            SELECT cc.id AS doc_id, cc.component, sizes.cluster_size
+            FROM cc JOIN sizes USING (component)
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_ivf_topk": f"""

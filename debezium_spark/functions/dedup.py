@@ -370,3 +370,101 @@ def simhash_near_dups(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ----------------------------------------------------- near-dup clustering
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate-pair graph -> duplicate CLUSTERS: ``(id, component)`` where
+    ``component`` is the smallest node id reachable from ``id``.
+
+    The step after pair detection every dedup pipeline needs: near-dup
+    relations are not transitive (a~b, b~c but not a~c at the threshold), so
+    keep-one-per-pair under-deletes; the operational rule is keep one doc per
+    CONNECTED COMPONENT of the pair graph.
+
+    Algorithm: distributed min-label propagation — each round every node takes
+    ``min(own label, neighbors' labels)``; fixpoint = component minimum.
+    Rounds needed = graph diameter, and each round is one groupBy-min shuffle
+    over the (deduped, symmetric) edge list with map-side combine. Duplicate
+    clusters are near-cliques (diameter a handful of hops even for boilerplate
+    families), so propagation converges in a few rounds; for a general
+    high-diameter graph at 10^11 edges you would swap in the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm) which converges in
+    O(log n) rounds; the propagation loop below keeps the per-round plan
+    simpler and its convergence check free (the changed-label count rides the
+    same job).
+
+    Iterative-plan hygiene: every round references the previous labels twice
+    (propagate + least), so an untruncated logical plan DOUBLES per round —
+    exponential analyzer/codegen blow-up long before data size matters. Each
+    round therefore ends in an eager ``localCheckpoint`` (labels are one slim
+    row per node), which both truncates lineage and materializes the frame the
+    convergence check reads. On a real cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+    ``checkpoint`` in for executor-loss tolerance.
+
+    Skew: a mega-component funnels all its labels to one min — safe here
+    because the shuffle key is the NODE (fan-in per node = its degree), never
+    the component id; the min agg combines map-side.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = sym.localCheckpoint()  # edge list is re-read every round
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    for _it in range(max_iterations):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("_changed"),
+            )
+            .localCheckpoint()  # eager: truncate the self-doubling lineage
+        )
+        changed = new_labels.agg(F.sum("_changed").alias("c")).collect()[0]["c"] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    return labels
+
+
+def dup_clusters(
+    docs_pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Pairs -> per-doc cluster assignment with sizes: ``(id, component,
+    cluster_size)``. ``component`` doubles as the keep-representative (the
+    smallest doc id), so ``WHERE id != component`` is the delete list."""
+    cc = connected_components(docs_pairs, src=src, dst=dst)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select("id", "component", "cluster_size")

@@ -228,3 +228,51 @@ def test_ivf_kmeans_trained_centroids(spark, vecs):
     recall_free = len(set(free) & set(exact)) / 10
     assert recall_trained >= recall_free  # training never hurts here
     assert recall_trained >= 0.7
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitivity through a chain (1-2, 2-3, 3-4), a separate 2-cycle
+    component, and an untouched pair — min-id labels, exact memberships."""
+    from debezium_spark.functions.dedup import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+    clusters = {
+        r["id"]: (r["component"], r["cluster_size"])
+        for r in dup_clusters(edges).collect()
+    }
+    assert clusters[4] == (1, 4) and clusters[11] == (10, 2) and clusters[21] == (20, 2)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-hop path graph needs ~40 propagation rounds (diameter bound) —
+    exercises persist/unpersist/lineage-truncation across many iterations."""
+    from debezium_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    rows = connected_components(edges, max_iterations=60).collect()
+    assert all(r["component"] == 0 for r in rows)
+    assert len(rows) == 41
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    import pytest as _pytest
+
+    from debezium_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3)
