@@ -1141,6 +1141,26 @@ def q_dt_avro_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dt_protobuf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proto3 message encoding (functions/protobuf.py — the embedded API's
+    Protobuf format, engine/format/Protobuf.java): message {lang=1, text=2},
+    each present field = tag varint (number<<3|wire_type 2) + RAW varint byte
+    length (proto3 lengths are unsigned, not zigzag — deliberately different
+    from the Avro entry) + utf8 bytes; null fields omitted. DuckDB rebuilds
+    the bytes hex-for-hex across 1- and 2-byte length varints."""
+    from debezium_spark.functions.protobuf import protobuf_binary
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.struct("lang", "text").alias("rec")
+    )
+    out, _ = protobuf_binary(docs, "rec")
+    return out.select(
+        "doc_id",
+        F.hex(F.col("proto")).alias("proto_hex"),
+        F.octet_length(F.col("proto")).alias("proto_len"),
+    )
+
+
 def q_topic_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro fullname adjustment over a data column of topic/schema names
     (util/SchemaNameAdjuster.validFullname, SchemaNameAdjuster.java:149-190):
@@ -1410,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_bits": q_dt_bits,
         "dt_point_wkb": q_dt_point_wkb,
         "dt_avro_binary": q_dt_avro_binary,
+        "dt_protobuf_binary": q_dt_protobuf_binary,
         "cdc_topic_sanitize": q_topic_sanitize,
         "dt_enum": q_dt_enum,
         "dt_temporal": q_dt_temporal,
@@ -2162,6 +2183,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + CASE WHEN ln < 64 THEN 1 ELSE 2 END + ln
                       + 1 + CASE WHEN lm < 64 THEN 1 ELSE 2 END + lm
                       AS INTEGER) AS avro_len
+            FROM b
+        """,
+        "dt_protobuf_binary": """
+            WITH b AS (
+              SELECT doc_id,
+                     octet_length(encode(lang)) AS ln,
+                     octet_length(encode(text)) AS lm,
+                     hex(encode(lang)) AS hn,
+                     hex(encode(text)) AS hm
+              FROM documents
+            )
+            SELECT doc_id,
+                   upper(
+                     '0A' ||
+                     CASE WHEN ln < 128 THEN lpad(format('{:x}', ln), 2, '0')
+                          ELSE lpad(format('{:x}', ln % 128 + 128), 2, '0')
+                            || lpad(format('{:x}', ln // 128), 2, '0') END
+                     || hn ||
+                     '12' ||
+                     CASE WHEN lm < 128 THEN lpad(format('{:x}', lm), 2, '0')
+                          ELSE lpad(format('{:x}', lm % 128 + 128), 2, '0')
+                            || lpad(format('{:x}', lm // 128), 2, '0') END
+                     || hm
+                   ) AS proto_hex,
+                   CAST(1 + CASE WHEN ln < 128 THEN 1 ELSE 2 END + ln
+                      + 1 + CASE WHEN lm < 128 THEN 1 ELSE 2 END + lm
+                      AS INTEGER) AS proto_len
             FROM b
         """,
         "cdc_topic_sanitize": """

@@ -76,6 +76,7 @@ __all__ = [
     "Json",
     "CloudEvents",
     "Avro",
+    "Protobuf",
 ]
 
 
@@ -97,6 +98,12 @@ class Avro:
     """Confluent-framed Avro key/value format (engine/format/Avro.java:1):
     0x00 magic + 4-byte schema id + Avro binary body, ids from the engine's
     file-backed schema registry (functions/avro.py)."""
+
+
+class Protobuf:
+    """Confluent-framed proto3 key/value format (engine/format/Protobuf.java:1):
+    0x00 magic + 4-byte schema id + message-indexes (0x00) + proto3 body,
+    descriptor derived from the envelope struct (functions/protobuf.py)."""
 
 
 class StopEngineException(Exception):
@@ -205,7 +212,7 @@ class _Builder:
     :class:`ChangeConsumer`."""
 
     def __init__(self, fmt: type) -> None:
-        if fmt not in (Json, CloudEvents, Avro):
+        if fmt not in (Json, CloudEvents, Avro, Protobuf):
             raise ValueError(f"unsupported serialization format {fmt!r}")
         self._fmt = fmt
         self._props: dict[str, str] = {}
@@ -400,6 +407,25 @@ class DebeziumEngine:
         sid = reg.register(f"{self._destination}-{subject_suffix}", sch)
         return env.withColumn(out_col, A.frame_confluent(F.col(out_col), sid))
 
+    def _proto_framed(self, env, col: str, subject_suffix: str, out_col: str):
+        """Struct column -> Confluent-framed proto3 message bytes; the
+        descriptor shares the engine's registry file (distinct subjects)."""
+        import json as _json
+
+        from debezium_spark.functions import avro as A
+        from debezium_spark.functions import protobuf as P
+
+        env, desc = P.protobuf_binary(env, col, out_col=out_col)
+        reg = A.AvroSchemaRegistry(self._registry_path)
+        sid = reg.register(
+            f"{self._destination}-{subject_suffix}-proto",
+            desc,
+            canonical_fn=lambda d: _json.dumps(d, separators=(",", ":")),
+        )
+        return env.withColumn(
+            out_col, P.frame_confluent_protobuf(F.col(out_col), sid)
+        )
+
     def _record_stream(self, lo: int, hi: int) -> Iterator[ChangeEvent]:
         env = self._cdc.envelope_stream(lo, hi)
         if self._fmt is CloudEvents:
@@ -419,6 +445,10 @@ class DebeziumEngine:
         elif self._fmt is Avro:
             env = self._avro_framed(env, "key", "key", "key_json")
             env = self._avro_framed(env, "value", "value", "value_json")
+            wire = env.select("key_json", "value_json", "offset")
+        elif self._fmt is Protobuf:
+            env = self._proto_framed(env, "key", "key", "key_json")
+            env = self._proto_framed(env, "value", "value", "value_json")
             wire = env.select("key_json", "value_json", "offset")
         else:
             wire = S.serialize_records(env, schema_payload_wrapper=self._wrapper)

@@ -432,8 +432,12 @@ class AvroSchemaRegistry:
                     self._by_key[(row["subject"], row["schema"])] = row["id"]
                     self._by_id[row["id"]] = row["schema"]
 
-    def register(self, subject: str, schema: Any) -> int:
-        cf = canonical_json(schema)
+    def register(self, subject: str, schema: Any, *, canonical_fn=None) -> int:
+        """``canonical_fn`` overrides the Avro Parsing-Canonical-Form identity
+        for non-Avro schema payloads (e.g. protobuf descriptors) sharing this
+        registry file — Confluent registries likewise store multiple schema
+        types per store."""
+        cf = (canonical_fn or canonical_json)(schema)
         key = (subject, cf)
         if key in self._by_key:
             return self._by_key[key]
