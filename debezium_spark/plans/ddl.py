@@ -22,6 +22,7 @@ beats a DataFrame at any scale.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass
 
@@ -112,6 +113,36 @@ _MODIFY = re.compile(  # MySQL MODIFY col type | ANSI/PG ALTER col [SET DATA] TY
     rf"|alter\s+(?:column\s+)?({_IDENT})\s+(?:set\s+data\s+)?type\s+(.+))$",
     re.IGNORECASE | re.DOTALL,
 )
+_DEFAULT = re.compile(
+    r"\bdefault\s+('(?:[^']|'')*'|\"[^\"]*\"|[^\s,)]+)", re.IGNORECASE
+)
+
+
+def _parse_default_literal(action: str):
+    """ADD COLUMN ... DEFAULT <literal> -> a JSON-encodable backfill value
+    (relational/Column.defaultValue). Only STATIC literals qualify — quoted
+    strings, numbers, booleans; NULL and function defaults (CURRENT_TIMESTAMP
+    etc.) return None, because a non-literal default cannot be replayed as a
+    backfill (the reference likewise resolves only parseable defaults via its
+    DefaultValueConverters)."""
+    m = _DEFAULT.search(action)
+    if not m:
+        return None
+    t = m.group(1).strip()
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    if len(t) >= 2 and t[0] == '"' and t[-1] == '"':
+        return t[1:-1]
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(t)
+    except ValueError:
+        try:
+            return float(t)
+        except ValueError:
+            return None  # NULL / function / expression defaults: no backfill
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
@@ -230,6 +261,9 @@ def parse_ddl(ddl: str) -> list[DdlEvent]:
                         )[0]
                     )
                     change = f"add_column:{_unquote(am.group(1))}:{typ}"
+                    default = _parse_default_literal(action)
+                    if default is not None:
+                        change += f":{json.dumps(default)}"
                 elif (dm := _DROP.match(action)) is not None:
                     change = f"drop_column:{_unquote(dm.group(1))}"
                 elif (rm := _RENAME.match(action)) is not None:

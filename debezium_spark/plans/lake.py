@@ -206,11 +206,12 @@ class LakeTable:
                         n = r[0]
                 return n
 
+            dflts = m.get("defaults", {})
             parts = []
             for sv, paths in sorted(groups.items()):
                 df = self.spark.read.schema(self._full_schema(sv)).parquet(*paths)
                 name_map = {f.name: name_at(f.name, sv) for f in cur.fields}
-                parts.append(_align(df, cur, name_map))
+                parts.append(_align(df, cur, name_map, defaults=dflts))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -218,13 +219,36 @@ class LakeTable:
             out = out.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
 
+    @property
+    def defaults(self) -> dict:
+        """Column DEFAULT values (relational/Column.defaultValue — the
+        reference's DefaultValueConverter surface): {current column name ->
+        {"value": literal, "below_offset": add_offset}}. The backfill applies
+        to every row whose latest write PRE-dates the ADD COLUMN (the rows
+        the source database materializes the default into): on read for files
+        committed under pre-add schema versions, and on merge for events with
+        ``_offset < below_offset`` whose slot is null (pre-add events cannot
+        have written the column, so a null there means 'column did not
+        exist', never 'explicit NULL'). Post-add explicit NULLs are real
+        values and stay NULL."""
+        return self.manifest().get("defaults", {})
+
     # ------------------------------------------------------------- DDL
-    def add_column(self, name: str, dtype: T.DataType) -> None:
-        """ALTER TABLE ADD COLUMN — new schema version; existing files null-fill."""
+    def add_column(
+        self, name: str, dtype: T.DataType, default=None, default_below_offset: int = 0
+    ) -> None:
+        """ALTER TABLE ADD COLUMN — new schema version; rows last written
+        before ``default_below_offset`` (the DDL's WAL offset) fill with
+        ``default`` (NULL when none), mirroring the DB's backfill."""
         m = dict(self.manifest(refresh=True))
         cur = self.schema
         if name in cur.fieldNames():
             return  # idempotent
+        if default is not None:
+            m["defaults"] = {
+                **m.get("defaults", {}),
+                name: {"value": default, "below_offset": default_below_offset},
+            }
         new_schema = T.StructType(list(cur.fields) + [T.StructField(name, dtype)])
         self._bump_schema(m, new_schema)
 
@@ -251,6 +275,8 @@ class LakeTable:
             return  # idempotent
         if name in m["key_cols"]:
             raise ValueError(f"cannot drop key column {name!r}")
+        if name in m.get("defaults", {}):
+            m["defaults"] = {k: v for k, v in m["defaults"].items() if k != name}
         self._bump_schema(m, T.StructType([f for f in cur.fields if f.name != name]))
 
     def rename_column(self, old: str, new: str) -> None:
@@ -274,6 +300,10 @@ class LakeTable:
         renames = dict(m.get("renames", {}))
         renames[str(m["schema_version"] + 1)] = [old, new]
         m["renames"] = renames
+        if old in m.get("defaults", {}):
+            d = dict(m["defaults"])
+            d[new] = d.pop(old)  # the default follows the column's new name
+            m["defaults"] = d
         self._bump_schema(m, new_schema)
 
     def _bump_schema(self, m: dict[str, Any], new_schema: T.StructType) -> None:
@@ -325,14 +355,31 @@ class LakeTable:
         key_null = F.lit(False)
         for c in key_cols:
             key_null = key_null | F.col(c).isNull()
+        dflts = m.get("defaults", {})
+        after_fields = set(actions.schema["after"].dataType.fieldNames())
+
+        def _payload_col(c: str) -> F.Column:
+            # same DEFAULT backfill rule as merge() — see its comment
+            dt = payload[c].dataType
+            base = (
+                F.col("after").getField(c).cast(dt)
+                if c in after_fields
+                else F.lit(None).cast(dt)
+            )
+            d = dflts.get(c)
+            if not d:
+                return base
+            backfill = F.when(
+                (F.col("action") != ACTION_DELETE)
+                & (F.col("_offset") < F.lit(d["below_offset"])),
+                F.lit(d["value"]),
+            ).cast(dt)
+            return F.coalesce(base, backfill)
+
         src = actions.select(
             *key_cols,
             *[
-                (
-                    F.col("after").getField(c).cast(payload[c].dataType)
-                    if c in actions.schema["after"].dataType.fieldNames()
-                    else F.lit(None).cast(payload[c].dataType)
-                ).alias(c)
+                _payload_col(c).alias(c)
                 for c in payload_cols
                 if c not in key_cols
             ],
@@ -447,16 +494,37 @@ class LakeTable:
         payload = self.schema
         payload_cols = payload.fieldNames()
 
-        # Flatten actions to the physical layout, aligning after.* to current schema.
+        # Flatten actions to the physical layout, aligning after.* to current
+        # schema. Columns with a registered DEFAULT backfill upsert rows whose
+        # _offset predates the ADD COLUMN (the DB materializes defaults into
+        # row images the moment the DDL runs, so a pre-add event merging late
+        # gets what the source would have emitted); pre-add nulls mean 'column
+        # did not exist', post-add nulls are explicit and survive.
+        dflts = m.get("defaults", {})
+        after_fields = set(actions.schema["after"].dataType.fieldNames())
+
+        def _payload_col(c: str) -> F.Column:
+            dt = payload[c].dataType
+            base = (
+                F.col("after").getField(c).cast(dt)
+                if c in after_fields
+                else F.lit(None).cast(dt)
+            )
+            d = dflts.get(c)
+            if not d:
+                return base
+            backfill = F.when(
+                (F.col("action") != ACTION_DELETE)
+                & (F.col("_offset") < F.lit(d["below_offset"])),
+                F.lit(d["value"]),
+            ).cast(dt)
+            return F.coalesce(base, backfill)
+
         src = actions.select(
             *key_cols,
             F.col("action"),
             *[
-                (
-                    F.col("after").getField(c).cast(payload[c].dataType)
-                    if c in actions.schema["after"].dataType.fieldNames()
-                    else F.lit(None).cast(payload[c].dataType)
-                ).alias(c)
+                _payload_col(c).alias(c)
                 for c in payload_cols
                 if c not in key_cols
             ],
@@ -657,11 +725,15 @@ class LakeTable:
 
 
 def _align(
-    df: DataFrame, target: T.StructType, name_map: dict[str, str] | None = None
+    df: DataFrame,
+    target: T.StructType,
+    name_map: dict[str, str] | None = None,
+    defaults: dict | None = None,
 ) -> DataFrame:
-    """Project df onto `target` schema: null-fill missing fields, cast widened
-    ones, and resolve renamed fields through ``name_map`` (target name -> name
-    the column had when the file was written)."""
+    """Project df onto `target` schema: fill missing fields with their column
+    DEFAULT (NULL when none — ``defaults`` keys are target names), cast
+    widened ones, and resolve renamed fields through ``name_map`` (target
+    name -> name the column had when the file was written)."""
     cols = []
     have = {f.name: f.dataType for f in df.schema.fields}
     for f in target.fields:
@@ -672,5 +744,8 @@ def _align(
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            d = (defaults or {}).get(f.name)
+            cols.append(
+                F.lit(d["value"] if d else None).cast(f.dataType).alias(f.name)
+            )
     return df.select(*cols)

@@ -12,8 +12,12 @@ Here the history is a small offset-ordered table; `replay(upto_offset)` rebuilds
 registry exactly like AbstractDatabaseHistory.recover(), and `apply_pending` executes
 the corresponding lake DDL when the stream crosses a change offset. table_changes
 uses a compact machine-readable form (TableChanges.java:31-54 serialization
-analogue): ``create`` / ``add_column:<name>:<type>`` / ``widen:<name>:<type>`` /
-``drop_column:<name>`` / ``rename_column:<old>:<new>``.
+analogue): ``create`` / ``add_column:<name>:<type>[:<default-json>]`` /
+``widen:<name>:<type>`` / ``drop_column:<name>`` /
+``rename_column:<old>:<new>``. The optional add_column default (a JSON
+literal — relational/Column.defaultValue) fills every slot the engine would
+otherwise null-fill for pre-add rows, matching the source DB's ADD COLUMN
+backfill; see LakeTable.defaults.
 
 Rename/drop mid-stream (MySqlSchemaMigrationIT scenarios): events written before a
 rename carry the old field name; `payload_renames`/`payload_drops` feed the
@@ -128,8 +132,18 @@ class SchemaRegistry:
         if kind == "create":
             pass
         elif kind == "add_column":
-            name, typ = args
-            lake.add_column(name, parse_type(typ))
+            # add_column:<name>:<type>[:<default-json>] — the default tail is
+            # JSON (may itself contain ':'), so re-split with a bound
+            name, typ, *d = change.table_changes.split(":", 3)[1:]
+            default = json.loads(d[0]) if d else None
+            lake.add_column(
+                name,
+                parse_type(typ),
+                default=default,
+                # backfill boundary = the DDL's WAL offset: rows last written
+                # below it get the default (the DB's ADD COLUMN backfill)
+                default_below_offset=change.offset,
+            )
         elif kind == "widen":
             name, typ = args
             lake.widen_column(name, parse_type(typ))

@@ -45,7 +45,7 @@ def test_alter_actions_one_event_each():
         "ALTER TABLE ONLY lake.repos ALTER COLUMN path SET DATA TYPE TEXT"
     )
     assert [e.table_changes for e in evs] == [
-        "add_column:size_bytes:bigint",
+        "add_column:size_bytes:bigint:0",  # static DEFAULT rides the delta
         "drop_column:lang",
         "rename_column:commit:commit_sha",
         "widen:score:double",
