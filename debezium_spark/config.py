@@ -211,6 +211,61 @@ class EngineConfig:
         kwargs.update(overrides)
         return cls(**kwargs)
 
+    @classmethod
+    def validate_properties(cls, props: dict[str, str]) -> list[dict]:
+        """Connect-style validation: ALL problems at once, never an exception
+        (the contract of the reference's connector-validation REST surface —
+        debezium-connect-rest-extension's ``/validate/connector`` endpoints
+        returning per-config ``{name, errors[]}`` — and of
+        ``Configuration.validateAndRecord``). An empty list means
+        ``from_properties(props)`` will succeed.
+
+        One entry per offending property: ``{"name": <property>, "value":
+        <raw>, "errors": [<message>, ...]}``; cross-field failures from the
+        constructor (e.g. an invalid ``snapshot.mode`` enum value) are
+        attributed to the property that carried them."""
+        findings: list[dict] = []
+
+        def add(name: str, value, msg: str) -> None:
+            for f in findings:
+                if f["name"] == name:
+                    f["errors"].append(msg)
+                    return
+            findings.append({"name": name, "value": value, "errors": [msg]})
+
+        parsed: dict[str, str] = {}  # field -> property that set it
+        for key, raw in props.items():
+            k = key.strip()
+            if k in _IGNORED_PROPERTIES or k.startswith(_IGNORED_PREFIXES):
+                continue
+            if _MASK_CHARS.match(k) or _TRUNCATE_CHARS.match(k) or _MASK_HASH.match(k):
+                if not _csv(raw):
+                    add(k, raw, "expects a comma-separated column list")
+                continue
+            if k not in _PROPERTY_MAP:
+                add(k, raw, "unknown connector property")
+                continue
+            field_name, conv = _PROPERTY_MAP[k]
+            try:
+                conv(raw)
+            except (ValueError, TypeError) as e:
+                add(k, raw, str(e) or f"invalid value for {k}")
+                continue
+            parsed[field_name] = k
+        if not findings:
+            try:
+                cls.from_properties(props)
+            except ValueError as e:
+                # attribute the constructor's complaint to the property that
+                # carried the offending field, when we can tell which
+                msg = str(e)
+                owner = next(
+                    (prop for field, prop in parsed.items() if field in msg),
+                    None,
+                )
+                add(owner or "<configuration>", None if owner is None else props[owner], msg)
+        return findings
+
 
 def _csv(v: str) -> list[str]:
     return [p.strip() for p in str(v).split(",") if p.strip()]

@@ -84,3 +84,45 @@ def test_unknown_and_invalid_properties_raise():
         EngineConfig.from_properties({"snapshot.mode": "bogus"})
     with pytest.raises(ValueError, match="invalid skipped_operations"):
         EngineConfig.from_properties({"skipped.operations": "x"})
+
+
+def test_validate_properties_collects_all_errors():
+    findings = EngineConfig.validate_properties(
+        {
+            "topic.prefix": "srv",
+            "not.a.knob": "1",
+            "tombstones.on.delete": "yep",          # bad boolean
+            "heartbeat.interval.ms": "soon",        # bad int
+            "connector.class": "ignored.Transport",
+        }
+    )
+    by_name = {f["name"]: f for f in findings}
+    assert set(by_name) == {
+        "not.a.knob", "tombstones.on.delete", "heartbeat.interval.ms"
+    }
+    assert by_name["not.a.knob"]["errors"] == ["unknown connector property"]
+    assert "boolean" in by_name["tombstones.on.delete"]["errors"][0]
+    assert by_name["heartbeat.interval.ms"]["value"] == "soon"
+
+
+def test_validate_properties_attributes_constructor_errors():
+    findings = EngineConfig.validate_properties({"snapshot.mode": "bogus"})
+    assert len(findings) == 1
+    assert findings[0]["name"] == "snapshot.mode"
+    assert "snapshot_mode" in findings[0]["errors"][0]
+
+
+def test_validate_properties_empty_means_buildable():
+    props = {
+        "topic.prefix": "srv",
+        "snapshot.mode": "never",
+        "column.mask.with.4.chars": "db.t.secret",
+    }
+    assert EngineConfig.validate_properties(props) == []
+    cfg = EngineConfig.from_properties(props)
+    assert cfg.mask_columns == {"secret": "****"}
+
+
+def test_validate_properties_empty_column_list():
+    findings = EngineConfig.validate_properties({"column.mask.with.4.chars": " "})
+    assert findings and "comma-separated" in findings[0]["errors"][0]
