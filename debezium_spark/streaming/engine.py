@@ -1347,11 +1347,49 @@ class CdcEngine:
             ).collect()[0]
             if rng["hi"] is None:
                 return
-            self._publish_side_channels(df, batch_id=lake.committed_batch_id + 1)
-            self._apply_batch(
-                lake, df, batch_id=lake.committed_batch_id + 1,
-                lo=int(rng["lo"]) - 1, hi=int(rng["hi"]),
-            )
+            lo, hi_all = int(rng["lo"]) - 1, int(rng["hi"])
+            # In-band signals in THIS epoch, same exact-offset rule as run():
+            # the sub-batch ends AT the signal's offset, commits, then the
+            # action applies. Scope caveat mirrors the file source itself —
+            # signals order exactly within the epoch; a signal in a
+            # late-delivered low-offset segment applies when that segment's
+            # epoch arrives (the durable marker dedups epoch replays).
+            pending: list[tuple[int, dict[str, Any]]] = []
+            if self.config.signal_data_collection:
+                marker = self._inband_marker()
+                pending = [
+                    (o, s)
+                    for o, s in self._inband_signals_in(df, lo, hi_all)
+                    if o > marker
+                ]
+            while lo < hi_all or pending:
+                sig = pending.pop(0) if pending else None
+                hi = sig[0] if sig is not None else hi_all
+                slice_df = df.where(
+                    (F.col("offset") > lo) & (F.col("offset") <= hi)
+                )
+                bid = lake.committed_batch_id + 1
+                self._publish_side_channels(slice_df, batch_id=bid)
+                # interleave in-flight ad-hoc snapshot chunk windows, exactly
+                # like the batch drive (S5 under streaming — the reference's
+                # incremental snapshot runs WHILE streaming)
+                chunks = self._snapshot_chunk_rows(df.schema, lo)
+                if chunks is not None:
+                    slice_df = slice_df.unionByName(
+                        chunks, allowMissingColumns=True
+                    )
+                self._apply_batch(lake, slice_df, batch_id=bid, lo=lo, hi=hi)
+                if chunks is not None:
+                    self._save_incr_state(self._incr_pending_state)
+                if sig is not None:
+                    pause = self._apply_signal_action(sig[1], at_offset=sig[0])[
+                        "pause"
+                    ]
+                    self._save_inband_marker(sig[0])
+                    if pause:
+                        self._pause_requested = True
+                        raise _PauseSignal()
+                lo = hi
 
         q = (
             stream.writeStream.foreachBatch(handle)
@@ -1364,6 +1402,23 @@ class CdcEngine:
         except Exception:  # pause is a clean stop, not a failure
             if not self._pause_requested:
                 raise
+        # availableNow drained the WAL, but an in-flight ad-hoc snapshot may
+        # still have chunk windows left — keep emitting chunk-only batches
+        # (the streaming twin of run()'s drain tail).
+        if not self._pause_requested:
+            lo = lake.committed_max_offset
+            while (
+                self._incr_state()["active"]
+                and self.snapshot_source
+                and not self._poll_signals()["pause"]
+            ):
+                chunks = self._snapshot_chunk_rows(wal_schema, lo)
+                if chunks is None:
+                    break
+                self._apply_batch(
+                    lake, chunks, batch_id=lake.committed_batch_id + 1, lo=lo, hi=lo
+                )
+                self._save_incr_state(self._incr_pending_state)
 
     def run_streaming_stateful(
         self, *, max_files_per_trigger: int | None = None

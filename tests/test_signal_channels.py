@@ -290,3 +290,64 @@ def test_schema_changes_signal_injects_ddl(spark, tmpdir_path):
     assert any(
         c.table_changes == "add_column:stars:int" for c in e2.registry().changes
     )
+
+
+# ------------------------------------------- streaming-drive parity (S5/P17)
+def test_inband_signal_and_chunks_under_streaming_drive(spark, tmpdir_path):
+    """run_streaming applies in-band signals at their exact offset and
+    interleaves ad-hoc snapshot chunks per micro-batch, exactly like run() —
+    the reference's incremental snapshot runs WHILE streaming."""
+    spec, wal_dir, src_dir, s_off, lost, expected = _inband_fixture(
+        spark, tmpdir_path
+    )
+    eng = _engine(
+        spark, tmpdir_path, wal_dir, src_dir, "sib", signal_data_collection=True
+    )
+    eng.run_streaming()
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == expected  # lost event repaired by the watermarked chunk read
+    # some sub-batch ended exactly at the signal offset
+    batches = [
+        json.loads(x)
+        for x in open(os.path.join(tmpdir_path, "wsib", "_metrics.jsonl"))
+        if '"hi"' in x
+    ]
+    assert any(b["hi"] == s_off for b in batches)
+    st = eng._incr_state()
+    assert int(st["source_offset"]) == s_off and not st["active"]
+
+
+def test_streaming_drains_chunks_after_wal_exhausted(spark, tmpdir_path):
+    """A programmatic execute-snapshot with more chunks than stream epochs:
+    the drain tail keeps emitting chunk-only batches after availableNow ends,
+    so the snapshot completes in one run_streaming() call."""
+    spec = W.WalSpec(n_keys=300, n_events=60, seed=31, schema_changes=False)
+    src_dir = os.path.join(tmpdir_path, "src_drain")
+    W.seed_table(spark, spec).write.parquet(src_dir)
+    wal_dir = os.path.join(tmpdir_path, "wal_drain")
+    _stream_wal(spark, spec).write.parquet(wal_dir)
+    eng = _engine(spark, tmpdir_path, wal_dir, src_dir, "drain")
+    eng.execute_snapshot()
+    eng.run_streaming()
+    st = eng._incr_state()
+    assert not st["active"], "snapshot must complete within one streaming run"
+    # every source key materialized (stream wins where it touched)
+    n_keys = eng.target().read().count()
+    assert n_keys >= spec.n_keys - int(
+        spec.n_events  # deletes can remove at most n_events keys
+    )
+    wal_pd = (
+        spark.read.parquet(wal_dir)
+        .select("offset", "is_tombstone", "op", "repo", "path", "after")
+        .toPandas()
+    )
+    seed_pd = spark.read.parquet(src_dir).toPandas()
+    exp = oracle.state_hashes(
+        oracle.reduce_wal(pd.concat([_seed_as_read_rows(seed_pd), wal_pd]))
+    )
+    got = oracle.target_hashes(
+        eng.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == exp
