@@ -686,6 +686,20 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (the sharded-corpus writer's streaming-pack
+    rule): shard_id = running_token_offset // budget in doc_id order. The
+    global prefix sum runs as the two-pass distributed scan
+    (text.pack_shards: range-partition + per-partition window + broadcast
+    base offsets) — never Window.orderBy's Exchange SinglePartition. Oracle:
+    DuckDB's serial cumulative sum."""
+    from debezium_spark.functions.text import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), tokens_per_shard=500, partitions=8
+    )
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): sign-LSH over 8 hyperplanes, multi-probe
     Hamming<=1, cosine top-10 for vec_id=0's embedding. At scale the bucket column
@@ -1408,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_pack_shards": q_doc_pack_shards,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1954,6 +1969,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cc.id AS doc_id, cc.component, sizes.cluster_size
             FROM cc JOIN sizes USING (component)
+        """,
+        "doc_pack_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 500 AS BIGINT) AS shard_id
+            FROM t
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_ivf_topk": f"""

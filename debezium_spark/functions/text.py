@@ -128,3 +128,70 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_guess(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    *,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to ~``tokens_per_shard`` training shards by token
+    offset: ``shard_id = running_token_offset // tokens_per_shard`` where the
+    running offset is the total tokens of all docs with a smaller ``id_col``
+    (the streaming-pack rule every sharded-corpus writer uses — deterministic,
+    order-stable, every shard within one doc of the budget).
+
+    Scale note — this is a GLOBAL prefix sum, and the naive
+    ``Window.orderBy(id)`` with no partition key compiles to ``Exchange
+    SinglePartition``: the whole table through one task. Instead, the
+    textbook two-pass distributed scan:
+
+    1. range-partition the slim ``(id, n_tokens)`` projection by id and
+       freeze it (``localCheckpoint`` — the range sampler must not re-draw
+       boundaries between the two passes; swap ``checkpoint`` in on a real
+       cluster);
+    2. local cumulative sums per partition (window PARTITION BY the physical
+       partition id — all partitions in parallel);
+    3. one bounded collect of ``n_partitions`` partial totals -> broadcast
+       base-offset map added back per row.
+
+    Per-row cost is one slim shuffle + one map lookup regardless of table
+    size; the only driver state is one row per partition.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col)).alias("n_tokens")
+    base = docs.select(F.col(id_col), n_tok)
+    parts = partitions or base.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze sampled range boundaries across both passes
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn(
+        "_local_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    totals = sorted(
+        ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    bases: dict[int, int] = {}
+    run = 0
+    for r in totals:
+        bases[r["_pid"]] = run
+        run += int(r["t"] or 0)
+    base_map = F.create_map(
+        *[F.lit(x) for pid, off in bases.items() for x in (pid, off)]
+    )
+    offset = F.col("_local_off") + F.coalesce(
+        base_map[F.col("_pid")], F.lit(0)
+    )
+    return local.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor(offset / F.lit(tokens_per_shard)).cast("long").alias("shard_id"),
+    )

@@ -276,3 +276,43 @@ def test_connected_components_raises_when_budget_too_small(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=3)
+
+
+def test_pack_shards_matches_serial_prefix_sum(spark):
+    """Distributed two-pass prefix sum == the serial rule, across several
+    range partitions; every shard except the last lands within one doc of the
+    budget."""
+    import random
+
+    from debezium_spark.functions.text import pack_shards
+
+    rng = random.Random(13)
+    rows = [(i, " ".join(["w"] * rng.randint(0, 40))) for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(docs, tokens_per_shard=200, partitions=7).collect()
+    }
+    run = 0
+    for i, text in rows:
+        n = len(text.split()) if text.strip() else 0
+        assert got[i] == (n, run // 200), i
+        run += n
+    # shard boundaries: consecutive ids, monotone shard ids
+    shards = [got[i][1] for i in range(500)]
+    assert shards == sorted(shards)
+    assert shards[-1] >= 1  # actually split
+
+
+def test_pack_shards_single_partition_and_empty_text(spark):
+    from debezium_spark.functions.text import pack_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "  "), (3, None), (4, "d e")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            pack_shards(docs, tokens_per_shard=4, partitions=1).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["shard_id"] == 0
+    assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
+    assert rows[4]["shard_id"] == 0  # offset 3 // 4 == 0
