@@ -564,7 +564,113 @@ def stateful(cpus: int) -> dict:
     return result
 
 
+def serde(cpus: int) -> dict:
+    """``--serde``: wire-format serialization throughput (events/s per
+    format) over the full envelope stream — Json and CloudEvents are
+    codegen'd JSON algebra (JVM row path), Avro and Protobuf are the
+    Arrow-batched pandas encoders (functions/avro.py, functions/protobuf.py),
+    so this mode measures exactly the documented JVM-vs-Python serializer
+    gap. Each format's plan is forced end-to-end by aggregating output byte
+    lengths (every wire byte produced, no sink IO in the timing); best of
+    $BENCH_TRIALS (default 2) after one untimed warm-up."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from debezium_spark import CdcEngine, EngineConfig
+    from debezium_spark.functions import avro as A
+    from debezium_spark.functions import protobuf as P
+    from debezium_spark.functions import serde as S
+    from debezium_spark.functions import transforms as X
+
+    sf = os.environ.get("BENCH_SERDE_SF") or warmup_sf_for(sf_of(SF_DIR))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    wal_dir = ensure_wal(spark, sf)
+    work = tempfile.mkdtemp(prefix="dbzserde-", dir=BENCH_ROOT)
+    eng = CdcEngine(
+        spark, EngineConfig(),
+        wal_path=wal_dir, target_path=os.path.join(work, "t"),
+        work_dir=os.path.join(work, "w"),
+    )
+    env = eng.envelope_stream()
+    n_events = env.count()  # metadata + scan warm-up, outside timings
+
+    def wire_json():
+        w = S.serialize_records(env)
+        return w.select(
+            F.octet_length("key_json").alias("a"),
+            F.octet_length("value_json").alias("b"),
+        )
+
+    def wire_cloudevents():
+        w = X.to_cloudevents(
+            env.withColumn("key_json", F.to_json(F.col("key"))),
+            keep=["key_json"],
+        )
+        return w.select(
+            F.octet_length("key_json").alias("a"),
+            F.octet_length("cloudevent").alias("b"),
+        )
+
+    def wire_avro():
+        w, sch = A.avro_binary(env, "value")
+        w = w.withColumn("avro", A.frame_confluent(F.col("avro"), 1))
+        return w.select(
+            F.octet_length(F.to_json(F.col("key"))).alias("a"),
+            F.octet_length("avro").alias("b"),
+        )
+
+    def wire_protobuf():
+        w, desc = P.protobuf_binary(env, "value")
+        w = w.withColumn("proto", P.frame_confluent_protobuf(F.col("proto"), 1))
+        return w.select(
+            F.octet_length(F.to_json(F.col("key"))).alias("a"),
+            F.octet_length("proto").alias("b"),
+        )
+
+    formats = {
+        "json": wire_json,
+        "cloudevents": wire_cloudevents,
+        "avro": wire_avro,
+        "protobuf": wire_protobuf,
+    }
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    per_fmt: dict[str, float] = {}
+    wire_bytes: dict[str, int] = {}
+    for name, fn in formats.items():
+        fn().agg(F.sum("a"), F.sum("b")).collect()  # untimed warm-up
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            row = fn().agg(
+                F.sum("a").alias("kb"), F.sum("b").alias("vb")
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per_fmt[name] = round(best, 3)
+        wire_bytes[name] = int((row["kb"] or 0) + (row["vb"] or 0))
+    result = {
+        "metric": "wire-format serialization events/sec per format",
+        "value": round(sum(per_fmt.values()), 3),
+        "unit": "sec",
+        "queries": {f"serde_{k}": v for k, v in per_fmt.items()},
+        "sf": float(sf),
+        "cpus": cpus,
+        "events": n_events,
+        "events_per_sec": {
+            k: round(n_events / v, 1) for k, v in per_fmt.items()
+        },
+        "wire_bytes": wire_bytes,
+    }
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 if __name__ == "__main__":
+    if "--serde" in sys.argv:
+        print(json.dumps(serde(CPUS)))
+        sys.exit(0)
     if "--stateful" in sys.argv:
         print(json.dumps(stateful(CPUS)))
         sys.exit(0)

@@ -282,7 +282,7 @@ class _Builder:
         # CloudEvents data serializer (CloudEventsConverterConfig's
         # cloudevents.data.serializer.type, json|avro)
         ce_data = str(props.pop("cloudevents.data.serializer.type", "json")).lower()
-        if ce_data not in ("json", "avro"):
+        if ce_data not in ("json", "avro", "protobuf"):
             raise ValueError(f"unknown cloudevents.data.serializer.type {ce_data!r}")
         max_batch = int(props.get("max.batch.size", 2048))
         config = EngineConfig.from_properties(props, max_offsets_per_batch=max_batch)
@@ -436,11 +436,18 @@ class DebeziumEngine:
             if self._ce_data == "avro":
                 env = self._avro_framed(env, "value", "value", "_avro_data")
                 avro_col = "_avro_data"
+            elif self._ce_data == "protobuf":
+                # same data_base64 carriage; body is framed proto3 instead
+                env = self._proto_framed(env, "value", "value", "_avro_data")
+                avro_col = "_avro_data"
             wire = X.to_cloudevents(
                 env,
                 connector=self._cdc.config.connector,
                 keep=["key_json"],
                 avro_data_col=avro_col,
+                data_content_type=(
+                    "application/protobuf" if self._ce_data == "protobuf" else None
+                ),
             ).select("key_json", F.col("cloudevent").alias("value_json"), "offset")
         elif self._fmt is Avro:
             env = self._avro_framed(env, "key", "key", "key_json")

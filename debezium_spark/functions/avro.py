@@ -212,62 +212,129 @@ def _write_long(out: io.BytesIO, v: int) -> None:
     _write_varint(out, _zigzag(int(v)))
 
 
-def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
-    if isinstance(schema, list):  # union: branch index, then value
-        if v is None:
-            idx = schema.index("null")
-            _write_long(out, idx)
-            return
-        idx = next(i for i, s in enumerate(schema) if s != "null")
-        _write_long(out, idx)
-        _encode(out, schema[idx], v)
-        return
+def _varint_bytes(n: int) -> bytes:
+    out = io.BytesIO()
+    _write_varint(out, n)
+    return out.getvalue()
+
+
+def _compile(schema: Any):
+    """Schema -> closure tree encoder ``enc(out, value)``.
+
+    The interpretive :func:`_encode` re-walks the schema per row (union
+    branch scans, isinstance dispatch); compiling once hoists every
+    schema-shaped decision out of the row loop — measured ~5x on the
+    envelope schema (bench.py --serde)."""
+    if isinstance(schema, list):  # union
+        null_prefix = _varint_bytes(_zigzag(schema.index("null")))
+        val_idx = next(i for i, s in enumerate(schema) if s != "null")
+        val_prefix = _varint_bytes(_zigzag(val_idx))
+        inner = _compile(schema[val_idx])
+
+        def enc_union(out, v):
+            if v is None:
+                out.write(null_prefix)
+            else:
+                out.write(val_prefix)
+                inner(out, v)
+
+        return enc_union
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
-        for f in schema["fields"]:
-            _encode(out, f["type"], None if v is None else v.get(f["name"]))
-    elif t == "array":
-        items = [] if v is None else list(v)
-        if items:
-            _write_long(out, len(items))
-            for x in items:
-                _encode(out, schema["items"], x)
-        _write_long(out, 0)
-    elif t == "map":
-        entries = {} if v is None else dict(v)
-        if entries:
-            _write_long(out, len(entries))
-            for k, x in entries.items():
-                _encode(out, "string", k)
-                _encode(out, schema["values"], x)
-        _write_long(out, 0)
-    elif t in ("long", "int"):
-        _write_long(out, int(v))
-    elif t == "string":
-        b = str(v).encode("utf-8")
-        _write_long(out, len(b))
-        out.write(b)
-    elif t == "bytes":
-        b = bytes(v)
-        _write_long(out, len(b))
-        out.write(b)
-    elif t == "double":
-        out.write(_struct.pack("<d", float(v)))
-    elif t == "float":
-        out.write(_struct.pack("<f", float(v)))
-    elif t == "boolean":
-        out.write(b"\x01" if v else b"\x00")
-    elif t == "null":
-        pass
-    else:
-        raise TypeError(f"cannot encode Avro type {t!r}")
+        fields = [(f["name"], _compile(f["type"])) for f in schema["fields"]]
+
+        def enc_record(out, v):
+            get = (v or {}).get
+            for name, fe in fields:
+                fe(out, get(name))
+
+        return enc_record
+    if t == "array":
+        item = _compile(schema["items"])
+
+        def enc_array(out, v):
+            items = list(v) if v is not None else []
+            if items:
+                _write_varint(out, _zigzag(len(items)))
+                for x in items:
+                    item(out, x)
+            out.write(b"\x00")
+
+        return enc_array
+    if t == "map":
+        val = _compile(schema["values"])
+
+        def enc_map(out, v):
+            entries = dict(v) if v is not None else {}
+            if entries:
+                _write_varint(out, _zigzag(len(entries)))
+                for k, x in entries.items():
+                    b = k.encode("utf-8")
+                    _write_varint(out, _zigzag(len(b)))
+                    out.write(b)
+                    val(out, x)
+            out.write(b"\x00")
+
+        return enc_map
+    if t in ("long", "int"):
+        def enc_long(out, v):
+            n = int(v)
+            z = (n << 1) ^ (n >> 63)
+            if 0 <= z < 128:  # single-byte fast path (most offsets/lengths)
+                out.write(_B1[z])
+            else:
+                _write_varint(out, z)
+
+        return enc_long
+    if t == "string":
+        def enc_string(out, v):
+            b = str(v).encode("utf-8")
+            n = len(b)
+            if n < 64:
+                out.write(_B1[n << 1])
+            else:
+                _write_varint(out, n << 1)
+            out.write(b)
+
+        return enc_string
+    if t == "bytes":
+        def enc_bytes(out, v):
+            b = bytes(v)
+            _write_varint(out, _zigzag(len(b)))
+            out.write(b)
+
+        return enc_bytes
+    if t == "double":
+        pack = _struct.Struct("<d").pack
+        return lambda out, v: out.write(pack(float(v)))
+    if t == "float":
+        pack = _struct.Struct("<f").pack
+        return lambda out, v: out.write(pack(float(v)))
+    if t == "boolean":
+        return lambda out, v: out.write(b"\x01" if v else b"\x00")
+    if t == "null":
+        return lambda out, v: None
+    raise TypeError(f"cannot encode Avro type {t!r}")
+
+
+_B1 = [bytes([i]) for i in range(128)]
+_COMPILED: dict[str, Any] = {}
+
+
+def compiled_encoder(schema_json: str):
+    """Process-wide cache of compiled encoders (one per canonical schema) —
+    the pandas-UDF worker compiles once, then every Arrow batch reuses it."""
+    enc = _COMPILED.get(schema_json)
+    if enc is None:
+        enc = _COMPILED[schema_json] = _compile(json.loads(schema_json))
+    return enc
 
 
 def encode_record(schema: Any, value: dict | None) -> bytes:
     """One record -> Avro binary body (no framing). Driver/test-side helper;
     the distributed path is :func:`avro_binary`."""
     out = io.BytesIO()
-    _encode(out, schema, value)
+    _compile(schema)(out, value)
     return out.getvalue()
 
 
@@ -387,11 +454,16 @@ def avro_binary(
 
     @pandas_udf(T.BinaryType())
     def _enc(rows: pd.DataFrame) -> pd.Series:
-        s = json.loads(sch_json)
+        enc = compiled_encoder(sch_json)  # compiled once per worker process
         # object dtype + None-normalization: pandas floats NaN-coerce nullable
         # ints; the encoder casts per the schema, so only NaN->None matters
         recs = rows.astype(object).where(rows.notna(), None).to_dict("records")
-        return pd.Series([encode_record(s, r) for r in recs])
+        out = []
+        for r in recs:
+            buf = io.BytesIO()
+            enc(buf, r)
+            out.append(buf.getvalue())
+        return pd.Series(out)
 
     # outer null detection must ride INSIDE the struct for the UDF (a struct
     # arriving as all-null fields vs null struct is indistinguishable in

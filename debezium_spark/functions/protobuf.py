@@ -128,48 +128,93 @@ _WIRE = {"int64": 0, "int32": 0, "bool": 0, "double": 1,
          "string": 2, "bytes": 2, "message": 2, "float": 5}
 
 
-def _encode_value(out: io.BytesIO, f: dict, v: Any) -> None:
-    t = f["type"]
-    if t in ("int64", "int32"):
-        _write_varint(out, int(v))
-    elif t == "bool":
-        _write_varint(out, 1 if v else 0)
-    elif t == "double":
-        out.write(_struct.pack("<d", float(v)))
-    elif t == "float":
-        out.write(_struct.pack("<f", float(v)))
-    elif t == "string":
-        b = str(v).encode("utf-8")
-        _write_varint(out, len(b))
-        out.write(b)
-    elif t == "bytes":
-        b = bytes(v)
-        _write_varint(out, len(b))
-        out.write(b)
-    elif t == "message":
-        body = encode_message(f["message"], v)
-        _write_varint(out, len(body))
-        out.write(body)
-    else:
-        raise TypeError(f"cannot encode protobuf type {t!r}")
+def _compile(desc: dict):
+    """Descriptor -> closure tree encoder ``enc(out, value)`` with tag bytes
+    precomputed per field — hoists every descriptor-shaped decision out of
+    the row loop (same rationale as functions/avro.py:_compile; measured via
+    bench.py --serde)."""
+    field_encs = []
+    for f in desc["fields"]:
+        tag = io.BytesIO()
+        _write_varint(tag, (f["number"] << 3) | _WIRE[f["type"]])
+        tag_b = tag.getvalue()
+        t = f["type"]
+        if t in ("int64", "int32"):
+            def val(out, v):
+                _write_varint(out, int(v))
+        elif t == "bool":
+            def val(out, v):
+                out.write(b"\x01" if v else b"\x00")
+        elif t == "double":
+            pack = _struct.Struct("<d").pack
+
+            def val(out, v, pack=pack):
+                out.write(pack(float(v)))
+        elif t == "float":
+            pack = _struct.Struct("<f").pack
+
+            def val(out, v, pack=pack):
+                out.write(pack(float(v)))
+        elif t == "string":
+            def val(out, v):
+                b = str(v).encode("utf-8")
+                _write_varint(out, len(b))
+                out.write(b)
+        elif t == "bytes":
+            def val(out, v):
+                b = bytes(v)
+                _write_varint(out, len(b))
+                out.write(b)
+        elif t == "message":
+            inner = _compile(f["message"])
+
+            def val(out, v, inner=inner):
+                buf = io.BytesIO()
+                inner(buf, v)
+                b = buf.getvalue()
+                _write_varint(out, len(b))
+                out.write(b)
+        else:
+            raise TypeError(f"cannot encode protobuf type {t!r}")
+        field_encs.append((f["name"], bool(f["repeated"]), tag_b, val))
+
+    def enc(out, value):
+        if value is None:
+            return
+        get = value.get
+        for name, repeated, tag_b, val in field_encs:
+            v = get(name)
+            if v is None:
+                continue
+            if repeated:
+                for x in v:
+                    if x is None:
+                        continue
+                    out.write(tag_b)
+                    val(out, x)
+            else:
+                out.write(tag_b)
+                val(out, v)
+
+    return enc
+
+
+_COMPILED: dict[str, Any] = {}
+
+
+def compiled_encoder(desc_json: str):
+    """Process-wide compiled-encoder cache, one per descriptor JSON."""
+    enc = _COMPILED.get(desc_json)
+    if enc is None:
+        enc = _COMPILED[desc_json] = _compile(json.loads(desc_json))
+    return enc
 
 
 def encode_message(desc: dict, value: dict | None) -> bytes:
     """One record -> proto3 message bytes. None/absent fields are omitted
     (proto3 presence); repeated fields emit one tagged element each."""
     out = io.BytesIO()
-    if value is None:
-        return b""
-    for f in desc["fields"]:
-        v = value.get(f["name"])
-        if v is None:
-            continue
-        items = list(v) if f["repeated"] else [v]
-        for x in items:
-            if x is None:
-                continue
-            _write_varint(out, (f["number"] << 3) | _WIRE[f["type"]])
-            _encode_value(out, f, x)
+    _compile(desc)(out, value)
     return out.getvalue()
 
 
@@ -253,9 +298,14 @@ def protobuf_binary(
 
     @pandas_udf(T.BinaryType())
     def _enc(rows: pd.DataFrame) -> pd.Series:
-        dd = json.loads(d_json)
+        enc = compiled_encoder(d_json)  # compiled once per worker process
         recs = rows.astype(object).where(rows.notna(), None).to_dict("records")
-        return pd.Series([encode_message(dd, r) for r in recs])
+        out = []
+        for r in recs:
+            buf = io.BytesIO()
+            enc(buf, r)
+            out.append(buf.getvalue())
+        return pd.Series(out)
 
     return df.withColumn(
         out_col, F.when(F.col(col).isNotNull(), _enc(F.col(col)))

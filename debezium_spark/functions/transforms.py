@@ -287,6 +287,7 @@ def to_cloudevents(
     extension_attributes: bool = True,
     keep: list[str] | None = None,
     avro_data_col: str | None = None,
+    data_content_type: str | None = None,
 ) -> DataFrame:
     """CloudEvents converter (converters/CloudEventsConverter.java:1-625):
     envelope -> CloudEvents v1.0 JSON string.
@@ -312,7 +313,8 @@ def to_cloudevents(
             F.coalesce(F.col("value.op"), F.lit("tombstone")),
         ).alias("type"),
         F.lit(
-            "application/avro" if avro_data_col else "application/json"
+            data_content_type
+            or ("application/avro" if avro_data_col else "application/json")
         ).alias("datacontenttype"),
     ]
     if "ts_ms" in vt.fieldNames():

@@ -146,3 +146,35 @@ def test_embedded_api_protobuf_format(spark, tmpdir_path):
     assert val["source"]["name"] == "repos"
     tomb = next(r for r in seen if r.value is None)
     assert tomb.key is not None
+
+
+def test_embedded_api_cloudevents_protobuf_data(spark, tmpdir_path):
+    import base64
+
+    from debezium_spark.api import CloudEvents
+
+    spec = W.WalSpec(n_keys=30, n_events=120, seed=9)
+    W.write_wal(spark, spec, f"{tmpdir_path}/wal", n_files=2)
+    seen = []
+    (
+        DebeziumEngine.create(CloudEvents)
+        .using({
+            "topic.prefix": "repos",
+            "wal.path": f"{tmpdir_path}/wal",
+            "work.dir": f"{tmpdir_path}/w",
+            "cloudevents.data.serializer.type": "protobuf",
+        })
+        .using_spark(spark)
+        .notifying(seen.append)
+        .build()
+        .run()
+    )
+    ce = json.loads(next(r.value for r in seen if r.value is not None))
+    assert ce["datacontenttype"] == "application/protobuf"
+    assert "data_base64" in ce and "data" not in ce
+    reg = A.AvroSchemaRegistry(f"{tmpdir_path}/w/_avro_registry.jsonl")
+    framed = base64.b64decode(ce["data_base64"])
+    assert framed[0] == 0 and framed[5] == 0  # Confluent protobuf framing
+    sid = int.from_bytes(framed[1:5], "big")
+    val = P.decode_message(framed[6:], reg.by_id(sid))
+    assert val["op"] in {"c", "u", "d", "r"} and val["source"]["name"] == "repos"
