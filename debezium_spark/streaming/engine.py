@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Any
 
@@ -194,8 +195,25 @@ class CdcEngine:
 
         ``at_offset``: the WAL offset the signal rode in on (in-band channel) —
         None for the out-of-band file channel. Returns {"pause": bool}.
+
+        ``data-collections`` routing (ExecuteSnapshot.java:48 — the signal
+        names the collections it applies to; SnapshotDataCollection entries
+        are regexes fully matched against the captured table id): when the
+        signal carries a ``data-collections`` array and none of its patterns
+        full-matches this engine's ``table_name``, the signal is a no-op here.
+        This is what makes ONE signal channel shared by N per-table engines
+        (MultiTableEngine) address a subset of tables — exactly the
+        reference's one-signal-table-many-collections shape. A signal without
+        ``data-collections`` addresses every engine (broadcast), preserving
+        the single-table behaviour.
         """
         out: dict[str, Any] = {"pause": False}
+        dcs = sig.get("data-collections")
+        if dcs is not None and self.config.table_name:
+            if not any(
+                re.fullmatch(str(p), self.config.table_name) for p in dcs
+            ):
+                return out
         t = sig.get("type")
         if t == "log":
             # Log.java — operator-visible marker in the metrics stream.
@@ -335,11 +353,16 @@ class CdcEngine:
             if "after" in wal.columns
             else set()
         )
-        data_col = (
-            F.col("after").getField("content")
-            if "content" in after_fields
-            else F.lit(None).cast("string")
-        )
+        if "_signal_data" in wal.columns:
+            # Multi-table loader shape: the dispatcher routes every op='s'
+            # row to every per-table engine with the raw signal JSON lifted
+            # into ``_signal_data`` (the per-table payload schema can't carry
+            # it — Signal.java's signal table has its own schema).
+            data_col = F.col("_signal_data")
+        elif "content" in after_fields:
+            data_col = F.col("after").getField("content")
+        else:
+            data_col = F.lit(None).cast("string")
         rows = (
             wal.where(
                 (F.col("op") == "s")
@@ -700,6 +723,8 @@ class CdcEngine:
         # exact offset (Signal.java — the signal table's own change events are
         # not data either).
         df = df.where(~F.col("op").isin(E.OP_MESSAGE, "s"))
+        if "_signal_data" in df.columns:
+            df = df.drop("_signal_data")  # signal payload never reaches the lake
         if "_adhoc" in df.columns:
             df = df.drop("_adhoc")
         return df

@@ -103,8 +103,18 @@ class MultiTableEngine:
 
     def _loader(self, name: str, spec: TableSpec):
         def load() -> DataFrame:
+            # Signal rows (op='s') are routed to EVERY per-table engine — the
+            # reference's signal table is one captured collection whose events
+            # address any subset of tables via the signal's data-collections
+            # field (Signal.java:1-178, ExecuteSnapshot.java:48). Each engine
+            # applies only signals whose data-collections match its table
+            # (engine._apply_signal_action routing); the raw signal JSON rides
+            # in ``_signal_data`` because the per-table payload schema can't
+            # represent it. The OR filter still pushes to the scan; signal
+            # rows are rare so pruning stays effective.
+            is_sig = F.col("op") == "s"
             wal = self.spark.read.parquet(self.wal_path).where(
-                F.col("table") == name  # pushed to the scan (PushedFilters)
+                (F.col("table") == name) | is_sig
             )
             before = F.from_json(F.col("before_json"), spec.payload_ddl)
             after = F.from_json(F.col("after_json"), spec.payload_ddl)
@@ -127,6 +137,7 @@ class MultiTableEngine:
                 "is_tombstone",
                 "tx_id",
                 "schema_version",
+                F.when(is_sig, F.col("after_json")).alias("_signal_data"),
             )
 
         return load
@@ -195,6 +206,65 @@ class MultiTableEngine:
         with open(tmp, "w") as f:
             f.write(po.to_json())
         os.replace(tmp, self._offsets_path)  # atomic, same rule as the manifest
+
+    # ------------------------------------------- multi-table snapshot signals
+    def _matching(self, data_collections) -> list[str]:
+        """Captured tables addressed by a ``data-collections`` array — each
+        entry is a regex fully matched against the table id, the reference's
+        SnapshotDataCollection semantics (ExecuteSnapshot.java:48)."""
+        pats = [str(p) for p in data_collections]
+        return [
+            n for n in self.engines if any(re.fullmatch(p, n) for p in pats)
+        ]
+
+    def execute_snapshot(
+        self,
+        data_collections,
+        *,
+        source_offset: int | None = None,
+        chunk_size: int | None = None,
+    ) -> list[str]:
+        """Start chunked ad-hoc incremental snapshots on every captured table
+        matched by ``data_collections`` — the multi-table ExecuteSnapshot
+        (ExecuteSnapshot.java:48: the signal REQUIRES data-collections; each
+        addressed collection gets its own chunk progress). Chunk state is
+        per-table (each engine's durable ``_incr_snapshot.json``), so tables
+        snapshot and resume independently, exactly like the reference's
+        per-DataCollection progress in IncrementalSnapshotContext. Returns the
+        addressed table names."""
+        names = self._matching(data_collections)
+        if not names:
+            raise ValueError(
+                f"data-collections {data_collections!r} match no captured table "
+                f"(captured: {sorted(self.engines)})"
+            )
+        for n in names:
+            self.engines[n].execute_snapshot(
+                source_offset=source_offset, chunk_size=chunk_size
+            )
+        return names
+
+    def stop_snapshot(self, data_collections=None) -> list[str]:
+        """Cancel in-flight ad-hoc snapshots (StopSnapshot.java — its
+        data-collections field is optional: absent means stop everywhere)."""
+        names = (
+            list(self.engines)
+            if data_collections is None
+            else self._matching(data_collections)
+        )
+        for n in names:
+            self.engines[n].stop_snapshot()
+        return names
+
+    def pause_snapshot(self) -> None:
+        """PauseIncrementalSnapshot.java carries no data-collections — the
+        pause is global; so is the resume."""
+        for eng in self.engines.values():
+            eng.pause_snapshot()
+
+    def resume_snapshot(self) -> None:
+        for eng in self.engines.values():
+            eng.resume_snapshot()
 
     def target(self, name: str):
         return self.engines[name].target()
