@@ -700,6 +700,39 @@ def q_doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 table A1): duplicate-word
+    mass + most frequent word / word-2-gram per doc, as exact integers (the
+    float thresholds are the caller's). Two (doc, token)-keyed map-side
+    combining groupBys + a per-doc window over the slim counts."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact span dedup (C4 §2.2's span dedup with fixed 16-word
+    windows): keep the globally first occurrence of every span, re-assemble
+    docs. One shuffle keyed on the span, first-occurrence = min (doc, idx)."""
+    return DD.dedup_spans(_docs(spark, sf_dir), span_words=16)
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: redact emails + phone-shaped numbers, count redactions.
+    The corpus is synthetic word soup with no real PII, so the entry injects
+    one deterministic email + phone per doc (the SAME expression in the
+    oracle) and the scrub must remove exactly those."""
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return TX.scrub_pii(
+        d.select("doc_id", injected.alias("text"))
+    )
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): sign-LSH over 8 hyperplanes, multi-probe
     Hamming<=1, cosine top-10 for vec_id=0's embedding. At scale the bucket column
@@ -1423,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pack_shards": q_doc_pack_shards,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_span_dedup": q_doc_span_dedup,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1984,6 +2020,107 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         // 500 AS BIGINT) AS shard_id
             FROM t
+        """,
+        "doc_repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split(trim(coalesce(text,'')), ' ') AS ws
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_distinct_words
+              FROM w
+            ),
+            wc AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(ws) AS tok FROM w
+              ) GROUP BY doc_id, tok
+            ),
+            wtop AS (
+              SELECT doc_id, tok AS top_word, c AS top_word_n FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+                FROM wc
+              ) WHERE rn = 1
+            ),
+            gc AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS tok
+                FROM w
+              ) GROUP BY doc_id, tok
+            ),
+            gtop AS (
+              SELECT doc_id, tok AS top_2gram, c AS top_2gram_n FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+                FROM gc
+              ) WHERE rn = 1
+            )
+            SELECT b.doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(n_distinct_words AS INT) AS n_distinct_words,
+                   top_word, top_word_n,
+                   coalesce(top_2gram, '') AS top_2gram,
+                   CAST(coalesce(top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+            FROM base b
+            JOIN wtop USING (doc_id)
+            LEFT JOIN gtop USING (doc_id)
+        """,
+        "doc_span_dedup": """
+            WITH w AS (
+              SELECT doc_id, string_split(trim(coalesce(text,'')), ' ') AS ws
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id,
+                     CAST(unnest(range((len(ws)+15)//16)) AS INT) AS idx,
+                     unnest(list_transform(range((len(ws)+15)//16),
+                            i -> array_to_string(ws[(i*16+1):(i*16+16)], ' ')))
+                       AS span
+              FROM w
+            ),
+            kept AS (
+              SELECT doc_id, idx, span FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY span ORDER BY doc_id, idx) AS rn
+                FROM spans
+              ) WHERE rn = 1
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+            SELECT k.doc_id,
+                   string_agg(k.span, ' ' ORDER BY k.idx) AS text_dedup,
+                   CAST(max(t.n_spans) AS BIGINT) AS n_spans,
+                   count(*) AS n_kept
+            FROM kept k JOIN totals t USING (doc_id)
+            GROUP BY k.doc_id
+        """,
+        "doc_pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id,
+                     coalesce(text,'') || ' contact u' ||
+                     CAST(doc_id AS VARCHAR) || '@mail.example or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS no_email
+              FROM inj
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(no_email,
+                     '\\+?\\d{1,3}[- ]\\d{3,4}[- ]?\\d{4}')) AS BIGINT)
+                     AS n_phones,
+                   regexp_replace(no_email, '\\+?\\d{1,3}[- ]\\d{3,4}[- ]?\\d{4}',
+                     '<PHONE>', 'g') AS text_clean
+            FROM s
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_ivf_topk": f"""

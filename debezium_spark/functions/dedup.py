@@ -468,3 +468,60 @@ def dup_clusters(
     cc = connected_components(docs_pairs, src=src, dst=dst)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "component").select("id", "component", "cluster_size")
+
+
+def dedup_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 16,
+) -> DataFrame:
+    """Cross-document exact SPAN dedup: split every document into fixed
+    ``span_words``-word windows, keep only the globally FIRST occurrence of
+    each span (ordered by ``(id, span_index)``), and re-assemble the
+    surviving text — the fixed-window analogue of C4's three-sentence-span
+    dedup (Raffel et al. 2020 §2.2) for corpora without sentence structure.
+
+    Plan shape at 100 TB: one explode, ONE shuffle keyed on the span string
+    (row_number window per span — bucket population is the duplicate count,
+    naturally bounded by corpus redundancy), one map-side-combining groupBy
+    to re-assemble. At petabyte scale key the window on ``sha2(span, 256)``
+    instead of the raw string so the exchange carries 32-byte digests; the
+    raw-string key here keeps the oracle comparison byte-exact. Documents
+    whose every span is a duplicate drop out entirely (their text is empty).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.split(t, " ")
+    n_spans = F.floor((F.size(w) + span_words - 1) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * span_words + 1, span_words), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(spans).alias("idx", "span")
+    )
+    first = Window.partitionBy("span").orderBy(id_col, "idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s.getField("span"),
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col, "text_dedup", "n_spans", "n_kept"
+    )

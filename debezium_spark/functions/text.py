@@ -195,3 +195,105 @@ def pack_shards(
         F.col("n_tokens"),
         F.floor(offset / F.lit(tokens_per_shard)).cast("long").alias("shard_id"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", table A1 repetition filters): duplicate-word mass and the most
+    frequent word / word-2-gram with its occurrence count. Downstream filters
+    threshold on e.g. ``top_2gram_n * len(top_2gram) / n_chars`` — the stats
+    here are exact integers so the oracle comparison is drift-free, and the
+    caller picks the (float) threshold.
+
+    Plan shape at 100 TB: two map-side-combining groupBys keyed
+    ``(doc, token)`` (never a per-doc collect), a per-doc window over the
+    tiny ``(doc, token, count)`` aggregate, and one join back on ``doc`` —
+    every shuffle carries counts, not text. Ties on the top token break
+    deterministically (count DESC, token ASC).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.split(t, " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        w.alias("_ws"),
+    )
+    # words and 2-grams explode from the same slim projection; the 2-gram
+    # build is a zip of the array with itself shifted by one (pure codegen)
+    grams = F.zip_with(
+        F.slice(F.col("_ws"), 1, F.size(F.col("_ws")) - 1),
+        F.slice(F.col("_ws"), 2, F.size(F.col("_ws")) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def top(tokens: Column, prefix: str) -> DataFrame:
+        win = Window.partitionBy(id_col).orderBy(
+            F.desc("c"), F.asc("tok")
+        )
+        return (
+            base.select(id_col, F.explode(tokens).alias("tok"))
+            .groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(
+                id_col,
+                F.col("tok").alias(f"top_{prefix}"),
+                F.col("c").alias(f"top_{prefix}_n"),
+            )
+        )
+
+    out = (
+        base.drop("_ws")
+        .join(top(F.col("_ws"), "word"), id_col)
+        .join(top(grams, "2gram"), id_col, "left")
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "top_word",
+        "top_word_n",
+        F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),
+        F.coalesce(F.col("top_2gram_n"), F.lit(0)).cast("long").alias("top_2gram_n"),
+    )
+
+
+# Java-regex / RE2 common-subset patterns (no backrefs, no lookaround) so the
+# DuckDB oracle applies the IDENTICAL expressions.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d{1,3}[- ]\d{3,4}[- ]?\d{4}"
+
+
+def scrub_pii(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: replace email addresses and
+    phone-shaped numbers with ``<EMAIL>`` / ``<PHONE>`` tokens and count the
+    redactions (the scrub every public corpus pipeline applies before
+    training; e.g. the C4 / ROOTS preprocessing steps).
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` column algebra — stays
+    in whole-stage codegen, no Python in the row path, embarrassingly
+    parallel (no shuffle at all). Emails are scrubbed first; phones are
+    counted on the email-scrubbed text so digit runs inside addresses are
+    never double-counted.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>").alias("text_clean"),
+    )

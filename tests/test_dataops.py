@@ -316,3 +316,58 @@ def test_pack_shards_single_partition_and_empty_text(spark):
     assert rows[1]["n_tokens"] == 3 and rows[1]["shard_id"] == 0
     assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
     assert rows[4]["shard_id"] == 0  # offset 3 // 4 == 0
+
+
+def test_repetition_stats_gopher_counts(spark):
+    """Known word soup -> exact top word / 2-gram counts, deterministic ties."""
+    rows = [
+        (1, "a b a b a c"),          # top word a(3); 2-grams: "a b"x2 wins
+        (2, "x"),                    # single word: no 2-gram -> ('', 0)
+        (3, "t t t t"),              # all same: top word t(4), "t t"(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 6 and got[1]["n_distinct_words"] == 3
+    assert (got[1]["top_word"], got[1]["top_word_n"]) == ("a", 3)
+    assert (got[1]["top_2gram"], got[1]["top_2gram_n"]) == ("a b", 2)
+    assert (got[2]["top_2gram"], got[2]["top_2gram_n"]) == ("", 0)
+    assert (got[3]["top_word_n"], got[3]["top_2gram_n"]) == (4, 3)
+    # tie on count breaks to the lexicographically smaller token
+    tie = X.repetition_stats(
+        spark.createDataFrame([(9, "b a b a")], "doc_id long, text string")
+    ).collect()[0]
+    assert tie["top_word"] == "a" and tie["top_word_n"] == 2
+
+
+def test_dedup_spans_keeps_first_occurrence(spark):
+    """A span repeated across docs survives only in the earliest (doc, idx)."""
+    span_a = " ".join(f"w{i}" for i in range(4))      # 4-word span
+    span_b = " ".join(f"v{i}" for i in range(4))
+    rows = [
+        (1, span_a + " " + span_b),   # doc1: [span_a, span_b]
+        (2, span_b + " " + span_a),   # doc2: both spans are dups -> dropped
+        (3, span_b + " fresh words here now"),  # dup span_b + a new span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.dedup_spans(df, span_words=4).collect()}
+    assert got[1]["text_dedup"] == span_a + " " + span_b
+    assert got[1]["n_spans"] == 2 and got[1]["n_kept"] == 2
+    assert 2 not in got                      # every span was a duplicate
+    assert got[3]["text_dedup"] == "fresh words here now"
+    assert got[3]["n_spans"] == 2 and got[3]["n_kept"] == 1
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example or call +1-555-0100 today"),
+        (2, "no pii in this row at all"),
+        (3, "two mails a@b.io c@d.org and 44-1234-5678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.scrub_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["text_clean"] and "<PHONE>" in got[1]["text_clean"]
+    assert "jo.doe" not in got[1]["text_clean"] and "555" not in got[1]["text_clean"]
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    assert got[2]["text_clean"] == rows[1][1]
+    assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
