@@ -336,6 +336,105 @@ def q_stateful_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.target().read().select("repo", "path", "content")
 
 
+def q_multi_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table dispatch + data-collections-routed incremental snapshot,
+    end-to-end under the hash gate: one heterogeneous WAL (users + items
+    derived from events), one shared signal file whose execute-snapshot
+    addresses ONLY ["users"] (ExecuteSnapshot.java:48 routing). The users
+    lake must show stream-LWW state for touched keys plus snapshot backfill
+    for untouched source keys; the items lake must show stream state ONLY —
+    a routing leak adds its source-only rows and fails the row count."""
+    import tempfile
+
+    from debezium_spark import EngineConfig, MultiTableEngine, TableSpec
+
+    root = tempfile.mkdtemp(prefix="dbz_multi_snap_")
+    ev = _events(spark, sf_dir)
+    val = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    uoff = (F.col("event_id") * 2 + 2).cast("long")
+    uw = ev.select(
+        uoff.alias("offset"),
+        (uoff * 10).cast("long").alias("ts_ms"),
+        F.lit("c").alias("op"),
+        F.lit("users").alias("table"),
+        F.to_json(F.struct((F.col("user_id") % 40).alias("uid"))).alias("key_json"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.to_json(
+            F.struct((F.col("user_id") % 40).alias("uid"), val.alias("val"))
+        ).alias("after_json"),
+        F.lit(False).alias("is_tombstone"),
+        F.col("event_id").cast("long").alias("tx_id"),
+        F.lit(1).cast("int").alias("schema_version"),
+    )
+    ioff = (F.col("event_id") * 2 + 3).cast("long")
+    iw = ev.where(F.col("event_id") % 3 == 0).select(
+        ioff.alias("offset"),
+        (ioff * 10).cast("long").alias("ts_ms"),
+        F.lit("c").alias("op"),
+        F.lit("items").alias("table"),
+        F.to_json(F.struct((F.col("user_id") % 25).alias("item"))).alias("key_json"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.to_json(
+            F.struct((F.col("user_id") % 25).alias("item"), val.alias("val"))
+        ).alias("after_json"),
+        F.lit(False).alias("is_tombstone"),
+        F.col("event_id").cast("long").alias("tx_id"),
+        F.lit(1).cast("int").alias("schema_version"),
+    )
+    wal_dir = os.path.join(root, "wal")
+    uw.unionByName(iw).repartition(4).write.mode("overwrite").parquet(wal_dir)
+    # snapshot sources: users 0..59 (40..59 untouched by the stream -> must
+    # backfill), items 100..110 (must NOT appear: snapshot not addressed)
+    usrc = os.path.join(root, "usrc")
+    spark.range(60).select(
+        F.col("id").alias("uid"),
+        F.concat(F.lit("SRC:"), F.col("id").cast("string")).alias("val"),
+    ).write.mode("overwrite").parquet(usrc)
+    isrc = os.path.join(root, "isrc")
+    spark.range(100, 111).select(
+        F.col("id").alias("item"),
+        F.concat(F.lit("SRC:"), F.col("id").cast("string")).alias("val"),
+    ).write.mode("overwrite").parquet(isrc)
+    sig = os.path.join(root, "signals.jsonl")
+    with open(sig, "w") as f:
+        f.write(
+            '{"type": "execute-snapshot", "data-collections": ["users"]}\n'
+        )
+    eng = MultiTableEngine(
+        spark,
+        EngineConfig(
+            snapshot_mode="never", max_offsets_per_batch=8000, signal_path=sig
+        ),
+        wal_path=wal_dir,
+        target_root=os.path.join(root, "targets"),
+        work_root=os.path.join(root, "work"),
+        tables={
+            "users": TableSpec(
+                payload_ddl="uid bigint, val string",
+                key_columns=("uid",),
+                snapshot_source=usrc,
+            ),
+            "items": TableSpec(
+                payload_ddl="item bigint, val string",
+                key_columns=("item",),
+                snapshot_source=isrc,
+            ),
+        },
+    )
+    eng.run()
+    u = eng.target("users").read().select(
+        F.lit("users").alias("tbl"), F.col("uid").cast("long").alias("k"), "val"
+    )
+    i = eng.target("items").read().select(
+        F.lit("items").alias("tbl"), F.col("item").cast("long").alias("k"), "val"
+    )
+    return u.unionByName(i)
+
+
 def q_unwrap_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 ExtractNewRecordState full option surface through the shipped
     `envelope.unwrap` (ExtractNewRecordState.java:126-191): rewrite
@@ -1423,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_wrap": q_envelope_wrap,
         "cdc_lww_last_state": q_lww_last_state,
         "cdc_e2e_engine_replay": q_e2e_engine_replay,
+        "cdc_multi_table_snapshot": q_multi_table_snapshot,
         "cdc_stateful_lww_state": q_stateful_lww_state,
         "cdc_dedup_by_offset": q_dedup_by_offset,
         "cdc_op_skip_filter": q_op_skip_filter,
@@ -1750,6 +1850,49 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             )
             SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+        """,
+        "cdc_multi_table_snapshot": f"""
+            WITH uw AS (
+              SELECT event_id * 2 + 2 AS off,
+                     user_id % 40 AS uid,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                       AS val
+              FROM events
+            ),
+            ulast AS (
+              SELECT uid, val FROM (
+                SELECT uid, val,
+                       row_number() OVER (PARTITION BY uid ORDER BY off DESC) rn
+                FROM uw
+              ) WHERE rn = 1
+            ),
+            usrc AS (
+              SELECT CAST(i AS BIGINT) AS uid,
+                     'SRC:' || CAST(i AS VARCHAR) AS val
+              FROM (SELECT unnest(range(60)) AS i)
+            ),
+            iw AS (
+              SELECT event_id * 2 + 3 AS off,
+                     user_id % 25 AS item,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                       AS val
+              FROM events WHERE event_id % 3 = 0
+            ),
+            ilast AS (
+              SELECT item, val FROM (
+                SELECT item, val,
+                       row_number() OVER (PARTITION BY item ORDER BY off DESC) rn
+                FROM iw
+              ) WHERE rn = 1
+            )
+            SELECT 'users' AS tbl, uid AS k, val FROM ulast
+            UNION ALL
+            SELECT 'users' AS tbl, uid AS k, val FROM usrc
+            WHERE uid NOT IN (SELECT uid FROM ulast)
+            UNION ALL
+            SELECT 'items' AS tbl, item AS k, val FROM ilast
         """,
         "cdc_stateful_lww_state": f"""
             WITH w AS (
