@@ -814,6 +814,19 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_spans(_docs(spark, sf_dir), span_words=16)
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): docs with
+    doc_id % 97 == 0 play the eval set; every remaining doc sharing any
+    8-word shingle with it is flagged. Eval shingles broadcast (tiny side);
+    the corpus probe is a broadcast hash join — zero corpus shuffle."""
+    d = _docs(spark, sf_dir)
+    return DD.decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        ngram_words=8,
+    )
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: redact emails + phone-shaped numbers, count redactions.
     The corpus is synthetic word soup with no real PII, so the entry injects
@@ -1110,6 +1123,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "sha256", "n_bytes", "frames_sampled",
         F.size("feature").alias("feat_dim"),
     )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (mapInPandas, 1-in-1-out): the stub re-encode is
+    sha256(payload || ':64x64') as utf-8 bytes, so the oracle rebuilds the
+    resized payload bit-for-bit (returned hex-encoded for the hash gate)."""
+    from debezium_spark.functions.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=256)
+    out = resize_images(media, width=64, height=64)
+    # the stub payload IS the digest's utf-8 bytes -> cast back for the gate
+    return out.select(
+        "media_id",
+        F.col("payload").cast("string").alias("resized_sha"),
+        "width",
+        "height",
+        "n_bytes",
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (mapInPandas with ROW EXPANSION: one
+    video -> ceil(duration/every) frame rows). Duration is overridden with an
+    md5-derived value so the oracle can rebuild the exact frame fan-out; the
+    frame digest stub is sha256(payload || ':' || t_ms)."""
+    from debezium_spark.functions.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=256)
+    dur = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dur:"), F.col("media_id"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            + 1
+        )
+        * 1000
+    ).cast("long")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            dur.alias("duration_ms"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )
+    return sample_frames(media, every_ms=700)
 
 
 def q_read_to_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_decontaminate": q_doc_decontaminate,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1573,6 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_chunks": q_snapshot_chunks,
         "cdc_cloudevents_attrs": q_cloudevents_attrs,
         "mm_media_features": q_media_features,
+        "mm_media_resize": q_media_resize,
+        "mm_frame_sample": q_media_frame_sample,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "cdc_read_to_insert": q_read_to_insert,
         "cdc_crdt_pn_counter": q_crdt_pn_counter,
@@ -2239,6 +2305,33 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k JOIN totals t USING (doc_id)
             GROUP BY k.doc_id
         """,
+        "doc_decontaminate": """
+            WITH w AS (
+              SELECT doc_id, string_split(trim(coalesce(text,'')), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       list_transform(range(1, len(ws) - 8 + 2),
+                                      i -> array_to_string(ws[i:(i+7)], ' '))
+                     ELSE [] END) AS s
+              FROM w
+            ),
+            eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS c
+              FROM sh JOIN eval_sh USING (s)
+              WHERE sh.doc_id % 97 <> 0
+              GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT)
+                     AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
         "doc_pii_scrub": """
             WITH inj AS (
               SELECT doc_id,
@@ -2377,6 +2470,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN kind = 'video' THEN 4 ELSE 1 END AS INT) AS frames_sampled,
                    8 AS feat_dim
             FROM k
+        """,
+        "mm_media_resize": """
+            WITH m AS (
+              SELECT CAST(g.generate_series AS BIGINT) AS media_id
+              FROM generate_series(0, 255) g
+            ), k AS (
+              SELECT media_id,
+                     (['image','audio','video'])[
+                       CAST(CAST(('0x' || substr(md5('42:' || CAST(media_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 3 AS INT) + 1] AS kind,
+                     repeat(sha256('42:' || CAST(media_id AS VARCHAR)), 8) AS payload_text
+              FROM m
+            )
+            SELECT media_id,
+                   sha256(payload_text || ':64x64') AS resized_sha,
+                   CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+                   CAST(64 AS BIGINT) AS n_bytes
+            FROM k WHERE kind = 'image'
+        """,
+        "mm_frame_sample": """
+            WITH m AS (
+              SELECT CAST(g.generate_series AS BIGINT) AS media_id
+              FROM generate_series(0, 255) g
+            ), k AS (
+              SELECT media_id,
+                     (['image','audio','video'])[
+                       CAST(CAST(('0x' || substr(md5('42:' || CAST(media_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 3 AS INT) + 1] AS kind,
+                     repeat(sha256('42:' || CAST(media_id AS VARCHAR)), 8) AS payload_text,
+                     (CAST(('0x' || substr(md5('dur:' || CAST(media_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 5 + 1) * 1000 AS duration_ms
+              FROM m
+            )
+            SELECT media_id,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(i * 700 AS BIGINT) AS t_ms,
+                   sha256(payload_text || ':' || CAST(i * 700 AS VARCHAR)) AS frame_sha
+            FROM k, unnest(range((duration_ms + 699) // 700)) AS t(i)
+            WHERE kind = 'video'
         """,
         "cdc_cloudevents_attrs": f"""
             SELECT event_id AS offset,

@@ -525,3 +525,61 @@ def dedup_spans(
     return rebuilt.join(totals, id_col).select(
         id_col, "text_dedup", "n_spans", "n_kept"
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020, GPT-3 appendix C): flag
+    every training document sharing any ``ngram_words``-word shingle with the
+    evaluation set, so contaminated docs can be dropped before training.
+
+    Plan shape at 100 TB: the eval side is tiny by construction (benchmarks
+    are thousands of docs, the corpus is billions), so its distinct shingle
+    set BROADCASTS and the corpus-side probe is a broadcast hash join — no
+    corpus shuffle at all; the only aggregation is the per-doc hit count
+    (map-side combining groupBy on ``id``). Shingles join on the raw string
+    here so the DuckDB oracle is byte-exact; at petabyte scale key on
+    ``xxhash64(shingle)`` to shrink both the broadcast and the probe.
+
+    Returns one row per corpus doc: ``(id, n_hits, contaminated)`` where
+    ``n_hits`` counts shingle POSITIONS (not distinct shingles) that appear
+    anywhere in the eval set.
+    """
+
+    def shingles(frame: DataFrame) -> Column:
+        t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        w = F.split(t, " ")
+        return F.when(
+            F.size(w) >= ngram_words,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - ngram_words + 1),
+                lambda i: F.array_join(F.slice(w, i, ngram_words), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    eval_sh = (
+        eval_docs.select(F.explode(shingles(eval_docs)).alias("sh")).distinct()
+    )
+    corpus_sh = docs.select(F.col(id_col), F.explode(shingles(docs)).alias("sh"))
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

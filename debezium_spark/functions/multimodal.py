@@ -121,3 +121,96 @@ def extract_features(media: DataFrame, *, frames_per_video: int = 4) -> DataFram
     return media.select("media_id", "kind", "payload").mapInPandas(
         batch_fn, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),     # re-encoded bytes
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Image resize plumbing over mapInPandas: filter to image rows (pushed to
+    the scan), decode -> resize -> re-encode per Arrow batch. The codec is the
+    container-honest STUB (`PIL.Image.open(...).resize(...)` on a real
+    cluster): the re-encoded payload is the sha256 hex of
+    ``payload || ':WxH'`` as utf-8 bytes — deterministic, so the DuckDB
+    oracle rebuilds it bit-for-bit. Schema, batching, and the 1-in-1-out row
+    shape are production-real."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in batches:
+            out_payload = [
+                hashlib.sha256(bytes(p) + tag).hexdigest().encode()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in out_payload],
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batch_fn, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int) -> DataFrame:
+    """Video frame sampling plumbing over mapInPandas with ROW EXPANSION —
+    one input video emits ceil(duration_ms / every_ms) frame rows at
+    t = 0, every_ms, 2*every_ms, ... (the `av.open` seek-and-grab loop on a
+    real cluster; here the frame digest is the STUB
+    ``sha256(payload || ':' || t_ms)``, rebuildable by the oracle). The
+    1-to-N batch shape is the part that matters: the pandas batch returns
+    MORE rows than it received, which is exactly how a decoder fans out
+    frames without ever materializing them driver-side."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, shas = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(payload)
+                t, i = 0, 0
+                while t < int(dur):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ts.append(t)
+                    shas.append(
+                        hashlib.sha256(b + f":{t}".encode()).hexdigest()
+                    )
+                    t, i = t + every_ms, i + 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "t_ms": ts, "frame_sha": shas}
+            )
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+        )
+        .mapInPandas(batch_fn, schema=FRAME_SCHEMA)
+    )

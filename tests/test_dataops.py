@@ -371,3 +371,53 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
     assert got[2]["text_clean"] == rows[1][1]
     assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    """A doc sharing an 8-word shingle with the eval set is flagged; counts
+    are shingle POSITIONS, short docs produce no shingles."""
+    leak = " ".join(f"q{i}" for i in range(8))     # the leaked 8-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean words only " + " ".join(f"c{i}" for i in range(8))),
+            (2, "prefix " + leak + " suffix"),      # one leaked shingle...
+            (3, leak + " " + leak),                 # ...several positions here
+            (4, "too short"),                       # < 8 words: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "intro " + leak + " outro")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in D.decontaminate(corpus, eval_docs).collect()}
+    assert got[1]["contaminated"] == 0 and got[1]["n_hits"] == 0
+    assert got[2]["contaminated"] == 1 and got[2]["n_hits"] == 1
+    assert got[3]["contaminated"] == 1 and got[3]["n_hits"] >= 2
+    assert got[4]["contaminated"] == 0
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """mapInPandas plumbing shapes: resize is 1-in-1-out over image rows;
+    frame sampling EXPANDS one video into ceil(duration/every) rows."""
+    media = M.synth_media(spark, n=48)
+    kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
+
+    resized = M.resize_images(media, width=32, height=32).collect()
+    assert {r["media_id"] for r in resized} == {
+        m for m, k in kinds.items() if k == "image"
+    }
+    assert all(r["width"] == 32 and r["n_bytes"] == 64 for r in resized)
+
+    frames = M.sample_frames(media, every_ms=10000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    durs = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
+    for mid, rows in by_id.items():
+        assert kinds[mid] == "video"
+        want = -(-durs[mid] // 10000)  # ceil
+        assert len(rows) == want
+        ts = sorted(x["t_ms"] for x in rows)
+        assert ts == [i * 10000 for i in range(want)]
+        assert len({x["frame_sha"] for x in rows}) == want  # per-frame digests
+    assert set(by_id) == {m for m, k in kinds.items() if k == "video"}
