@@ -67,6 +67,7 @@ class CdcEngine:
         schema_changes: DataFrame | None = None,
         snapshot_source: str | None = None,
         wal_loader=None,
+        wal_projection=None,
     ):
         self.spark = spark
         self.config = config
@@ -75,6 +76,11 @@ class CdcEngine:
         # dispatcher (MultiTableEngine) feed a typed per-table projection of a
         # heterogeneous log instead of a raw parquet directory
         self._wal_loader = wal_loader
+        # streaming twin of wal_loader: a PURE projection
+        # (Callable[[DataFrame], DataFrame], no actions, no batch reads)
+        # applied to the raw WAL file stream so run_streaming can drive the
+        # same per-table shape Structured-Streaming-side
+        self._wal_projection = wal_projection
         self.target_path = target_path
         self.work_dir = work_dir
         # parquet path of the captured table's current state — what an
@@ -1351,10 +1357,19 @@ class CdcEngine:
         self._resolve_message_key()
         lake = self.target()
         wal_schema = self._wal().schema
-        reader = self.spark.readStream.schema(wal_schema)
+        if self._wal_projection is not None:
+            # stream the RAW log schema; the typed per-table shape is a pure
+            # projection applied inside the streaming query (from_json +
+            # filter are streaming-safe column algebra)
+            raw_schema = self.spark.read.parquet(self.wal_path).schema
+            reader = self.spark.readStream.schema(raw_schema)
+        else:
+            reader = self.spark.readStream.schema(wal_schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(self.wal_path)
+        if self._wal_projection is not None:
+            stream = self._wal_projection(stream)
 
         self._pause_requested = False
 

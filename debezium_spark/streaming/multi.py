@@ -91,6 +91,7 @@ class MultiTableEngine:
                 schema_changes=spec.schema_changes,
                 snapshot_source=spec.snapshot_source,
                 wal_loader=self._loader(name, spec),
+                wal_projection=self._projection(name, spec),
             )
 
     @staticmethod
@@ -101,21 +102,24 @@ class MultiTableEngine:
             return False
         return True
 
-    def _loader(self, name: str, spec: TableSpec):
-        def load() -> DataFrame:
-            # Signal rows (op='s') are routed to EVERY per-table engine — the
-            # reference's signal table is one captured collection whose events
-            # address any subset of tables via the signal's data-collections
-            # field (Signal.java:1-178, ExecuteSnapshot.java:48). Each engine
-            # applies only signals whose data-collections match its table
-            # (engine._apply_signal_action routing); the raw signal JSON rides
-            # in ``_signal_data`` because the per-table payload schema can't
-            # represent it. The OR filter still pushes to the scan; signal
-            # rows are rare so pruning stays effective.
+    def _projection(self, name: str, spec: TableSpec):
+        """Pure column-algebra projection raw-WAL -> this table's typed shape
+        (no actions, no reads — streaming-safe, shared by the batch loader
+        and run_streaming's file stream).
+
+        Signal rows (op='s') are routed to EVERY per-table engine — the
+        reference's signal table is one captured collection whose events
+        address any subset of tables via the signal's data-collections
+        field (Signal.java:1-178, ExecuteSnapshot.java:48). Each engine
+        applies only signals whose data-collections match its table
+        (engine._apply_signal_action routing); the raw signal JSON rides
+        in ``_signal_data`` because the per-table payload schema can't
+        represent it. The OR filter still pushes to the scan; signal
+        rows are rare so pruning stays effective."""
+
+        def project(wal: DataFrame) -> DataFrame:
             is_sig = F.col("op") == "s"
-            wal = self.spark.read.parquet(self.wal_path).where(
-                (F.col("table") == name) | is_sig
-            )
+            wal = wal.where((F.col("table") == name) | is_sig)
             before = F.from_json(F.col("before_json"), spec.payload_ddl)
             after = F.from_json(F.col("after_json"), spec.payload_ddl)
             # key resolution: after-image, else before-image (deletes), else
@@ -140,6 +144,14 @@ class MultiTableEngine:
                 F.when(is_sig, F.col("after_json")).alias("_signal_data"),
             )
 
+        return project
+
+    def _loader(self, name: str, spec: TableSpec):
+        project = self._projection(name, spec)
+
+        def load() -> DataFrame:
+            return project(self.spark.read.parquet(self.wal_path))
+
         return load
 
     def run(self, **kw) -> dict[str, list[dict[str, Any]]]:
@@ -152,10 +164,28 @@ class MultiTableEngine:
         and re-persisted: a resumed dispatcher can never move any table's
         committed offset backwards, even though each table commits
         independently."""
+        return self._drive(lambda eng: eng.run(**kw))
+
+    def run_streaming(self, *, max_files_per_trigger: int | None = None):
+        """Streaming drive parity: each per-table pipeline runs its own
+        Structured Streaming query (availableNow) over the SHARED WAL
+        directory — the raw file stream is narrowed to the table's typed
+        shape by the pure projection, so filters/from_json run inside the
+        query. On a cluster the N queries run concurrently (independent
+        sinks + checkpoints, the reference's task-per-connector shape);
+        sequential here. The per-table offset map is containment-checked and
+        persisted exactly like run()."""
+        return self._drive(
+            lambda eng: eng.run_streaming(
+                max_files_per_trigger=max_files_per_trigger
+            )
+        )
+
+    def _drive(self, drive_one) -> dict[str, Any]:
         from debezium_spark.sources.gtids import PartitionedOffsets
 
         prior = self.offsets(persisted=True)
-        results = {name: eng.run(**kw) for name, eng in self.engines.items()}
+        results = {name: drive_one(eng) for name, eng in self.engines.items()}
         now = self.offsets()
         # Monotonicity is asserted only over CURRENTLY captured tables — a
         # table excluded on restart keeps its persisted watermark (carried

@@ -218,3 +218,35 @@ def test_inband_signal_row_routes_at_exact_offset(spark, tmpdir_path):
                signal_data_collection=True, max_offsets_per_batch=4)
     eng2.run()
     assert {r["user_id"] for r in eng2.target("users").read().collect()} == set(users)
+
+
+def test_dispatcher_run_streaming_matches_batch(spark, tmpdir_path):
+    """Streaming drive parity: per-table Structured Streaming queries over
+    the shared WAL (projection applied inside the query) converge to the
+    same per-table lake state as the batch drive, including a routed
+    execute-snapshot from the shared signal file."""
+    wal_dir = _write_wal(spark, tmpdir_path)
+    repos_src, users_src = _sources(spark, tmpdir_path)
+    sig = os.path.join(tmpdir_path, "signals_stream.jsonl")
+    with open(sig, "w") as f:
+        f.write(_j(type="execute-snapshot", **{"data-collections": ["users"]}) + "\n")
+
+    batch = _mk(spark, tmpdir_path, wal_dir, "sb", repos_src, users_src,
+                signal_path=sig)
+    batch.run()
+    stream = _mk(spark, tmpdir_path, wal_dir, "ss", repos_src, users_src,
+                 signal_path=sig)
+    stream.run_streaming(max_files_per_trigger=1)
+
+    for tbl, key in (("repos", ("repo", "path")), ("users", ("user_id",))):
+        want = {
+            tuple(r[k] for k in key): r.asDict()
+            for r in batch.target(tbl).read().collect()
+        }
+        got = {
+            tuple(r[k] for k in key): r.asDict()
+            for r in stream.target(tbl).read().collect()
+        }
+        assert set(got) == set(want), tbl
+    # the routed snapshot backfilled users in BOTH drives
+    assert 99 in {r["user_id"] for r in stream.target("users").read().collect()}
