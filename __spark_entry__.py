@@ -1175,6 +1175,26 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=700)
 
 
+def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN/END transaction boundary records on the dedicated transaction
+    topic (TransactionMonitor.java:36-37,168-203): per tx (event_id // 8),
+    BEGIN at the first offset and END at the last carrying the event count
+    plus the per-collection breakdown (event_type stands in for the table)."""
+    from debezium_spark.operators.resolver import transaction_boundaries
+
+    ev = _events(spark, sf_dir)
+    wal = ev.select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") * 10).cast("long").alias("ts_ms"),
+        _op_col().alias("op"),
+        (F.col("event_id") / 8).cast("long").alias("tx_id"),
+        "event_type",
+    )
+    return transaction_boundaries(
+        wal, topic_prefix="spark-cdc", table_col="event_type"
+    )
+
+
 def q_read_to_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReadToInsertEvent SMT (connector-mysql transforms/ReadToInsertEvent.java:
     35-60): snapshot READ ('r') envelopes rewritten to CREATE ('c'); other ops
@@ -1633,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_heartbeat": q_heartbeat,
         "cdc_outbox_route": q_outbox_route,
         "cdc_tx_commit_filter": q_tx_commit_filter,
+        "cdc_tx_boundaries": q_tx_boundaries,
         "cdc_content_filter": q_content_filter,
         "cdc_snapshot_chunks": q_snapshot_chunks,
         "cdc_cloudevents_attrs": q_cloudevents_attrs,
@@ -2509,6 +2530,33 @@ def oracle_sql() -> dict[str, str]:
                    sha256(payload_text || ':' || CAST(i * 700 AS VARCHAR)) AS frame_sha
             FROM k, unnest(range((duration_ms + 699) // 700)) AS t(i)
             WHERE kind = 'video'
+        """,
+        "cdc_tx_boundaries": """
+            WITH d AS (
+              SELECT event_id AS off, event_id * 10 AS ts_ms,
+                     event_id // 8 AS tx_id, event_type AS coll
+              FROM events
+            ),
+            pc AS (
+              SELECT tx_id, coll, count(*) AS c, min(off) AS fo, max(off) AS lo,
+                     min(ts_ms) AS bt, max(ts_ms) AS et
+              FROM d GROUP BY tx_id, coll
+            ),
+            t AS (
+              SELECT tx_id, sum(c) AS n, min(fo) AS fo, max(lo) AS lo,
+                     min(bt) AS bt, max(et) AS et,
+                     string_agg(coll || ':' || CAST(c AS VARCHAR), ','
+                                ORDER BY coll) AS colls
+              FROM pc GROUP BY tx_id
+            )
+            SELECT 'spark-cdc.transaction' AS topic, 'BEGIN' AS status, tx_id,
+                   CAST(NULL AS BIGINT) AS event_count, fo AS offset,
+                   bt AS ts_ms, '' AS collections
+            FROM t
+            UNION ALL
+            SELECT 'spark-cdc.transaction', 'END', tx_id, CAST(n AS BIGINT),
+                   lo, et, colls
+            FROM t
         """,
         "cdc_cloudevents_attrs": f"""
             SELECT event_id AS offset,

@@ -201,6 +201,24 @@ def wrap_wal(
       r/c -> after only; u -> both; d -> before only; tombstone -> value IS NULL.
     """
     has_source = "source" in wal.columns
+    # source.snapshot marker: ad-hoc (signal-driven) chunk rows carry
+    # 'incremental' (SnapshotRecord.INCREMENTAL — the reference tags every
+    # incremental-snapshot window row), initial-snapshot reads 'true',
+    # stream events 'false'. The ``_adhoc`` column is the engine's chunk
+    # lineage flag and never reaches the envelope output (fixed projection).
+    snap = F.when(F.col("op") == OP_READ, F.lit(SNAPSHOT_TRUE)).otherwise(
+        F.lit(SNAPSHOT_FALSE)
+    )
+    if "_adhoc" in wal.columns:
+        snap = (
+            F.when(
+                (F.col("op") == OP_READ)
+                & F.coalesce(F.col("_adhoc"), F.lit(False)),
+                F.lit(SNAPSHOT_INCREMENTAL),
+            )
+            .when(F.col("op") == OP_READ, F.lit(SNAPSHOT_TRUE))
+            .otherwise(F.lit(SNAPSHOT_FALSE))
+        )
     src = (
         F.col("source")
         if has_source
@@ -210,9 +228,7 @@ def wrap_wal(
             name=server_name,
             db=db,
             ts_ms=F.col("ts_ms"),
-            snapshot=F.when(F.col("op") == OP_READ, F.lit(SNAPSHOT_TRUE)).otherwise(
-                F.lit(SNAPSHOT_FALSE)
-            ),
+            snapshot=snap,
             sequence=F.col("offset").cast("string"),
         )
     )

@@ -364,3 +364,72 @@ def transaction_metadata(env: DataFrame) -> DataFrame:
         ).cast(vt),
     )
     return out.withColumn("value", new_value).drop("_total_order", "_dc_order")
+
+
+def transaction_boundaries(
+    wal: DataFrame,
+    *,
+    topic_prefix: str = "repos",
+    table_col: str | None = None,
+    collection: str = "repos",
+) -> DataFrame:
+    """BEGIN/END transaction boundary events for the dedicated
+    ``<prefix>.transaction`` topic (TransactionMonitor.java:36-37,168-203):
+    on transaction change the reference emits a START record with the tx id
+    and an END record carrying the total event count plus per-data-collection
+    counts. Batch analogue: one (tx, collection)-keyed partial-combining
+    aggregate rolled up per tx — two slim exchanges carrying counts only,
+    partitions bounded by per-transaction event counts (the same bound A4's
+    total_order ranking relies on).
+
+    Only DATA events count (TransactionMonitor skips control/message rows).
+    ``event_count`` is NULL on BEGIN, exact on END; ``collections`` is the
+    END record's per-collection breakdown as a deterministic
+    ``name:count`` list sorted by name (the data_collections array of the
+    reference's END value, flattened for hash-stable comparison).
+    """
+    data = wal.where(F.col("op").isin("c", "u", "d", "r"))
+    coll = F.col(table_col) if table_col else F.lit(collection)
+    per_coll = data.groupBy("tx_id", coll.alias("_coll")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("offset").alias("_fo"),
+        F.max("offset").alias("_lo"),
+        F.min("ts_ms").alias("_bt"),
+        F.max("ts_ms").alias("_et"),
+    )
+    per_tx = per_coll.groupBy("tx_id").agg(
+        F.sum("_c").alias("event_count"),
+        F.min("_fo").alias("first_offset"),
+        F.max("_lo").alias("last_offset"),
+        F.min("_bt").alias("begin_ts"),
+        F.max("_et").alias("end_ts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_coll", "_c"))),
+                lambda s: F.concat(
+                    s.getField("_coll"), F.lit(":"), s.getField("_c").cast("string")
+                ),
+            ),
+            ",",
+        ).alias("collections"),
+    )
+    topic = F.lit(f"{topic_prefix}.transaction")
+    begin = per_tx.select(
+        topic.alias("topic"),
+        F.lit("BEGIN").alias("status"),
+        F.col("tx_id"),
+        F.lit(None).cast("long").alias("event_count"),
+        F.col("first_offset").alias("offset"),
+        F.col("begin_ts").cast("long").alias("ts_ms"),
+        F.lit("").alias("collections"),
+    )
+    end = per_tx.select(
+        topic.alias("topic"),
+        F.lit("END").alias("status"),
+        F.col("tx_id"),
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("last_offset").alias("offset"),
+        F.col("end_ts").cast("long").alias("ts_ms"),
+        F.col("collections"),
+    )
+    return begin.unionByName(end)

@@ -731,8 +731,9 @@ class CdcEngine:
         df = df.where(~F.col("op").isin(E.OP_MESSAGE, "s"))
         if "_signal_data" in df.columns:
             df = df.drop("_signal_data")  # signal payload never reaches the lake
-        if "_adhoc" in df.columns:
-            df = df.drop("_adhoc")
+        # ``_adhoc`` is kept: wrap_wal turns it into the source.snapshot
+        # 'incremental' marker and its fixed projection drops it afterwards
+        # (SnapshotRecord.INCREMENTAL tagging).
         return df
 
     def _publish_side_channels(self, slice_df: DataFrame, *, batch_id: int) -> None:
@@ -800,6 +801,28 @@ class CdcEngine:
             )
             msgs.write.mode("overwrite").parquet(
                 os.path.join(root, f"{cfg.server_name}.message", f"batch_id={batch_id}")
+            )
+        if (
+            cfg.provide_transaction_metadata
+            and {"tx_id", "offset", "op"} <= set(cols)
+        ):
+            # TransactionMonitor.java:36-37,168-203 — BEGIN/END boundary
+            # records on the dedicated <server>.transaction topic, emitted
+            # alongside the enriched data events. Batch-scoped like the other
+            # side channels: a tx spanning two offset slices emits per-slice
+            # boundaries (the reference likewise restarts its tx context on
+            # task restart).
+            from debezium_spark.operators.resolver import transaction_boundaries
+
+            tb = transaction_boundaries(
+                slice_df,
+                topic_prefix=cfg.server_name,
+                collection=f"{cfg.database}.{cfg.table_name}",
+            )
+            tb.write.mode("overwrite").parquet(
+                os.path.join(
+                    root, f"{cfg.server_name}.transaction", f"batch_id={batch_id}"
+                )
             )
 
     def topic(self, name: str) -> DataFrame:

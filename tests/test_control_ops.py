@@ -330,3 +330,36 @@ def test_engine_side_channel_topics(spark, tmpdir_path):
     # one record per elapsed interval window per batch, ts/offset paired:
     # every heartbeat's offset is <= the engine's committed watermark
     assert max(r["offset"] for r in hbr) <= eng.target().committed_max_offset
+
+
+def test_engine_transaction_topic(spark, tmpdir_path):
+    """provide_transaction_metadata also publishes BEGIN/END boundary records
+    to '<server>.transaction' (TransactionMonitor.java:36-37,168-203): one
+    BEGIN + one END per tx_id with the END carrying the exact data-event
+    count; control rows never count."""
+    spec = W.WalSpec(n_keys=80, n_events=400, seed=43, schema_changes=False)
+    wal_dir = os.path.join(tmpdir_path, "waltx")
+    W.wal_events(spark, spec).repartition(2).write.parquet(wal_dir)
+
+    cfg = EngineConfig(provide_transaction_metadata=True,
+                       max_offsets_per_batch=10**9)
+    eng = _engine(spark, tmpdir_path, wal_dir, spec, cfg=cfg, sub="tx")
+    eng.run()
+
+    tb = eng.topic("repos.transaction").collect()
+    by_tx = {}
+    for r in tb:
+        by_tx.setdefault(r["tx_id"], {})[r["status"]] = r
+    want = {
+        r["tx_id"]: r["n"]
+        for r in spark.read.parquet(wal_dir)
+        .where(F.col("op").isin("c", "u", "d", "r"))
+        .groupBy("tx_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_tx) == set(want)
+    for tx, pair in by_tx.items():
+        assert set(pair) == {"BEGIN", "END"}
+        assert pair["BEGIN"]["event_count"] is None
+        assert pair["END"]["event_count"] == want[tx]
+        assert pair["BEGIN"]["offset"] <= pair["END"]["offset"]
+        assert pair["END"]["collections"] == f"lake.repos:{want[tx]}"

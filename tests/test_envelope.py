@@ -218,3 +218,32 @@ def test_wrap_messages_prefix_list_semantics(spark):
     assert prefixes(prefix_include="pfx0") == {"PFX0"}
     # exclude list obeys the same semantics
     assert prefixes(prefix_exclude="pfx0,PFX1") == {"xpfx0x", "pfx2"}
+
+
+def test_wrap_wal_incremental_snapshot_marker(spark):
+    """Ad-hoc chunk rows (_adhoc=true) carry source.snapshot='incremental'
+    (SnapshotRecord.INCREMENTAL); plain reads 'true'; stream ops 'false'."""
+    def img(p):
+        return '{"repo": "r1", "path": "%s"}' % p
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "r", "r1", "p1", None, img("p1"), False, True),
+            (2, 20, "r", "r1", "p2", None, img("p2"), False, None),
+            (3, 30, "c", "r1", "p3", None, img("p3"), False, None),
+        ],
+        "offset bigint, ts_ms bigint, op string, repo string, path string, "
+        "before_j string, after_j string, is_tombstone boolean, _adhoc boolean",
+    ).select(
+        "offset", "ts_ms", "op", "repo", "path",
+        F.from_json("before_j", "repo string, path string").alias("before"),
+        F.from_json("after_j", "repo string, path string").alias("after"),
+        "is_tombstone", "_adhoc",
+    )
+    env = E.wrap_wal(df, key_cols=("repo", "path"))
+    snaps = {
+        r["offset"]: r["s"]
+        for r in env.select("offset", F.col("value.source.snapshot").alias("s")).collect()
+    }
+    assert snaps == {1: "incremental", 2: "true", 3: "false"}
+    assert "_adhoc" not in env.columns
