@@ -814,6 +814,14 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_spans(_docs(spark, sf_dir), span_words=16)
 
 
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod corpus sampling at 20% (200000 ppm): md5-bucket
+    filter, reproducible and re-partition-stable, zero shuffle."""
+    return TX.hash_sample(_docs(spark, sf_dir), rate_ppm=200_000).select(
+        "doc_id", "sample_bucket"
+    )
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C): docs with
     doc_id % 97 == 0 play the eval set; every remaining doc sharing any
@@ -1643,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": q_doc_span_dedup,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_hash_sample": q_doc_hash_sample,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -2325,6 +2334,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_kept
             FROM kept k JOIN totals t USING (doc_id)
             GROUP BY k.doc_id
+        """,
+        "doc_hash_sample": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('dbz:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000000 AS sample_bucket
+              FROM documents
+            )
+            SELECT doc_id, sample_bucket FROM h WHERE sample_bucket < 200000
         """,
         "doc_decontaminate": """
             WITH w AS (

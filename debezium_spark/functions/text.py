@@ -297,3 +297,29 @@ def scrub_pii(
         .alias("n_phones"),
         F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>").alias("text_clean"),
     )
+
+
+def hash_sample(
+    docs: DataFrame,
+    *,
+    rate_ppm: int,
+    id_col: str = "doc_id",
+    salt: str = "dbz",
+) -> DataFrame:
+    """Deterministic corpus sampling: keep a document iff the first 15 hex
+    chars of ``md5(salt || ':' || id)`` (a uniform 60-bit integer) fall below
+    ``rate_ppm`` parts-per-million — the hash-mod sampling every corpus
+    pipeline uses instead of random(): reproducible across runs, stable under
+    re-partitioning, and joinable (the same doc is in-sample in every derived
+    dataset). Pure codegen'd filter: no shuffle, no RNG state, prunes at the
+    scan when id ordering correlates with storage. md5 (not xxhash64) so the
+    DuckDB oracle applies the identical expression."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(1_000_000))
+    return docs.where(bucket < F.lit(int(rate_ppm))).withColumn(
+        "sample_bucket", bucket.cast("long")
+    )
