@@ -564,6 +564,101 @@ def stateful(cpus: int) -> dict:
     return result
 
 
+def multi(cpus: int) -> dict:
+    """``--multi``: multi-table dispatcher throughput. The headline WAL is
+    re-shaped once (cached) into a heterogeneous 4-table log — the repos
+    payload serialized to JSON with ``table = t<hash(key) % 4>`` — and
+    replayed through MultiTableEngine: per-table pushed-down table filter,
+    from_json typing, independent LWW + lake merge per table. Reported
+    events/s is TOTAL log rows / wall — the dispatcher reads the shared log
+    once per table (4 pruned scans + JSON parse), so this mode prices the
+    fan-out the reference pays per captured collection. Best of
+    $BENCH_TRIALS (default 2) after one warm-up at the scale below."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from debezium_spark import EngineConfig, MultiTableEngine, TableSpec
+
+    sf = sf_of(SF_DIR)
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ddl = "repo string, path string, lang string, content string"
+
+    def ensure_multi_wal(sf_: str) -> tuple[str, int]:
+        src = ensure_wal(spark, sf_)
+        d = wal_cache_dir(sf_) + "_multi4"
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+            w = spark.read.parquet(src)
+            tbl = F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64("repo", "path"), F.lit(4)).cast("string"),
+            )
+            w.select(
+                "offset", "ts_ms", "op", tbl.alias("table"),
+                F.to_json(F.struct("repo", "path")).alias("key_json"),
+                F.to_json(F.col("before")).alias("before_json"),
+                F.to_json(F.col("after")).alias("after_json"),
+                "is_tombstone", "tx_id", "schema_version",
+            ).write.mode("overwrite").parquet(d)
+            open(marker, "w").write("ok")
+        return d, spark.read.parquet(d).count()
+
+    def run_multi(sf_: str) -> dict:
+        wal_dir, n_rows = ensure_multi_wal(sf_)
+        n_keys, n_events = WAL_SCALE.get(sf_, WAL_SCALE["0.1"])
+        work = tempfile.mkdtemp(prefix="dbzbench-multi-", dir=BENCH_ROOT)
+        eng = MultiTableEngine(
+            spark,
+            EngineConfig(
+                max_offsets_per_batch=n_events * 8 + n_keys,  # 1 batch/table
+                target_buckets=32,  # 4 tables x 32 = same write width
+            ),
+            wal_path=wal_dir,
+            target_root=os.path.join(work, "targets"),
+            work_root=os.path.join(work, "work"),
+            tables={
+                f"t{i}": TableSpec(payload_ddl=ddl, key_columns=("repo", "path"))
+                for i in range(4)
+            },
+        )
+        t0 = time.time()
+        eng.run()
+        wall = time.time() - t0
+        final_rows = sum(
+            eng.target(f"t{i}").read().count() for i in range(4)
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        return {
+            "wall_sec": wall,
+            "events": n_rows,
+            "events_per_sec": n_rows / wall,
+            "final_rows": final_rows,
+        }
+
+    run_multi(warmup_sf_for(sf))  # untimed JIT warm-up
+    trials = [
+        run_multi(sf) for _ in range(int(os.environ.get("BENCH_TRIALS", "2")))
+    ]
+    best = max(trials, key=lambda r: r["events_per_sec"])
+    result = {
+        "metric": "multi-table dispatcher replay events/sec (4 tables)",
+        "value": round(best["wall_sec"], 3),
+        "unit": "sec",
+        "queries": {"cdc_replay_multi4": round(best["wall_sec"], 3)},
+        "sf": float(sf),
+        "cpus": cpus,
+        "events_per_sec": round(best["events_per_sec"], 1),
+        "replay_events": best["events"],
+        "final_rows": best["final_rows"],
+        "replay_trials_sec": [round(r["wall_sec"], 3) for r in trials],
+    }
+    spark.stop()
+    return result
+
+
 def serde(cpus: int) -> dict:
     """``--serde``: wire-format serialization throughput (events/s per
     format) over the full envelope stream — Json and CloudEvents are
@@ -670,6 +765,9 @@ def serde(cpus: int) -> dict:
 if __name__ == "__main__":
     if "--serde" in sys.argv:
         print(json.dumps(serde(CPUS)))
+        sys.exit(0)
+    if "--multi" in sys.argv:
+        print(json.dumps(multi(CPUS)))
         sys.exit(0)
     if "--stateful" in sys.argv:
         print(json.dumps(stateful(CPUS)))
