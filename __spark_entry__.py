@@ -1156,21 +1156,13 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     video -> ceil(duration/every) frame rows). Duration is overridden with an
     md5-derived value so the oracle can rebuild the exact frame fan-out; the
     frame digest stub is sha256(payload || ':' || t_ms)."""
+    from debezium_spark.functions.dedup import _h64
     from debezium_spark.functions.multimodal import sample_frames, synth_media
 
     media = synth_media(spark, n=256)
-    dur = (
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("dur:"), F.col("media_id"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % 5
-            + 1
-        )
-        * 1000
-    ).cast("long")
+    dur = ((_h64(F.col("media_id").cast("string"), "dur") % 5 + 1) * 1000).cast(
+        "long"
+    )
     media = media.withColumn(
         "meta",
         F.struct(

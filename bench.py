@@ -585,9 +585,9 @@ def multi(cpus: int) -> dict:
 
     ddl = "repo string, path string, lang string, content string"
 
-    def ensure_multi_wal(sf_: str) -> tuple[str, int]:
+    def ensure_multi_wal(sf_: str, *, clustered: bool) -> tuple[str, int]:
         src = ensure_wal(spark, sf_)
-        d = wal_cache_dir(sf_) + "_multi4"
+        d = wal_cache_dir(sf_) + ("_multi4c" if clustered else "_multi4")
         marker = os.path.join(d, "_DONE")
         if not os.path.exists(marker):
             shutil.rmtree(d, ignore_errors=True)
@@ -596,18 +596,26 @@ def multi(cpus: int) -> dict:
                 F.lit("t"),
                 F.pmod(F.xxhash64("repo", "path"), F.lit(4)).cast("string"),
             )
-            w.select(
+            out = w.select(
                 "offset", "ts_ms", "op", tbl.alias("table"),
                 F.to_json(F.struct("repo", "path")).alias("key_json"),
                 F.to_json(F.col("before")).alias("before_json"),
                 F.to_json(F.col("after")).alias("after_json"),
                 "is_tombstone", "tx_id", "schema_version",
-            ).write.mode("overwrite").parquet(d)
+            )
+            if clustered:
+                # the dispatcher's documented layout: segments clustered by
+                # table so each per-table filter prunes on (table) min/max —
+                # a binlog router / per-table topic does exactly this
+                out = out.repartitionByRange(32, "table", "offset")
+            out.write.mode("overwrite").parquet(d)
             open(marker, "w").write("ok")
         return d, spark.read.parquet(d).count()
 
+    clustered = "--multi-clustered" in sys.argv
+
     def run_multi(sf_: str) -> dict:
-        wal_dir, n_rows = ensure_multi_wal(sf_)
+        wal_dir, n_rows = ensure_multi_wal(sf_, clustered=clustered)
         n_keys, n_events = WAL_SCALE.get(sf_, WAL_SCALE["0.1"])
         work = tempfile.mkdtemp(prefix="dbzbench-multi-", dir=BENCH_ROOT)
         eng = MultiTableEngine(
@@ -643,8 +651,9 @@ def multi(cpus: int) -> dict:
         run_multi(sf) for _ in range(int(os.environ.get("BENCH_TRIALS", "2")))
     ]
     best = max(trials, key=lambda r: r["events_per_sec"])
+    layout = "table-clustered" if clustered else "hash-spread"
     result = {
-        "metric": "multi-table dispatcher replay events/sec (4 tables)",
+        "metric": f"multi-table dispatcher replay events/sec (4 tables, {layout} log)",
         "value": round(best["wall_sec"], 3),
         "unit": "sec",
         "queries": {"cdc_replay_multi4": round(best["wall_sec"], 3)},
@@ -766,7 +775,7 @@ if __name__ == "__main__":
     if "--serde" in sys.argv:
         print(json.dumps(serde(CPUS)))
         sys.exit(0)
-    if "--multi" in sys.argv:
+    if "--multi" in sys.argv or "--multi-clustered" in sys.argv:
         print(json.dumps(multi(CPUS)))
         sys.exit(0)
     if "--stateful" in sys.argv:

@@ -23,11 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _h64(col: Column, salt: int = 0) -> Column:
+def _h64(col: Column, salt: int | str = 0) -> Column:
     """Portable 64-bit-ish hash: first 15 hex chars of md5 (60 bits, positive).
 
     conv() keeps it in [0, 2^60) — identical in DuckDB via
     CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) semantics (see oracle SQL).
+    The ONE hash expression every oracle-checked op shares — do not inline
+    copies (a drift in any copy silently breaks its oracle parity).
     """
     salted = F.concat(F.lit(f"{salt}:"), col)
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
@@ -552,7 +554,9 @@ def decontaminate(
     anywhere in the eval set.
     """
 
-    def shingles(frame: DataFrame) -> Column:
+    def _word_shingles() -> Column:
+        # unbound column expression (resolves against whichever frame selects
+        # it); NOT dedup.shingles, which is the character-shingle helper
         t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
         w = F.split(t, " ")
         return F.when(
@@ -564,9 +568,9 @@ def decontaminate(
         ).otherwise(F.array().cast("array<string>"))
 
     eval_sh = (
-        eval_docs.select(F.explode(shingles(eval_docs)).alias("sh")).distinct()
+        eval_docs.select(F.explode(_word_shingles()).alias("sh")).distinct()
     )
-    corpus_sh = docs.select(F.col(id_col), F.explode(shingles(docs)).alias("sh"))
+    corpus_sh = docs.select(F.col(id_col), F.explode(_word_shingles()).alias("sh"))
     hits = (
         corpus_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy(id_col)

@@ -313,13 +313,13 @@ def hash_sample(
     re-partitioning, and joinable (the same doc is in-sample in every derived
     dataset). Pure codegen'd filter: no shuffle, no RNG state, prunes at the
     scan when id ordering correlates with storage. md5 (not xxhash64) so the
-    DuckDB oracle applies the identical expression."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    bucket = F.pmod(h, F.lit(1_000_000))
+    DuckDB oracle applies the identical expression (dedup._h64, the shared
+    oracle-portable hash)."""
+    from debezium_spark.functions.dedup import _h64
+
+    bucket = F.pmod(
+        _h64(F.col(id_col).cast("string"), salt), F.lit(1_000_000)
+    )
     return docs.where(bucket < F.lit(int(rate_ppm))).withColumn(
         "sample_bucket", bucket.cast("long")
     )

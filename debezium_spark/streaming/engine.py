@@ -55,6 +55,34 @@ from debezium_spark.plans.lake import LakeTable
 from debezium_spark.plans.registry import SchemaHistoryStore, SchemaRegistry
 
 
+def data_collections_match(
+    dcs, table_name: str, database: str | None = None
+) -> bool:
+    """Does a signal's ``data-collections`` value address this table?
+
+    Reference semantics (ExecuteSnapshot.java:48): entries are regexes fully
+    matched against the captured table id. Both the bare table name and the
+    conventional fully-qualified ``<database>.<table_name>`` id match, so
+    Debezium-style signals (``["lake.repos"]``) and short forms
+    (``["repos"]``) both route. Robustness rules: a bare string counts as a
+    one-element list (a common hand-written-signal mistake that must not
+    silently char-iterate), and a malformed regex entry simply never matches
+    (an unparseable pattern in a durable signal channel must not poison-pill
+    every restart)."""
+    if isinstance(dcs, str):
+        dcs = [dcs]
+    ids = [table_name]
+    if database:
+        ids.append(f"{database}.{table_name}")
+    for p in dcs:
+        try:
+            if any(re.fullmatch(str(p), i) for i in ids):
+                return True
+        except re.error:
+            continue
+    return False
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -216,8 +244,8 @@ class CdcEngine:
         out: dict[str, Any] = {"pause": False}
         dcs = sig.get("data-collections")
         if dcs is not None and self.config.table_name:
-            if not any(
-                re.fullmatch(str(p), self.config.table_name) for p in dcs
+            if not data_collections_match(
+                dcs, self.config.table_name, self.config.database
             ):
                 return out
         t = sig.get("type")
@@ -811,11 +839,13 @@ class CdcEngine:
             # alongside the enriched data events. Batch-scoped like the other
             # side channels: a tx spanning two offset slices emits per-slice
             # boundaries (the reference likewise restarts its tx context on
-            # task restart).
+            # task restart). Counts tally DISPATCHED events only — the monitor
+            # sits after the table/op filters, so rows that table_include or
+            # the snapshot-mode filter exclude never reach a boundary record.
             from debezium_spark.operators.resolver import transaction_boundaries
 
             tb = transaction_boundaries(
-                slice_df,
+                self._prefilter(slice_df),
                 topic_prefix=cfg.server_name,
                 collection=f"{cfg.database}.{cfg.table_name}",
             )

@@ -240,11 +240,18 @@ class MultiTableEngine:
     # ------------------------------------------- multi-table snapshot signals
     def _matching(self, data_collections) -> list[str]:
         """Captured tables addressed by a ``data-collections`` array — each
-        entry is a regex fully matched against the table id, the reference's
-        SnapshotDataCollection semantics (ExecuteSnapshot.java:48)."""
-        pats = [str(p) for p in data_collections]
+        entry is a regex fully matched against the table id (bare or
+        ``<database>.<name>``-qualified), the reference's
+        SnapshotDataCollection semantics (ExecuteSnapshot.java:48); malformed
+        patterns never match (engine.data_collections_match)."""
+        from debezium_spark.streaming.engine import data_collections_match
+
         return [
-            n for n in self.engines if any(re.fullmatch(p, n) for p in pats)
+            n
+            for n, eng in self.engines.items()
+            if data_collections_match(
+                data_collections, n, eng.config.database
+            )
         ]
 
     def execute_snapshot(
@@ -261,12 +268,20 @@ class MultiTableEngine:
         per-table (each engine's durable ``_incr_snapshot.json``), so tables
         snapshot and resume independently, exactly like the reference's
         per-DataCollection progress in IncrementalSnapshotContext. Returns the
-        addressed table names."""
+        addressed table names. The fan-out is validated up front: if ANY
+        addressed table lacks a snapshot_source the call raises before any
+        table's durable snapshot state is touched (no partial application)."""
         names = self._matching(data_collections)
         if not names:
             raise ValueError(
                 f"data-collections {data_collections!r} match no captured table "
                 f"(captured: {sorted(self.engines)})"
+            )
+        missing = [n for n in names if not self.engines[n].snapshot_source]
+        if missing:
+            raise ValueError(
+                f"execute_snapshot addresses {sorted(missing)} but those "
+                f"TableSpecs have no snapshot_source; nothing was started"
             )
         for n in names:
             self.engines[n].execute_snapshot(

@@ -250,3 +250,40 @@ def test_dispatcher_run_streaming_matches_batch(spark, tmpdir_path):
         assert set(got) == set(want), tbl
     # the routed snapshot backfilled users in BOTH drives
     assert 99 in {r["user_id"] for r in stream.target("users").read().collect()}
+
+
+def test_data_collections_matching_rules():
+    """Routing accepts bare and fully-qualified ids, treats a bare string as
+    a one-element list, and never crashes (or matches) on malformed regexes
+    — a poisoned durable signal channel must not kill every restart."""
+    from debezium_spark.streaming.engine import data_collections_match as m
+
+    assert m(["repos"], "repos", "lake")
+    assert m(["lake.repos"], "repos", "lake")       # Debezium-conventional id
+    assert m("users", "users", "lake")              # bare string, not a list
+    assert not m(["other"], "repos", "lake")
+    assert not m(["["], "repos", "lake")            # malformed: no match, no raise
+    assert m(["[", "rep.*"], "repos", "lake")       # later valid entry still wins
+
+
+def test_execute_snapshot_fanout_is_atomic(spark, tmpdir_path):
+    """If ANY addressed table lacks a snapshot_source the fan-out raises
+    before any engine's durable snapshot state is written."""
+    wal_dir = _write_wal(spark, tmpdir_path)
+    repos_src, _ = _sources(spark, tmpdir_path)
+    eng = MultiTableEngine(
+        spark,
+        EngineConfig(snapshot_mode="never"),
+        wal_path=wal_dir,
+        target_root=os.path.join(tmpdir_path, "targets_at"),
+        work_root=os.path.join(tmpdir_path, "work_at"),
+        tables={
+            "repos": TableSpec(payload_ddl=REPOS_DDL, key_columns=("repo", "path"),
+                               snapshot_source=repos_src),
+            "users": TableSpec(payload_ddl=USERS_DDL, key_columns=("user_id",)),
+        },
+    )
+    with pytest.raises(ValueError, match="snapshot_source"):
+        eng.execute_snapshot([".*"])
+    # repos' durable snapshot state was never touched
+    assert not eng.engines["repos"]._incr_state()["active"]
