@@ -521,3 +521,14 @@ class DebeziumEngine:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+    def export_schema_registry(self, out_dir: str) -> dict:
+        """Materialize every schema this engine registered while serializing
+        (Avro/Protobuf frames, CloudEvents Avro data) as the Confluent REST
+        resource tree — the offline analogue of pointing consumers at the
+        schema registry the reference's converters talk to
+        (CloudEventsConverter.java:87-91). Returns the export summary; empty
+        registry exports an empty tree."""
+        from debezium_spark.functions.avro import AvroSchemaRegistry
+
+        return AvroSchemaRegistry(self._registry_path).export_confluent(out_dir)

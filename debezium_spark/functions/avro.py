@@ -57,6 +57,7 @@ __all__ = [
     "frame_confluent",
     "frame_single_object",
     "AvroSchemaRegistry",
+    "backward_compatible",
     "encode_record",
     "decode_record",
     "read_frame",
@@ -497,29 +498,221 @@ class AvroSchemaRegistry:
         self.path = path
         self._by_key: dict[tuple[str, str], int] = {}
         self._by_id: dict[int, str] = {}
+        self._entries: list[tuple[str, str, int]] = []  # registration order
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
                     row = json.loads(line)
                     self._by_key[(row["subject"], row["schema"])] = row["id"]
                     self._by_id[row["id"]] = row["schema"]
+                    self._entries.append((row["subject"], row["schema"], row["id"]))
 
-    def register(self, subject: str, schema: Any, *, canonical_fn=None) -> int:
+    def register(
+        self,
+        subject: str,
+        schema: Any,
+        *,
+        canonical_fn=None,
+        compatibility: str | None = None,
+    ) -> int:
         """``canonical_fn`` overrides the Avro Parsing-Canonical-Form identity
         for non-Avro schema payloads (e.g. protobuf descriptors) sharing this
         registry file — Confluent registries likewise store multiple schema
-        types per store."""
+        types per store.
+
+        ``compatibility='backward'`` enforces the registry-side gate the
+        Confluent/Apicurio registries apply before accepting a new version
+        (the registries the reference's Avro/CloudEvents paths talk to —
+        CloudEventsConverter.java:87-91): the NEW schema must be able to read
+        data written with the subject's LATEST version per Avro schema
+        resolution. Only checked for Avro JSON schemas (``canonical_fn`` is
+        None); raises ValueError with the first incompatibility found."""
         cf = (canonical_fn or canonical_json)(schema)
         key = (subject, cf)
         if key in self._by_key:
             return self._by_key[key]
+        if compatibility == "backward" and canonical_fn is None:
+            latest = self.versions(subject)
+            if latest:
+                problem = _resolution_error(
+                    json.loads(latest[-1][2]), json.loads(cf)
+                )
+                if problem:
+                    raise ValueError(
+                        f"schema for subject {subject!r} is not backward-"
+                        f"compatible with version {latest[-1][0]}: {problem}"
+                    )
+        elif compatibility not in (None, "backward", "none"):
+            raise ValueError(f"unknown compatibility level {compatibility!r}")
         new_id = max(self._by_id, default=0) + 1
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "a") as f:
             f.write(json.dumps({"subject": subject, "schema": cf, "id": new_id}) + "\n")
         self._by_key[key] = new_id
         self._by_id[new_id] = cf
+        self._entries.append((subject, cf, new_id))
         return new_id
 
     def by_id(self, schema_id: int) -> Any:
         return json.loads(self._by_id[schema_id])
+
+    # -------------------------------------------- Confluent read-side surface
+    def subjects(self) -> list[str]:
+        """``GET /subjects`` — sorted distinct subject names."""
+        return sorted({s for s, _, _ in self._entries})
+
+    def versions(self, subject: str) -> list[tuple[int, int, str]]:
+        """``GET /subjects/<s>/versions`` — (version, id, canonical schema)
+        in registration order; versions are 1-based per subject (Confluent
+        semantics: version numbers are subject-scoped, ids are global)."""
+        rows = [(s, cf, i) for s, cf, i in self._entries if s == subject]
+        return [(v + 1, i, cf) for v, (_, cf, i) in enumerate(rows)]
+
+    def export_confluent(self, out_dir: str) -> dict:
+        """Materialize the registry as the Confluent REST resource tree, so
+        any consumer tooling written against a schema registry can resolve
+        this engine's framed records offline::
+
+            subjects.json                          GET /subjects
+            subjects/<s>/versions/<v>.json         GET /subjects/<s>/versions/<v>
+            subjects/<s>/versions/latest.json      GET /subjects/<s>/versions/latest
+            schemas/ids/<id>.json                  GET /schemas/ids/<id>
+
+        Document bodies match the REST shapes: version documents carry
+        ``{subject, version, id, schema}`` with the schema as its canonical
+        STRING (the registry wire format), id documents carry ``{schema}``.
+        Subjects are sanitized for the filesystem the same way topic names
+        are. Pure driver-side file IO — no Spark jobs."""
+        import re as _re
+
+        def safe(s: str) -> str:
+            return _re.sub(r"[^a-zA-Z0-9\._\-]", "_", s)
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "subjects.json"), "w") as f:
+            json.dump(self.subjects(), f)
+        n_versions = 0
+        for subject in self.subjects():
+            vdir = os.path.join(out_dir, "subjects", safe(subject), "versions")
+            os.makedirs(vdir, exist_ok=True)
+            versions = self.versions(subject)
+            for version, schema_id, cf in versions:
+                doc = {
+                    "subject": subject,
+                    "version": version,
+                    "id": schema_id,
+                    "schema": cf,
+                }
+                with open(os.path.join(vdir, f"{version}.json"), "w") as f:
+                    json.dump(doc, f)
+                n_versions += 1
+            if versions:
+                last = versions[-1]
+                with open(os.path.join(vdir, "latest.json"), "w") as f:
+                    json.dump(
+                        {
+                            "subject": subject,
+                            "version": last[0],
+                            "id": last[1],
+                            "schema": last[2],
+                        },
+                        f,
+                    )
+        ids_dir = os.path.join(out_dir, "schemas", "ids")
+        os.makedirs(ids_dir, exist_ok=True)
+        for schema_id, cf in sorted(self._by_id.items()):
+            with open(os.path.join(ids_dir, f"{schema_id}.json"), "w") as f:
+                json.dump({"schema": cf}, f)
+        return {
+            "path": out_dir,
+            "subjects": len(self.subjects()),
+            "versions": n_versions,
+            "schemas": len(self._by_id),
+        }
+
+
+# ------------------------------------------- Avro schema-resolution checking
+
+_PROMOTIONS: dict[str, set[str]] = {
+    # writer type -> reader types it can be promoted into (Avro spec,
+    # Schema Resolution "the writer's schema may be promoted")
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _type_of(schema: Any) -> Any:
+    return schema.get("type") if isinstance(schema, dict) else schema
+
+
+def _resolution_error(writer: Any, reader: Any, path: str = "$") -> str | None:
+    """Can data written with ``writer`` be read with ``reader``? Returns None
+    when yes, else a human-readable reason anchored at ``path``. Implements
+    the Avro spec's Schema Resolution rules for the schema shapes this engine
+    emits (records, unions, arrays, maps, enums, fixed, primitives with
+    numeric/string promotions)."""
+    # union handling first: every writer branch must be readable; a reader
+    # union reads anything one of its branches reads
+    if isinstance(writer, list):
+        for branch in writer:
+            err = _resolution_error(branch, reader, path)
+            if err:
+                return err
+        return None
+    if isinstance(reader, list):
+        for branch in reader:
+            if _resolution_error(writer, branch, path) is None:
+                return None
+        return f"{path}: writer type {_describe(writer)} matches no reader union branch"
+
+    wt, rt = _type_of(writer), _type_of(reader)
+    if wt == "record" and rt == "record":
+        rfields = {f["name"]: f for f in reader.get("fields", [])}
+        wfields = {f["name"]: f for f in writer.get("fields", [])}
+        for name, rf in rfields.items():
+            if name in wfields:
+                err = _resolution_error(
+                    wfields[name]["type"], rf["type"], f"{path}.{name}"
+                )
+                if err:
+                    return err
+            elif "default" not in rf:
+                return (
+                    f"{path}.{name}: field added without a default "
+                    f"(old data has no value for it)"
+                )
+        return None  # writer-only fields are ignored by the reader
+    if wt == "array" and rt == "array":
+        return _resolution_error(writer["items"], reader["items"], path + "[]")
+    if wt == "map" and rt == "map":
+        return _resolution_error(writer["values"], reader["values"], path + "{}")
+    if wt == "enum" and rt == "enum":
+        missing = set(writer.get("symbols", [])) - set(reader.get("symbols", []))
+        if missing and "default" not in reader:
+            return f"{path}: enum symbols {sorted(missing)} removed without default"
+        return None
+    if wt == "fixed" and rt == "fixed":
+        if writer.get("size") != reader.get("size"):
+            return f"{path}: fixed size {writer.get('size')} -> {reader.get('size')}"
+        return None
+    if isinstance(wt, str) and isinstance(rt, str):
+        if rt in _PROMOTIONS.get(wt, {wt}):
+            return None
+        return f"{path}: type {wt} cannot be read as {rt}"
+    return f"{path}: incompatible shapes {_describe(writer)} -> {_describe(reader)}"
+
+
+def _describe(schema: Any) -> str:
+    t = _type_of(schema)
+    return t if isinstance(t, str) else json.dumps(schema)[:60]
+
+
+def backward_compatible(old_schema: Any, new_schema: Any) -> bool:
+    """True when ``new_schema`` can read data written with ``old_schema`` —
+    the BACKWARD level a Confluent/Apicurio registry checks before accepting
+    a new subject version (the registries the reference integrates with,
+    CloudEventsConverter.java:87-91)."""
+    return _resolution_error(old_schema, new_schema) is None

@@ -208,3 +208,129 @@ def test_embedded_api_cloudevents_avro_data(spark, small_wal):
     sid, body = A.read_frame(base64.b64decode(ce["data_base64"]))
     val = A.decode_record(body, reg.by_id(sid))
     assert val["op"] in {"c", "u", "d", "r"} and "after" in val
+
+
+# -------------------------------------- read-side registry surface + compat
+def test_registry_versions_and_confluent_export(tmpdir_path):
+    """versions() is subject-scoped 1-based; export_confluent materializes
+    the REST resource tree (GET /subjects, /subjects/<s>/versions/<v>,
+    /schemas/ids/<id>) with the registry wire shapes."""
+    import os
+
+    reg = A.AvroSchemaRegistry(f"{tmpdir_path}/reg.jsonl")
+    s1 = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    s2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string", "default": ""},
+        ],
+    }
+    id1 = reg.register("repos-value", s1)
+    id2 = reg.register("repos-value", s2)
+    id3 = reg.register("repos-key", s1)
+    assert reg.subjects() == ["repos-key", "repos-value"]
+    vs = reg.versions("repos-value")
+    assert [(v, i) for v, i, _ in vs] == [(1, id1), (2, id2)]
+
+    out = reg.export_confluent(f"{tmpdir_path}/registry_export")
+    assert out == {
+        "path": f"{tmpdir_path}/registry_export",
+        "subjects": 2,
+        "versions": 3,
+        "schemas": 3,
+    }
+    root = out["path"]
+    assert json.load(open(f"{root}/subjects.json")) == ["repos-key", "repos-value"]
+    v2 = json.load(open(f"{root}/subjects/repos-value/versions/2.json"))
+    assert v2["version"] == 2 and v2["id"] == id2
+    assert json.loads(v2["schema"])["fields"][1]["name"] == "b"
+    latest = json.load(open(f"{root}/subjects/repos-value/versions/latest.json"))
+    assert latest == v2
+    byid = json.load(open(f"{root}/schemas/ids/{id3}.json"))
+    assert json.loads(byid["schema"])["name"] == "r"
+    # a re-opened registry exports identically (ids from file order)
+    reg2 = A.AvroSchemaRegistry(f"{tmpdir_path}/reg.jsonl")
+    out2 = reg2.export_confluent(f"{tmpdir_path}/registry_export2")
+    assert (out2["subjects"], out2["versions"]) == (2, 3)
+    assert os.path.getsize(f"{root}/subjects.json") == os.path.getsize(
+        f"{out2['path']}/subjects.json"
+    )
+
+
+def test_backward_compatibility_rules():
+    rec = lambda *fields: {  # noqa: E731
+        "type": "record",
+        "name": "r",
+        "fields": list(fields),
+    }
+    a_long = {"name": "a", "type": "long"}
+    # adding a field WITH a default is backward-compatible
+    assert A.backward_compatible(
+        rec(a_long), rec(a_long, {"name": "b", "type": "string", "default": ""})
+    )
+    # adding one WITHOUT a default is not
+    assert not A.backward_compatible(
+        rec(a_long), rec(a_long, {"name": "b", "type": "string"})
+    )
+    # dropping a field is fine (reader ignores writer-only fields)
+    assert A.backward_compatible(rec(a_long, {"name": "b", "type": "int"}), rec(a_long))
+    # numeric promotion widens, never narrows
+    assert A.backward_compatible(
+        rec({"name": "a", "type": "int"}), rec({"name": "a", "type": "long"})
+    )
+    assert not A.backward_compatible(
+        rec(a_long), rec({"name": "a", "type": "int"})
+    )
+    # string <-> bytes promote both ways; nullable-union widening reads
+    assert A.backward_compatible(
+        rec({"name": "a", "type": "string"}), rec({"name": "a", "type": "bytes"})
+    )
+    assert A.backward_compatible(
+        rec(a_long), rec({"name": "a", "type": ["null", "long"]})
+    )
+    assert not A.backward_compatible(
+        rec({"name": "a", "type": ["null", "long"]}), rec(a_long)
+    )
+    # nested record fields resolve recursively
+    inner_w = {"type": "record", "name": "n", "fields": [{"name": "x", "type": "int"}]}
+    inner_r = {"type": "record", "name": "n", "fields": [{"name": "x", "type": "long"}]}
+    assert A.backward_compatible(
+        rec({"name": "n", "type": inner_w}), rec({"name": "n", "type": inner_r})
+    )
+
+
+def test_registry_backward_gate_blocks_incompatible_version(tmpdir_path):
+    reg = A.AvroSchemaRegistry(f"{tmpdir_path}/reg.jsonl")
+    v1 = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    reg.register("t-value", v1, compatibility="backward")
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},  # no default
+        ],
+    }
+    with pytest.raises(ValueError, match="not backward-compatible.*b"):
+        reg.register("t-value", bad, compatibility="backward")
+    # same registration without the gate is allowed (compatibility NONE)
+    assert reg.register("t-value", bad) > 0
+
+
+def test_engine_export_schema_registry(spark, small_wal):
+    d = small_wal
+    eng = (
+        DebeziumEngine.create(Avro)
+        .using(_props(d))
+        .using_spark(spark)
+        .notifying(lambda r: None)
+        .build()
+    )
+    eng.run()
+    out = eng.export_schema_registry(f"{d}/registry_export")
+    # key + value subjects for the one captured table
+    subs = json.load(open(f"{out['path']}/subjects.json"))
+    assert subs == ["repos.lake.repos-key", "repos.lake.repos-value"]
+    assert out["versions"] >= 2 and out["schemas"] >= 2
