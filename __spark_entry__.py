@@ -814,6 +814,33 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_spans(_docs(spark, sf_dir), span_words=16)
 
 
+def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (sigmoid of mean token
+    weight) with the deterministic hash-derived weight table. Pure per-row
+    higher-order array algebra — zero shuffles; the token aggregation is an
+    exact integer sum so Spark's array fold and DuckDB's row sum agree
+    bit-for-bit."""
+    from debezium_spark.functions.text import classifier_score
+
+    return (
+        classifier_score(_docs(spark, sf_dir))
+        .where(F.col("lm_quality").isNotNull())
+        .select("doc_id", "lm_quality")
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling: the 25 smallest salted-hash docs per
+    lang stratum (corpus-mixing primitive). Pass 1 derives per-stratum hash
+    thresholds from map-side-combined counts so the ranking window sorts only
+    ~margin*k survivors per stratum, never a whole skewed stratum."""
+    from debezium_spark.functions.text import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", 25).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-mod corpus sampling at 20% (200000 ppm): md5-bucket
     filter, reproducible and re-partition-stable, zero shuffle."""
@@ -1644,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_hash_sample": q_doc_hash_sample,
+        "doc_classifier_score": q_doc_classifier_score,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -2335,6 +2364,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, sample_bucket FROM h WHERE sample_bucket < 200000
+        """,
+        "doc_classifier_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(coalesce(text,''))), '\s+')) AS tok
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('w:' || tok), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+              FROM toks WHERE tok <> ''
+            )
+            SELECT doc_id,
+                   round(1.0/(1.0+exp(-(CAST(sum(wt) AS DOUBLE)/(1000.0*count(*))))), 9)
+                     AS lm_quality
+            FROM w GROUP BY doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang, sample_rank FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT), doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 25
         """,
         "doc_decontaminate": """
             WITH w AS (

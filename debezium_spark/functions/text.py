@@ -323,3 +323,139 @@ def hash_sample(
     return docs.where(bucket < F.lit(int(rate_ppm))).withColumn(
         "sample_bucket", bucket.cast("long")
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    weights: dict[str, float] | None = None,
+    bias: float = 0.0,
+    out_col: str = "lm_quality",
+) -> DataFrame:
+    """fastText-style linear quality classifier: ``sigmoid(bias + mean
+    token weight)`` — the shape of every production "quality filter" pass
+    over a pretraining corpus (CCNet/GPT-3-style linear scorers).
+
+    Two weight sources:
+
+    * ``weights`` dict (a trained model's vocabulary) — compiled into a map
+      LITERAL, so the lookup is a JVM constant inside codegen: the broadcast
+      is free (ships with the plan), no join, no shuffle. Out-of-vocabulary
+      tokens weigh 0, like fastText's pruned vocab.
+    * ``weights=None`` — a deterministic hash-derived weight in [-1, 1]
+      (md5-based, the shared oracle-portable hash) standing in for a model
+      the container can't train; the plumbing (tokenize → weigh → aggregate
+      → squash) is the real distributed path either way.
+
+    Wholly per-row via higher-order array functions — ZERO shuffles, scales
+    linearly, and the aggregation is an exact INTEGER sum (order-independent,
+    so Spark's array fold and an oracle's row sum agree bit-for-bit; the
+    single float division + sigmoid happen once per doc). Score is null for
+    token-less docs and rounded to 9 decimals for cross-engine comparability.
+    """
+    from debezium_spark.functions.dedup import _h64
+
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    tokens = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    if weights is None:
+        # integer milli-weights in [-1000, 1000]
+        def w(tok: Column) -> Column:
+            return F.pmod(_h64(tok, "w"), F.lit(2001)) - F.lit(1000)
+    else:
+        items: list[Column] = []
+        for k, v in sorted(weights.items()):
+            items += [F.lit(k), F.lit(int(round(float(v) * 1000)))]
+        wmap = F.create_map(*items)
+
+        def w(tok: Column) -> Column:
+            return F.coalesce(wmap[tok], F.lit(0)).cast("long")
+
+    total = F.aggregate(tokens, F.lit(0).cast("long"), lambda acc, x: acc + w(x))
+    n = F.size(tokens)
+    mean = total.cast("double") / (F.lit(1000.0) * n)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + mean)))
+    return docs.withColumn(
+        out_col,
+        F.when(n > 0, F.round(score, 9)).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    margin: int = 8,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exact per-stratum sampling: the k rows with the smallest salted hash
+    in every stratum (all rows when a stratum has fewer than k). The hash
+    order makes the sample deterministic, reproducible across runs and
+    engines, and JOINABLE — the same doc is in-sample for every derived
+    dataset, like :func:`hash_sample`, but with per-language / per-domain
+    quotas (the standard corpus-mixing primitive).
+
+    Scale path: the naive plan is one window per stratum — a shuffle by
+    ``stratum_col`` followed by an in-partition SORT OF THE WHOLE STRATUM,
+    which a skewed stratum (say, 80%-English) turns into one task sorting
+    10^10 rows. Instead, pass 1 computes per-stratum counts (map-side
+    combined, one tiny result row per stratum — strata are languages or
+    domains, bounded cardinality by construction) and derives a hash
+    threshold ``~margin * k / count`` per stratum; the window then ranks only
+    the pre-filtered survivors (expected ``margin * k`` rows per stratum, a
+    codegen'd scan-side filter). Undershoot is detected per stratum and
+    repaired with an unfiltered rescan of just the deficient strata — with
+    md5-uniform hashes and margin=8 that is a ~never path, but correctness
+    never rests on the margin. Returns the input columns plus
+    ``sample_rank`` (1..k within stratum).
+    """
+    from pyspark.sql import Window
+
+    from debezium_spark.functions.dedup import _h64
+
+    h = _h64(F.col(id_col).cast("string"), salt).alias("_strat_h")
+    hashed = docs.select("*", h)
+    win = Window.partitionBy(stratum_col).orderBy("_strat_h", id_col)
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("sample_rank", F.row_number().over(win))
+            .where(F.col("sample_rank") <= F.lit(int(k)))
+        )
+
+    if not prefilter:
+        return ranked(hashed).drop("_strat_h")
+
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    space = 1 << 60  # _h64 range
+    thresholds: list[Column] = []
+    for s, n in sorted(counts.items(), key=lambda kv: str(kv[0])):
+        cap = space if n <= k * margin else int(space * (k * margin) / n) + 1
+        thresholds += [F.lit(s), F.lit(cap)]
+    tmap = F.create_map(*thresholds)
+    survivors = ranked(hashed.where(F.col("_strat_h") < tmap[F.col(stratum_col)]))
+
+    got = {
+        r["s"]: r["n"]
+        for r in survivors.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    deficient = [
+        s for s, n in counts.items() if got.get(s, 0) < min(int(k), n)
+    ]
+    if deficient:
+        # repair path: exact rescan of only the deficient strata
+        repaired = ranked(hashed.where(F.col(stratum_col).isin(deficient)))
+        survivors = survivors.where(
+            ~F.col(stratum_col).isin(deficient)
+        ).unionByName(repaired)
+    return survivors.drop("_strat_h")

@@ -421,3 +421,61 @@ def test_resize_and_frame_sample_plumbing(spark):
         assert ts == [i * 10000 for i in range(want)]
         assert len({x["frame_sha"] for x in rows}) == want  # per-frame digests
     assert set(by_id) == {m for m, k in kinds.items() if k == "video"}
+
+
+def test_classifier_score_with_trained_weights(spark):
+    """Vocabulary weights compile to a map literal (plan constant): in-vocab
+    tokens use the model weight, OOV weigh 0, empty docs score null, bias
+    shifts the sigmoid."""
+    rows = [
+        (1, "good good good"),          # mean w = 2.0 -> sigmoid(2) ~ .8808
+        (2, "bad bad"),                 # mean w = -2.0
+        (3, "good unknown"),            # (2000+0)/2 -> mean 1.0
+        (4, "   "),                     # token-less -> null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["lm_quality"]
+        for r in X.classifier_score(
+            df, weights={"good": 2.0, "bad": -2.0}
+        ).collect()
+    }
+    import math
+
+    sig = lambda z: 1 / (1 + math.exp(-z))  # noqa: E731
+    assert out[1] == pytest.approx(sig(2.0), abs=1e-9)
+    assert out[2] == pytest.approx(sig(-2.0), abs=1e-9)
+    assert out[3] == pytest.approx(sig(1.0), abs=1e-9)
+    assert out[4] is None
+    # bias shifts every score
+    out_b = {
+        r["doc_id"]: r["lm_quality"]
+        for r in X.classifier_score(
+            df, weights={"good": 2.0, "bad": -2.0}, bias=1.0
+        ).collect()
+    }
+    assert out_b[2] == pytest.approx(sig(-1.0), abs=1e-9)
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    """Exactly min(k, stratum size) rows per stratum; the picked set is
+    identical with and without the threshold prefilter, under a forced
+    repair path (margin=1), and after arbitrary repartitioning."""
+    k = 7
+    base = X.stratified_sample(docs, "lang", k)
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {s: min(k, n) for s, n in sizes.items()}
+    assert base.select(F.max("sample_rank")).first()[0] <= k
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in df.select("doc_id", "lang", "sample_rank").collect()
+    )
+    want = key(base)
+    assert key(X.stratified_sample(docs, "lang", k, prefilter=False)) == want
+    assert key(X.stratified_sample(docs, "lang", k, margin=1)) == want
+    assert key(X.stratified_sample(docs.repartition(17), "lang", k)) == want
+    # nested-sample property: the k'=3 sample is a prefix of the k=7 sample
+    small = key(X.stratified_sample(docs, "lang", 3))
+    assert set(small) <= set(want)
