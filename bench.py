@@ -564,6 +564,74 @@ def stateful(cpus: int) -> dict:
     return result
 
 
+def run_server_pump(spark, sf: str) -> dict:
+    """Full WAL pump through the standalone server runtime (properties ->
+    embedded facade -> per-record driver hand-off -> JSONL file sink).
+
+    This measures the EMBEDDED-API tap, not the lake path: the distributed
+    plan (envelope wrap + JSON serialization) runs cluster-side, then every
+    record crosses to the single application thread via toLocalIterator —
+    the same single-consumer contract the reference's EmbeddedEngine has.
+    The number is therefore a driver-bound ceiling by design; bulk state
+    belongs to the replay path, and this mode documents the cost of choosing
+    the record-at-a-time integration instead."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from debezium_spark.server import Server
+
+    wal_dir = ensure_wal(spark, sf)
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="dbzbench-srv-", dir=BENCH_ROOT)
+    props = {
+        "debezium.sink.type": "file",
+        "debezium.sink.file.dir": os.path.join(work, "sink"),
+        "debezium.source.topic.prefix": "repos",
+        "debezium.source.database.dbname": "lake",
+        "debezium.source.wal.path": wal_dir,
+        "debezium.source.work.dir": os.path.join(work, "w"),
+        "debezium.source.max.batch.size": "200000",
+    }
+    server = Server(spark, props)
+    t0 = time.time()
+    code = server.run()
+    wall = time.time() - t0
+    assert code == 0, server.completion
+    written = server.sink.written
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "wall_sec": wall,
+        "events": written,
+        "events_per_sec": written / wall,
+    }
+
+
+def server_mode(cpus: int) -> dict:
+    """`--server`: standalone-runtime record-pump throughput at one WAL scale
+    below the headline SF (the driver-side tap is single-consumer by
+    contract; steady-state events/s is size-independent past warm-up)."""
+    sf = os.environ.get("BENCH_SERVER_SF") or warmup_sf_for(sf_of(SF_DIR))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_server_pump(spark, warmup_sf_for(sf))  # untimed warm-up
+    trials = [
+        run_server_pump(spark, sf)
+        for _ in range(int(os.environ.get("BENCH_TRIALS", "2")))
+    ]
+    best = max(trials, key=lambda r: r["events_per_sec"])
+    result = {
+        "metric": "server runtime record-pump events/sec (JSONL file sink)",
+        "value": round(best["wall_sec"], 3),
+        "unit": "sec",
+        "queries": {"cdc_server_pump": round(best["wall_sec"], 3)},
+        "sf": float(sf),
+        "cpus": cpus,
+        "events_per_sec": round(best["events_per_sec"], 1),
+        "pumped_events": best["events"],
+        "replay_trials_sec": [round(r["wall_sec"], 3) for r in trials],
+    }
+    spark.stop()
+    return result
+
+
 def multi(cpus: int) -> dict:
     """``--multi``: multi-table dispatcher throughput. The headline WAL is
     re-shaped once (cached) into a heterogeneous 4-table log — the repos
@@ -780,6 +848,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--stateful" in sys.argv:
         print(json.dumps(stateful(CPUS)))
+        sys.exit(0)
+    if "--server" in sys.argv:
+        print(json.dumps(server_mode(CPUS)))
         sys.exit(0)
     if "--scaling" in sys.argv:
         rep = scaling()
