@@ -814,6 +814,39 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_spans(_docs(spark, sf_dir), span_words=16)
 
 
+def q_cdc_handling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-wide value handling modes (JdbcValueConverters.java:73-136,
+    CommonConnectorConfig BinaryHandlingMode): decimal string mode, temporal
+    adaptive (epoch micros) / connect (epoch millis) / date (epoch days), and
+    binary base64 + lowercase hex — all pure codegen'd column algebra over
+    the orders scan. (Decimal double mode is pytest-covered instead: DuckDB's
+    own decimal->double conversion is quantized differently, so it can't
+    serve as the oracle for a value both engines compute correctly.)"""
+    from debezium_spark.functions.converters import (
+        convert_binary,
+        convert_decimal,
+        convert_timestamp,
+        epoch_days,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    dec = F.concat(F.col("o_orderkey").cast("string"), F.lit(".25")).cast(
+        "decimal(38,18)"
+    )
+    bin_ = F.unhex(F.md5(F.col("o_orderkey").cast("string")))
+    return o.select(
+        "o_orderkey",
+        convert_decimal(dec, "string").alias("price_str"),
+        convert_timestamp(F.col("o_orderdate"), "adaptive").alias("ts_micros"),
+        convert_timestamp(F.col("o_orderdate"), "connect").alias("ts_millis"),
+        epoch_days(F.col("o_orderdate")).alias("date_days"),
+        convert_binary(bin_, "base64").alias("bin_b64"),
+        convert_binary(bin_, "hex").alias("bin_hex"),
+    )
+
+
 def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier (sigmoid of mean token
     weight) with the deterministic hash-derived weight table. Pure per-row
@@ -1671,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_hash_sample": q_doc_hash_sample,
+        "cdc_handling_modes": q_cdc_handling_modes,
         "doc_classifier_score": q_doc_classifier_score,
         "doc_stratified_sample": q_doc_stratified_sample,
         "emb_topk_cosine": q_emb_topk_cosine,
@@ -2364,6 +2398,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, sample_bucket FROM h WHERE sample_bucket < 200000
+        """,
+        "cdc_handling_modes": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderkey AS VARCHAR) || '.25' AS DECIMAL(38,18))::VARCHAR
+                     AS price_str,
+                   epoch_us(o_orderdate) AS ts_micros,
+                   epoch_ms(o_orderdate) AS ts_millis,
+                   datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS date_days,
+                   to_base64(unhex(md5(CAST(o_orderkey AS VARCHAR)))) AS bin_b64,
+                   lower(hex(unhex(md5(CAST(o_orderkey AS VARCHAR))))) AS bin_hex
+            FROM orders WHERE o_orderkey % 37 = 0
         """,
         "doc_classifier_score": r"""
             WITH toks AS (

@@ -152,6 +152,19 @@ class EngineConfig:
     # at run start; matches override key_columns, no match keeps the PK above
     message_key_columns: str | None = None
 
+    # --- engine-wide value handling modes (JdbcValueConverters.java:73-136,
+    # CommonConnectorConfig.java:177-197 BinaryHandlingMode). None means
+    # Spark-native: payload columns keep their typed Spark representation
+    # (decimal/timestamp/binary are already exact); a set mode opts into the
+    # reference's WIRE representation (decimal.handling.mode =
+    # precise|double|string, time.precision.mode =
+    # adaptive|adaptive_time_microseconds|connect, binary.handling.mode =
+    # bytes|base64|hex). Applied through the same plug-in seam as
+    # custom_converters, after the user chain.
+    decimal_handling_mode: str | None = None
+    time_precision_mode: str | None = None
+    binary_handling_mode: str | None = None
+
     def __post_init__(self) -> None:
         if self.snapshot_mode not in VALID_SNAPSHOT_MODES:
             raise ValueError(f"invalid snapshot_mode {self.snapshot_mode!r}")
@@ -160,6 +173,20 @@ class EngineConfig:
             raise ValueError(f"invalid skipped_operations {sorted(bad)}")
         if self.failure_handling not in {"fail", "warn", "skip"}:
             raise ValueError(f"invalid failure_handling {self.failure_handling!r}")
+        if self.decimal_handling_mode not in (None, "precise", "double", "string"):
+            raise ValueError(
+                f"invalid decimal_handling_mode {self.decimal_handling_mode!r}"
+            )
+        if self.time_precision_mode not in (
+            None, "adaptive", "adaptive_time_microseconds", "connect",
+        ):
+            raise ValueError(
+                f"invalid time_precision_mode {self.time_precision_mode!r}"
+            )
+        if self.binary_handling_mode not in (None, "bytes", "base64", "hex"):
+            raise ValueError(
+                f"invalid binary_handling_mode {self.binary_handling_mode!r}"
+            )
 
     @classmethod
     def from_properties(cls, props: dict[str, str], **overrides) -> "EngineConfig":
@@ -312,6 +339,10 @@ _PROPERTY_MAP: dict[str, tuple[str, callable]] = {
     # the reference's value is the signal table id; presence enables the
     # in-band channel here (the WAL carries op='s' rows for that table)
     "signal.data.collection": ("signal_data_collection", lambda v: bool(str(v).strip())),
+    # engine-wide value handling modes (validated in __post_init__)
+    "decimal.handling.mode": ("decimal_handling_mode", lambda v: str(v).strip().lower()),
+    "time.precision.mode": ("time_precision_mode", lambda v: str(v).strip().lower()),
+    "binary.handling.mode": ("binary_handling_mode", lambda v: str(v).strip().lower()),
 }
 
 import re as _re  # noqa: E402  (module-tail helpers for from_properties)

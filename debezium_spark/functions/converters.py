@@ -229,3 +229,87 @@ def apply_converters(df: DataFrame, converters: dict[str, Column]) -> DataFrame:
     for name, col in converters.items():
         out = out.withColumn(name, col)
     return out
+
+
+BINARY_MODES = ("bytes", "base64", "hex")
+
+
+def convert_binary(col: Column, mode: str = "bytes") -> Column:
+    """binary.handling.mode (CommonConnectorConfig.java:177-197
+    BinaryHandlingMode): ``bytes`` passes the raw binary through, ``base64``
+    renders java.util.Base64-style (no line breaks — Spark's base64 matches),
+    ``hex`` renders LOWERCASE base16 (HexConverter.java:17 uses lowercase
+    HEX_CHARS; Spark's hex() is uppercase, hence the lower())."""
+    if mode == "bytes":
+        return col.cast("binary")
+    if mode == "base64":
+        return F.base64(col.cast("binary"))
+    if mode == "hex":
+        return F.lower(F.hex(col.cast("binary")))
+    raise ValueError(f"invalid binary.handling.mode {mode!r}")
+
+
+def handling_mode_converter(
+    decimal_mode: str | None = None,
+    time_mode: str | None = None,
+    binary_mode: str | None = None,
+    *,
+    precision: int = 38,
+    scale: int = 18,
+):
+    """The engine-wide handling modes as ONE built-in converter plug-in.
+
+    The reference's JdbcValueConverters IS a type-keyed converter provider —
+    every decimal/temporal/binary column routes through the mode-selected
+    conversion (JdbcValueConverters.java:73-136); this packages the same
+    dispatch as a :mod:`debezium_spark.functions.custom` ``CustomConverter``
+    so the engine applies it through the identical plug-in seam (prepended to
+    the user chain — user converters are consulted FIRST, matching
+    CustomConverterRegistry's converters-before-builtins order).
+
+    A mode of None means "Spark-native": the column keeps its typed Spark
+    representation (our envelope's default — Spark's decimal/timestamp/binary
+    types are already exact); setting a mode opts into the reference's WIRE
+    representation (e.g. ``time_mode='adaptive'`` -> epoch-micros longs,
+    exactly what a Debezium consumer parses today).
+    """
+    if decimal_mode is not None and decimal_mode not in DECIMAL_MODES:
+        raise ValueError(f"invalid decimal.handling.mode {decimal_mode!r}")
+    if time_mode is not None and time_mode not in TIME_MODES:
+        raise ValueError(f"invalid time.precision.mode {time_mode!r}")
+    if binary_mode is not None and binary_mode not in BINARY_MODES:
+        raise ValueError(f"invalid binary.handling.mode {binary_mode!r}")
+
+    from pyspark.sql import types as T
+
+    from debezium_spark.functions.custom import ConverterDefinition
+
+    def plugin(column) -> "ConverterDefinition | None":
+        tn = column.type_name
+        if decimal_mode is not None and tn.startswith("decimal"):
+            target = {
+                "precise": T.DecimalType(precision, scale),
+                "double": T.DoubleType(),
+                "string": T.StringType(),
+            }[decimal_mode]
+            return ConverterDefinition(
+                target,
+                lambda c: convert_decimal(
+                    c, decimal_mode, precision=precision, scale=scale
+                ),
+            )
+        if time_mode is not None and tn == "timestamp":
+            return ConverterDefinition(
+                T.LongType(), lambda c: convert_timestamp(c, time_mode)
+            )
+        if time_mode is not None and tn == "date":
+            # both adaptive and connect carry dates as epoch days
+            # (io.debezium.time.Date / Connect Date)
+            return ConverterDefinition(T.IntegerType(), epoch_days)
+        if binary_mode is not None and binary_mode != "bytes" and tn == "binary":
+            return ConverterDefinition(
+                T.StringType(), lambda c: convert_binary(c, binary_mode)
+            )
+        return None
+
+    return plugin

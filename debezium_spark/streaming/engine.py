@@ -911,14 +911,34 @@ class CdcEngine:
             env = env.where(F.col("value").isNotNull())
         env = X.op_skip_filter(env, cfg.skipped_operations)
         env = R.split_pk_changes(env, cfg.key_columns)
-        if cfg.custom_converters:
+        chain = list(cfg.custom_converters)
+        if (
+            cfg.decimal_handling_mode
+            or cfg.time_precision_mode
+            or cfg.binary_handling_mode
+        ):
+            # engine-wide handling modes (JdbcValueConverters.java:73-136,
+            # CommonConnectorConfig BinaryHandlingMode): packaged as a
+            # built-in converter APPENDED to the user chain — user converters
+            # are consulted first, matching CustomConverterRegistry's
+            # converters-before-builtins order.
+            from debezium_spark.functions.converters import handling_mode_converter
+
+            chain.append(
+                handling_mode_converter(
+                    cfg.decimal_handling_mode,
+                    cfg.time_precision_mode,
+                    cfg.binary_handling_mode,
+                )
+            )
+        if chain:
             # converters option (CustomConverterRegistry.java:32): plug-ins
             # claim payload columns at plan-build time; conversions are pure
             # column algebra applied to both images. After PK-split/alignment
             # so a claim sees the lake-schema column names.
             from debezium_spark.functions.custom import CustomConverterRegistry
 
-            env = CustomConverterRegistry(cfg.custom_converters).apply_to_envelope(
+            env = CustomConverterRegistry(chain).apply_to_envelope(
                 env,
                 f"{cfg.database}.{cfg.table_name}",
                 skip_columns=cfg.key_columns,

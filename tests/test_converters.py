@@ -184,3 +184,82 @@ def test_propagate_source_types(spark, tmpdir_path):
     rt = {f.name: f.metadata for f in spark.read.parquet(p).schema.fields}
     assert rt["name"]["__debezium.source.column.type"] == "VARCHAR"
     assert rt["price"]["__debezium.source.column.scale"] == "2"
+
+
+def test_binary_modes(spark):
+    """binary.handling.mode: bytes passthrough, base64 (no line breaks),
+    LOWERCASE hex (HexConverter.java:17)."""
+    import base64
+
+    payload = bytes(range(0, 256, 7))
+    df = spark.createDataFrame([(payload,)], "b binary")
+    row = df.select(
+        C.convert_binary(F.col("b"), "bytes").alias("raw"),
+        C.convert_binary(F.col("b"), "base64").alias("b64"),
+        C.convert_binary(F.col("b"), "hex").alias("hx"),
+    ).first()
+    assert bytes(row["raw"]) == payload
+    assert row["b64"] == base64.b64encode(payload).decode()
+    assert row["hx"] == payload.hex()  # python .hex() is lowercase
+    with pytest.raises(ValueError, match="binary.handling.mode"):
+        C.convert_binary(F.col("b"), "base16")
+
+
+def test_handling_mode_converter_plugin(spark):
+    """The engine-wide modes as one type-keyed converter plug-in: claims
+    decimal/timestamp/date/binary columns per mode, leaves strings alone,
+    and claims nothing when every mode is None."""
+    from debezium_spark.functions.custom import CustomConverterRegistry
+
+    df = spark.createDataFrame(
+        [(Decimal("12.5"), "2020-03-04 05:06:07", "2020-03-04", b"\x01\xff", "keep")],
+        "d decimal(10,2), ts string, dt string, b binary, s string",
+    ).select(
+        "d",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("dt").cast("date").alias("dt"),
+        "b",
+        "s",
+    )
+    plug = C.handling_mode_converter("string", "connect", "hex")
+    out = CustomConverterRegistry([plug]).apply(df, "lake.t")
+    row = out.first()
+    assert row["d"] == "12.500000000000000000"
+    assert row["ts"] == 1583298367000  # epoch millis (connect)
+    assert row["dt"] == 18325          # epoch days
+    assert row["b"] == "01ff"
+    assert row["s"] == "keep"
+    # adaptive -> epoch micros
+    out2 = CustomConverterRegistry(
+        [C.handling_mode_converter(time_mode="adaptive")]
+    ).apply(df, "lake.t")
+    assert out2.first()["ts"] == 1583298367000000
+    assert out2.first()["d"] == Decimal("12.5")  # unclaimed without a mode
+    # all-None claims nothing
+    reg = CustomConverterRegistry([C.handling_mode_converter()])
+    assert reg.apply(df, "lake.t").schema == df.schema and reg.is_empty()
+    with pytest.raises(ValueError, match="time.precision.mode"):
+        C.handling_mode_converter(time_mode="nanos")
+
+
+def test_handling_mode_properties():
+    """The reference's dotted property names map onto the mode fields and
+    invalid values fail fast (Connect-style)."""
+    from debezium_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_properties(
+        {
+            "decimal.handling.mode": "string",
+            "time.precision.mode": "connect",
+            "binary.handling.mode": "hex",
+        }
+    )
+    assert (
+        cfg.decimal_handling_mode,
+        cfg.time_precision_mode,
+        cfg.binary_handling_mode,
+    ) == ("string", "connect", "hex")
+    with pytest.raises(ValueError, match="binary_handling_mode"):
+        EngineConfig.from_properties({"binary.handling.mode": "base16"})
+    errs = EngineConfig.validate_properties({"time.precision.mode": "nanos"})
+    assert errs and errs[0]["name"] == "time.precision.mode"
