@@ -127,6 +127,42 @@ class LakeTable:
                 self._manifest = json.load(f)
         return self._manifest
 
+    def manifest_at(self, version: int) -> dict[str, Any]:
+        """Manifest of a specific committed snapshot version. Raises if the
+        version was expired (:meth:`expire_snapshots`) or never existed —
+        the Iceberg snapshot-not-found contract for time travel."""
+        mpath = os.path.join(self.path, _MANIFEST_DIR, f"v{version:010d}.json")
+        if not os.path.exists(mpath):
+            raise ValueError(
+                f"snapshot version {version} is unknown or expired at {self.path}"
+            )
+        with open(mpath) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """Snapshot log (Iceberg table.snapshots() analogue): one row per
+        retained manifest version, oldest first — {version, batch_id,
+        max_offset, ts, n_files, schema_version}. Driver-side: the log is
+        one small JSON per commit, never data-file reads."""
+        out = []
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for fn in sorted(os.listdir(mdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "batch_id": m["batch_id"],
+                    "max_offset": m["max_offset"],
+                    "ts": m["ts"],
+                    "n_files": len(m["files"]),
+                    "schema_version": m["schema_version"],
+                }
+            )
+        return out
+
     # ------------------------------------------------------------- properties
     @property
     def schema(self) -> T.StructType:
@@ -152,7 +188,9 @@ class LakeTable:
         return self.manifest(refresh=True)["max_offset"]
 
     # ------------------------------------------------------------- read path
-    def _full_schema(self, version: int) -> T.StructType:
+    def _full_schema(
+        self, version: int, m: dict[str, Any] | None = None
+    ) -> T.StructType:
         """Stored file schema = payload schema + engine metadata columns.
 
         ``_deleted`` marks a retained delete-tombstone row (key + delete offset, null
@@ -162,7 +200,7 @@ class LakeTable:
         reason Kafka compaction retains tombstones for delete.retention.ms. vacuum()
         purges tombstones once the replay watermark passes them.
         """
-        m = self.manifest()
+        m = m if m is not None else self.manifest()
         base = T.StructType.fromJson(json.loads(m["schemas"][str(version)]))
         return T.StructType(
             list(base.fields)
@@ -174,17 +212,47 @@ class LakeTable:
         )
 
     def read(
-        self, *, buckets: list[int] | None = None, include_deleted: bool = False
+        self,
+        *,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        at_version: int | None = None,
     ) -> DataFrame:
-        """Current snapshot as a DataFrame, optionally pruned to a bucket subset.
+        """Snapshot as a DataFrame, optionally pruned to a bucket subset.
 
         Files written under older schema versions are aligned to the current schema:
         missing columns null-filled, widened columns upcast — Iceberg read-evolution.
+
+        ``at_version``: time-travel read of a retained snapshot version
+        (Iceberg ``VERSION AS OF``): the file list AND the schema are the
+        ones that manifest committed — a reader sees exactly what a reader
+        at that commit saw. Raises for expired versions.
         """
-        m = self.manifest()
-        cur = self._full_schema(m["schema_version"])
+        m = self.manifest() if at_version is None else self.manifest_at(at_version)
+        return self._read_files(
+            m["files"], m, buckets=buckets, include_deleted=include_deleted
+        )
+
+    def _read_files(
+        self,
+        files: list[dict[str, Any]],
+        m: dict[str, Any],
+        *,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        align_to: int | None = None,
+    ) -> DataFrame:
+        """Read a manifest file list aligned to a schema version.
+
+        ``m`` supplies the schema machinery (schemas dict, rename chain,
+        defaults); ``align_to`` overrides the target schema version (used by
+        :meth:`changes_between` to align an OLD snapshot's files to the new
+        snapshot's schema — ``m`` must then be the newer manifest, whose
+        ``schemas`` map contains every older version)."""
+        cur_sv = align_to if align_to is not None else m["schema_version"]
+        cur = self._full_schema(cur_sv, m)
         groups: dict[int, list[str]] = {}
-        for fe in m["files"]:
+        for fe in files:
             if buckets is not None and fe["bucket"] not in buckets:
                 continue
             groups.setdefault(fe["schema_version"], []).append(
@@ -194,10 +262,9 @@ class LakeTable:
             out = self.spark.createDataFrame([], cur)
         else:
             renames = {int(k): v for k, v in m.get("renames", {}).items()}
-            cur_sv = m["schema_version"]
 
             def name_at(name: str, sv: int) -> str:
-                # Walk the rename chain backwards from the current version to
+                # Walk the rename chain backwards from the target version to
                 # the file's version — Iceberg-field-id-style name resolution.
                 n = name
                 for v in range(cur_sv, sv, -1):
@@ -209,7 +276,7 @@ class LakeTable:
             dflts = m.get("defaults", {})
             parts = []
             for sv, paths in sorted(groups.items()):
-                df = self.spark.read.schema(self._full_schema(sv)).parquet(*paths)
+                df = self.spark.read.schema(self._full_schema(sv, m)).parquet(*paths)
                 name_map = {f.name: name_at(f.name, sv) for f in cur.fields}
                 parts.append(_align(df, cur, name_map, defaults=dflts))
             out = parts[0]
@@ -722,6 +789,182 @@ class LakeTable:
         nm["ts"] = time.time()
         self._commit_manifest(nm)
         return {"vacuumed_below": wm, "files": len(new_files)}
+
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Changelog scan between two retained snapshot versions (the Iceberg
+        incremental/changelog read — ``create_changelog_view``): one row per
+        key whose state changed, with Debezium-shaped columns ``op``
+        ('c'|'u'|'d'), ``before``, ``after`` (payload structs in the NEWER
+        version's schema), and ``_offset`` (the newer row's offset; for 'd'
+        the delete's offset when the tombstone is retained).
+
+        The engine ingests CDC; this emits CDC back out of the lake — a
+        downstream incremental consumer (index refresh, re-tokenization,
+        feature backfill over a 100 TB corpus) re-processes only what the
+        replay window actually changed instead of re-reading the table.
+
+        Scale shape: buckets whose file lists are identical between the two
+        manifests are skipped outright (copy-on-write means an untouched
+        bucket carries the same file entries forward), so both scans and the
+        full-outer key join cover only rewritten buckets — cost follows the
+        replay window's key footprint, never table size. The join keys on the
+        bucketed PK; payload width flows through once per side.
+
+        Semantics per key (absent ≡ retained tombstone for 'live-ness'):
+          * not-live -> live  ⇒ 'c' (before = NULL)
+          * live -> live, offset advanced ⇒ 'u'
+          * live -> not-live ⇒ 'd' (after = NULL)
+        Keys whose row (offset + liveness) did not change emit nothing;
+        a vacuum between the versions (tombstone purge rewrites buckets
+        without changing live state) therefore emits nothing for purged keys.
+        """
+        m_to = (
+            self.manifest(refresh=True)
+            if to_version is None
+            else self.manifest_at(to_version)
+        )
+        m_from = self.manifest_at(from_version)
+        if m_from["version"] > m_to["version"]:
+            raise ValueError(
+                f"from_version {m_from['version']} is newer than to_version "
+                f"{m_to['version']}"
+            )
+        key_cols = tuple(m_to["key_cols"])
+        # Bucket pruning off the manifests alone (driver-side set algebra).
+        from_paths = {fe["path"]: fe["bucket"] for fe in m_from["files"]}
+        to_paths = {fe["path"]: fe["bucket"] for fe in m_to["files"]}
+        changed = {b for p, b in from_paths.items() if p not in to_paths}
+        changed |= {b for p, b in to_paths.items() if p not in from_paths}
+        payload = T.StructType.fromJson(
+            json.loads(m_to["schemas"][str(m_to["schema_version"])])
+        )
+        data_cols = [c for c in payload.fieldNames() if c not in key_cols]
+        img_t = T.StructType([payload[c] for c in data_cols])
+        out_schema = T.StructType(
+            [payload[c] for c in key_cols]
+            + [
+                T.StructField("op", T.StringType()),
+                T.StructField("before", img_t),
+                T.StructField("after", img_t),
+                T.StructField("_offset", T.LongType()),
+            ]
+        )
+        if not changed:
+            return self.spark.createDataFrame([], out_schema)
+        bl = sorted(changed)
+        # Old snapshot's files aligned to the NEW schema (m_to carries every
+        # older schema version + the full rename chain), so before/after line
+        # up column-for-column across a mid-window ADD/RENAME/DROP.
+        old = self._read_files(
+            m_from["files"], m_to, buckets=bl, include_deleted=True,
+            align_to=m_to["schema_version"],
+        ).alias("o")
+        new = self._read_files(
+            m_to["files"], m_to, buckets=bl, include_deleted=True
+        ).alias("n")
+        j = old.join(new.hint("SHUFFLE_HASH"), on=list(key_cols), how="full")
+        o_present = F.col("o._offset").isNotNull()
+        n_present = F.col("n._offset").isNotNull()
+        o_live = o_present & ~F.coalesce(F.col("o._deleted"), F.lit(False))
+        n_live = n_present & ~F.coalesce(F.col("n._deleted"), F.lit(False))
+        op = (
+            F.when(~o_live & n_live, F.lit("c"))
+            .when(
+                o_live & n_live & (F.col("o._offset") != F.col("n._offset")),
+                F.lit("u"),
+            )
+            .when(o_live & ~n_live, F.lit("d"))
+        )
+
+        def img(side: str) -> F.Column:
+            return F.struct(*[F.col(f"{side}.{c}").alias(c) for c in data_cols])
+
+        return (
+            j.where(op.isNotNull())
+            .select(
+                *key_cols,
+                op.alias("op"),
+                F.when(o_live, img("o")).alias("before"),
+                F.when(n_live, img("n")).alias("after"),
+                F.when(n_present, F.col("n._offset"))
+                .otherwise(F.col("o._offset"))
+                .alias("_offset"),
+            )
+        )
+
+    def expire_snapshots(
+        self, *, keep_last: int = 2, grace_seconds: float = 3600.0
+    ) -> dict[str, Any]:
+        """Expire old snapshot versions and physically delete unreferenced
+        data files (Iceberg ``expireSnapshots`` + ``removeOrphanFiles``).
+
+        Copy-on-write means every merge strands the rewritten buckets' old
+        files; without expiry a 10^10-event replay retains every superseded
+        file forever — unbounded storage. This keeps the newest ``keep_last``
+        manifests (time travel and :meth:`changes_between` keep working
+        within that window), deletes older manifest JSONs, then removes any
+        file under ``data/`` that (a) no retained manifest references and
+        (b) is older than ``grace_seconds``. The grace window protects a
+        concurrent in-flight commit's staging files, which are referenced by
+        no manifest until their atomic commit lands — the same reason
+        Iceberg's orphan cleanup defaults to a 3-day cutoff. Pass 0 only when
+        no writer can be active (tests, offline maintenance).
+
+        Crash-safe without coordination: expiry only DELETES files that the
+        retained manifests can never resolve, and readers resolve
+        ``_current`` first — a reader racing an expiry either sees the old
+        manifest before its files vanish (grace window) or the new one.
+        Returns {"expired_manifests": n, "deleted_files": n, "kept_files": n}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.manifest(refresh=True)["version"]
+        keep_from = cur - keep_last + 1
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        referenced: set[str] = set()
+        expired = 0
+        for fn in sorted(os.listdir(mdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:-5])
+            if v >= keep_from:
+                with open(os.path.join(mdir, fn)) as f:
+                    referenced.update(fe["path"] for fe in json.load(f)["files"])
+        now = time.time()
+        deleted = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, files in os.walk(data_root, topdown=False):
+            for fn in files:
+                ap = os.path.join(root, fn)
+                rel = os.path.relpath(ap, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(ap) < grace_seconds:
+                        continue
+                    os.remove(ap)
+                    deleted += 1
+                except OSError:
+                    continue  # racing writer/reader; next expiry sweeps it
+            try:
+                os.rmdir(root)  # only succeeds when emptied
+            except OSError:
+                pass
+        # Manifests go LAST: a crash mid-expiry must never leave a retained
+        # manifest pointing at already-deleted files.
+        for fn in sorted(os.listdir(mdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            if int(fn[1:-5]) < keep_from:
+                os.remove(os.path.join(mdir, fn))
+                expired += 1
+        return {
+            "expired_manifests": expired,
+            "deleted_files": deleted,
+            "kept_files": len(referenced),
+        }
 
 
 def _align(
