@@ -336,6 +336,30 @@ def q_stateful_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.target().read().select("repo", "path", "content")
 
 
+def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake changelog scan (Iceberg incremental/changelog read analogue,
+    plans/lake.py changes_between) under the hash gate: replay the derived
+    WAL through the shipped engine in 4000-offset batches, then diff the
+    first committed data snapshot against the final one — the c/u/d stream a
+    downstream incremental consumer re-processes instead of re-reading the
+    table. Bucket-pruned: only buckets the replay window rewrote are scanned
+    or joined. Oracle: SQL state at the batch-1 watermark (offset <= 3999 —
+    run() slices hi = committed(-1) + 4000) vs final state, diffed by
+    liveness and winning offset."""
+    eng = _derived_wal_engine(spark, sf_dir, prefix="dbz_changelog_entry_")
+    eng.run()
+    lake = eng.target()
+    snaps = [s for s in lake.snapshots() if s["max_offset"] >= 0]
+    diff = lake.changes_between(snaps[0]["version"])
+    return diff.select(
+        "repo",
+        "path",
+        "op",
+        F.col("after").getField("content").alias("after_content"),
+        F.col("_offset").alias("off"),
+    )
+
+
 def q_multi_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table dispatch + data-collections-routed incremental snapshot,
     end-to-end under the hash gate: one heterogeneous WAL (users + items
@@ -1665,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_wrap": q_envelope_wrap,
         "cdc_lww_last_state": q_lww_last_state,
         "cdc_e2e_engine_replay": q_e2e_engine_replay,
+        "cdc_lake_changelog": q_lake_changelog,
         "cdc_multi_table_snapshot": q_multi_table_snapshot,
         "cdc_stateful_lww_state": q_stateful_lww_state,
         "cdc_dedup_by_offset": q_dedup_by_offset,
@@ -2001,6 +2026,50 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             )
             SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+        """,
+        "cdc_lake_changelog": f"""
+            WITH w AS (
+              SELECT event_id AS off,
+                     'r' || CAST(user_id % 31 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     {_OP_CASE_SQL} AS op,
+                     event_type || ':' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                       AS content
+              FROM events
+            ),
+            l1 AS (
+              SELECT repo, path, op, content, off,
+                     row_number() OVER (
+                       PARTITION BY repo, path ORDER BY off DESC
+                     ) AS rn
+              FROM w WHERE off <= 3999
+            ),
+            s1 AS (SELECT repo, path, off, content FROM l1
+                   WHERE rn = 1 AND op <> 'd'),
+            l2 AS (
+              SELECT repo, path, op, content, off,
+                     row_number() OVER (
+                       PARTITION BY repo, path ORDER BY off DESC
+                     ) AS rn
+              FROM w
+            ),
+            s2 AS (SELECT repo, path, off, content FROM l2
+                   WHERE rn = 1 AND op <> 'd'),
+            d2 AS (SELECT repo, path, off FROM l2 WHERE rn = 1 AND op = 'd')
+            SELECT s2.repo, s2.path, 'c' AS op,
+                   s2.content AS after_content, s2.off AS off
+            FROM s2 LEFT JOIN s1 ON s2.repo = s1.repo AND s2.path = s1.path
+            WHERE s1.repo IS NULL
+            UNION ALL
+            SELECT s2.repo, s2.path, 'u' AS op,
+                   s2.content AS after_content, s2.off AS off
+            FROM s2 JOIN s1 ON s2.repo = s1.repo AND s2.path = s1.path
+            WHERE s2.off > s1.off
+            UNION ALL
+            SELECT s1.repo, s1.path, 'd' AS op,
+                   CAST(NULL AS VARCHAR) AS after_content, d2.off AS off
+            FROM s1 JOIN d2 ON s1.repo = d2.repo AND s1.path = d2.path
         """,
         "cdc_multi_table_snapshot": f"""
             WITH uw AS (
