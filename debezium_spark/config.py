@@ -152,6 +152,23 @@ class EngineConfig:
     # at run start; matches override key_columns, no match keeps the PK above
     message_key_columns: str | None = None
 
+    # --- lake snapshot retention (storage maintenance DURING replay) ---
+    # Copy-on-write merges strand the rewritten buckets' old files; a
+    # 10^10-event replay without expiry retains every superseded file plus
+    # one manifest per batch — unbounded storage. When set, run() calls
+    # LakeTable.expire_snapshots(keep_last=snapshot_retention) every
+    # `expire_every_batches` applied batches and once at drain, so the table
+    # directory stays O(live data + retention window) for the whole replay.
+    # None (default) retains every version: full-history time travel,
+    # caller-managed storage. Resume/exactly-once are unaffected — recovery
+    # only ever reads the CURRENT manifest.
+    snapshot_retention: int | None = None
+    expire_every_batches: int = 8
+    # protects a concurrent writer's not-yet-committed staging files (the
+    # engine itself is a single writer; 0 is safe for run()'s own loop, the
+    # default stays conservative for external readers doing time travel)
+    expire_grace_seconds: float = 0.0
+
     # --- engine-wide value handling modes (JdbcValueConverters.java:73-136,
     # CommonConnectorConfig.java:177-197 BinaryHandlingMode). None means
     # Spark-native: payload columns keep their typed Spark representation
@@ -187,6 +204,10 @@ class EngineConfig:
             raise ValueError(
                 f"invalid binary_handling_mode {self.binary_handling_mode!r}"
             )
+        if self.snapshot_retention is not None and self.snapshot_retention < 1:
+            raise ValueError("snapshot_retention must be >= 1 when set")
+        if self.expire_every_batches < 1:
+            raise ValueError("expire_every_batches must be >= 1")
 
     @classmethod
     def from_properties(cls, props: dict[str, str], **overrides) -> "EngineConfig":

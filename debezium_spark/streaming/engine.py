@@ -1401,6 +1401,7 @@ class CdcEngine:
                 pause = self._apply_signal_action(sig, at_offset=off)["pause"]
                 self._save_inband_marker(off)
             lo, batch_id, n = hi, batch_id + 1, n + 1
+            self._maybe_expire(lake, n)
             if max_batches is not None and n >= max_batches:
                 break
         # WAL exhausted but an ad-hoc snapshot may still have chunks to drain —
@@ -1419,7 +1420,36 @@ class CdcEngine:
             )
             self._save_incr_state(self._incr_pending_state)
             batch_id, n = batch_id + 1, n + 1
+            self._maybe_expire(lake, n)
+        self._maybe_expire(lake, None)  # drain: bound storage before returning
         return results
+
+    def _maybe_expire(self, lake: LakeTable, n: int | None) -> None:
+        """Bounded-storage maintenance inside the replay loop: expire lake
+        snapshots past ``snapshot_retention`` every ``expire_every_batches``
+        applied batches (n = batches so far; None forces a sweep). Off by
+        default — see config.py. Failure to expire must never fail the
+        replay: expiry is garbage collection, the data path owns correctness."""
+        cfg = self.config
+        if cfg.snapshot_retention is None:
+            return
+        if n is not None and n % cfg.expire_every_batches != 0:
+            return
+        try:
+            res = lake.expire_snapshots(
+                keep_last=cfg.snapshot_retention,
+                grace_seconds=cfg.expire_grace_seconds,
+            )
+        except OSError:
+            return
+        if res["expired_manifests"] or res["deleted_files"]:
+            self._append_jsonl(
+                self._metrics_path,
+                [{
+                    "expired_manifests": res["expired_manifests"],
+                    "deleted_files": res["deleted_files"],
+                }],
+            )
 
     def run_streaming(self, *, max_files_per_trigger: int | None = None) -> None:
         """Structured Streaming drive: file-source over the WAL directory,
@@ -1503,6 +1533,9 @@ class CdcEngine:
                         self._pause_requested = True
                         raise _PauseSignal()
                 lo = hi
+            # epoch boundary: same bounded-storage sweep cadence as run(),
+            # keyed to the committed batch counter (epochs vary in size)
+            self._maybe_expire(lake, lake.committed_batch_id + 1)
 
         q = (
             stream.writeStream.foreachBatch(handle)
@@ -1532,6 +1565,7 @@ class CdcEngine:
                     lake, chunks, batch_id=lake.committed_batch_id + 1, lo=lo, hi=lo
                 )
                 self._save_incr_state(self._incr_pending_state)
+            self._maybe_expire(lake, None)
 
     def run_streaming_stateful(
         self, *, max_files_per_trigger: int | None = None

@@ -194,6 +194,47 @@ def test_expire_snapshots_deletes_stranded_files(spark, tmpdir_path):
         lake.read(at_version=old_versions[0])
 
 
+def test_retention_bounds_storage_during_replay(spark, tmpdir_path, replayed):
+    """snapshot_retention sweeps INSIDE the replay loop: after a multi-batch
+    run with retention=1, only one manifest survives, no stranded data file
+    remains on disk, and the final state is identical to the unconstrained
+    replay (expiry is pure GC — it must never touch the data path)."""
+    eng_ref, spec, wal_pd, _ = replayed
+    wal_dir = os.path.join(tmpdir_path, "wal")
+    W.write_wal(spark, spec, wal_dir, n_files=4)
+    eng = CdcEngine(
+        spark,
+        EngineConfig(
+            max_offsets_per_batch=900,
+            target_buckets=8,
+            snapshot_retention=1,
+            expire_every_batches=1,
+            expire_grace_seconds=0.0,
+        ),
+        wal_path=wal_dir,
+        target_path=os.path.join(tmpdir_path, "target"),
+        work_dir=os.path.join(tmpdir_path, "work"),
+        schema_changes=W.schema_history(spark, spec),
+    )
+    eng.run()
+    lake = eng.target()
+    assert len(lake.snapshots()) == 1
+    referenced = {fe["path"] for fe in lake.manifest(refresh=True)["files"]}
+    on_disk = set()
+    for root, _d, files in os.walk(os.path.join(lake.path, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), lake.path))
+    assert on_disk == referenced
+    got = target_hashes(
+        lake.read().select("repo", "path", "content").toPandas()
+    )
+    want = target_hashes(
+        eng_ref.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == want
+
+
 def test_expire_grace_window_protects_fresh_files(spark, tmpdir_path):
     """grace_seconds guards in-flight commits: freshly-written unreferenced
     files survive an expiry with a large grace window."""
