@@ -998,6 +998,46 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos_c") >= 3000)
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over the embedding column.
+    LSH-bucketed cosine pairs (never all-pairs) -> connected components over
+    the pair graph (min-label propagation) -> keep one exemplar (min id) per
+    component. Every vec_id comes back with (component, kept); where(kept) is
+    the deduplicated corpus. Pair boundary on the fixed-point score
+    (cos_c >= 3000) so component membership is engine-portable."""
+    from debezium_spark.functions.similarity import (
+        embedding_near_dups,
+        scaled,
+        semantic_dedup,
+    )
+
+    v = _emb(spark, sf_dir)
+    pairs = embedding_near_dups(v, cosine_threshold=0.29, planes=8).where(
+        scaled(F.col("cos_sim")) >= 3000
+    )
+    return semantic_dedup(v, pairs=pairs).select(
+        "vec_id", "component", "kept"
+    )
+
+
+def q_doc_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing (GPT-3/Pile-style per-source epoch
+    weights): en x2.4, de x1.0, es x0.6, fr x0.25, zh dropped. floor(w) full
+    copies per doc via codegen'd explode(sequence) + the frac(w) fraction
+    chosen by the shared portable hash — reproducible, re-partition-stable,
+    ppm-exact thresholds (no float boundary)."""
+    from debezium_spark.functions.text import mix_sources
+
+    mixed = mix_sources(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        {"en": 2.4, "de": 1.0, "es": 0.6, "fr": 0.25},
+        source_col="lang",
+    )
+    return mixed.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary with exact integer-cents arithmetic:
     quantity/price/discount are quantized to BIGINT hundredths up front
@@ -1736,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dups": q_emb_near_dups,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_mix_sources": q_doc_mix_sources,
         "cdc_column_projection": q_column_projection,
         "cdc_topic_name": q_topic_name,
         "cdc_message_route": q_message_route,
@@ -2300,6 +2342,50 @@ def oracle_sql() -> dict[str, str]:
                    {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} AS cos_c
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
             WHERE {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} >= 3000
+        """,
+        "emb_semantic_dedup": f"""
+            WITH RECURSIVE b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     {_bucket_sql(64, 8)} AS bucket
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+              WHERE {_scaled_sql("list_cosine_similarity(a.e, b2.e)")} >= 3000
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(src, node) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            cc AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src)
+            SELECT v.vec_id,
+                   COALESCE(cc.component, v.vec_id) AS component,
+                   COALESCE(cc.component, v.vec_id) = v.vec_id AS kept
+            FROM embeddings v LEFT JOIN cc ON cc.id = v.vec_id
+        """,
+        "doc_mix_sources": """
+            WITH w(lang, n_full, frac_ppm) AS (
+              VALUES ('en', 2, 400000), ('de', 1, 0),
+                     ('es', 0, 600000), ('fr', 0, 250000)
+            ),
+            d AS (
+              SELECT doc_id, documents.lang,
+                     n_full + CASE WHEN
+                       CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 1000000 < frac_ppm
+                     THEN 1 ELSE 0 END AS n
+              FROM documents JOIN w ON w.lang = documents.lang
+            )
+            SELECT doc_id, lang, CAST(UNNEST(range(n)) AS BIGINT) AS epoch
+            FROM d WHERE n > 0
         """,
         "doc_simhash": _simhash_oracle_sql(),
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),

@@ -342,3 +342,67 @@ def embedding_near_dups(
         )
     )
     return pairs.where(F.col("cos_sim") >= cosine_threshold)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    pairs: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """SemDeDup: semantic deduplication over an embedding column (public
+    algorithm — Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540).
+
+    Pipeline: near-duplicate PAIRS from the LSH-bucketed cosine self-join
+    (:func:`embedding_near_dups` — O(sum bucket^2) candidates, never all-pairs),
+    then CONNECTED COMPONENTS over the pair graph (near-dup relations are not
+    transitive, so keep-one-per-pair under-deletes), then one representative
+    kept per component (smallest id — SemDeDup keeps one exemplar per semantic
+    cluster; min-id is its deterministic analogue). Returns EVERY input id:
+    ``(id_col, component, kept)`` — singletons are their own component and
+    always kept, so ``where(kept)`` is the deduplicated corpus and
+    ``where(~kept)`` the semantic-duplicate drop list.
+
+    ``pairs``: optionally pass a precomputed/pre-filtered edge frame
+    ``(id_a, id_b)`` — e.g. thresholded on a fixed-point-quantized score for
+    engine-portable boundaries — instead of the internal pair generation.
+
+    Scale: the pair join is bucket-bounded (``planes`` must grow with N —
+    8 planes = 256 buckets); components is the min-label propagation of
+    :func:`debezium_spark.functions.dedup.connected_components` (per-round
+    slim (id, component) shuffle, map-side-combined min, eager lineage
+    truncation); the final assignment is one left join of the full id set
+    against the component labels — labels carry two longs per CLUSTERED doc
+    only, far smaller than the corpus whenever dedup is worth running.
+    """
+    from debezium_spark.functions.dedup import connected_components
+
+    if pairs is None:
+        pairs = embedding_near_dups(
+            vectors,
+            vec_col=vec_col,
+            id_col=id_col,
+            cosine_threshold=cosine_threshold,
+            planes=planes,
+            dim=dim,
+            seed=seed,
+        )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), max_iterations=max_iterations
+    )
+    out = (
+        vectors.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn("kept", F.col(id_col) == F.col("component"))

@@ -459,3 +459,67 @@ def stratified_sample(
             ~F.col(stratum_col).isin(deficient)
         ).unionByName(repaired)
     return survivors.drop("_strat_h")
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic dataset mixing with fractional per-source epoch weights —
+    the sampling step every multi-source training pipeline runs (e.g. the
+    GPT-3 / Pile data-mixing tables: "Wikipedia x 3.4 epochs, CommonCrawl x
+    0.44"). A source with weight ``w`` contributes ``floor(w)`` full copies of
+    every document plus one extra copy of the deterministic ``frac(w)``
+    fraction of its documents; weight 0 (or an unlisted source) drops the
+    source entirely.
+
+    Replication is ``explode(sequence(0, n_copies-1))`` — pure codegen'd
+    row expansion, no shuffle, no RNG state — and the fractional membership is
+    the shared portable hash (``dedup._h64`` mod 1e6 < round(frac*1e6)``), so
+    the same document is in-sample in every derived dataset, the output is
+    stable under re-partitioning, and the DuckDB oracle reproduces it exactly.
+    Fractions quantize to parts-per-million (an exact integer threshold —
+    float equality at the boundary is never consulted).
+
+    Output: one row per (document, ``epoch_col``) copy, epochs numbered
+    0..n_copies-1. Downstream shuffles (shard packing, global shuffle for
+    training order) key on (id, epoch) so copies spread across partitions.
+
+    Scale: weights ship in the plan as a literal map (bounded: one entry per
+    source NAME, not per row); the filter + explode pipeline is one scan with
+    predicate pushdown on ``source_col`` when only some sources have weight.
+    """
+    from debezium_spark.functions.dedup import _h64
+
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    full, frac_ppm = {}, {}
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {s!r}: {w}")
+        full[s] = int(w)
+        frac_ppm[s] = int(round((w - int(w)) * 1_000_000))
+    src = F.col(source_col)
+    full_map = F.create_map(
+        *[x for s in full for x in (F.lit(s), F.lit(full[s]))]
+    )
+    frac_map = F.create_map(
+        *[x for s in frac_ppm for x in (F.lit(s), F.lit(frac_ppm[s]))]
+    )
+    in_frac = F.pmod(
+        _h64(F.col(id_col).cast("string"), salt), F.lit(1_000_000)
+    ) < F.coalesce(frac_map[src], F.lit(0))
+    n_copies = (
+        F.coalesce(full_map[src], F.lit(0)) + in_frac.cast("int")
+    ).alias("_n")
+    kept = docs.where(src.isin(list(weights))).select(
+        "*", n_copies
+    ).where(F.col("_n") > 0)
+    return kept.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias(epoch_col)
+    ).drop("_n")

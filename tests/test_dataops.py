@@ -479,3 +479,57 @@ def test_stratified_sample_quota_and_determinism(spark, docs):
     # nested-sample property: the k'=3 sample is a prefix of the k=7 sample
     small = key(X.stratified_sample(docs, "lang", 3))
     assert set(small) <= set(want)
+
+
+def test_semantic_dedup_components_and_singletons(spark):
+    # two semantic clusters ({1,2,3} chained, {10,11}) + a singleton (20):
+    # chain proves component-closure (1~2, 2~3 but 1!~3 at the threshold
+    # would under-delete with keep-one-per-pair)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.995, 0.09, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.01]),
+        (20, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(df, cosine_threshold=0.998, planes=4, dim=4)
+    got = {r["vec_id"]: (r["component"], r["kept"]) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)  # reachable via 2 even if (1,3) below threshold
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[20] == (20, True)  # singleton: own component, kept
+    # where(kept) is the deduplicated corpus: one exemplar per cluster
+    assert {r["vec_id"] for r in out.where("kept").collect()} == {1, 10, 20}
+
+
+def test_mix_sources_epochs_and_fractions(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+        "doc_id long, source string",
+    )
+    mixed = X.mix_sources(docs, {"en": 2.5, "zh": 0.0})
+    pdf = mixed.toPandas()
+    assert set(pdf["source"]) == {"en"}  # weight-0 source dropped
+    per_doc = pdf.groupby("doc_id")["epoch"].agg(["count", "min", "max"])
+    # every kept doc has 2 or 3 copies, epochs contiguous from 0
+    assert set(per_doc["count"]) <= {2, 3}
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
+    # fractional membership is deterministic and ~50% of the 100 en docs
+    n3 = int((per_doc["count"] == 3).sum())
+    assert 30 <= n3 <= 70
+    again = X.mix_sources(docs, {"en": 2.5, "zh": 0.0}).toPandas()
+    assert sorted(map(tuple, again[["doc_id", "epoch"]].values.tolist())) == sorted(
+        map(tuple, pdf[["doc_id", "epoch"]].values.tolist())
+    )
+    # re-partition stability (the hash is storage-layout independent)
+    rep = X.mix_sources(docs.repartition(13), {"en": 2.5, "zh": 0.0}).toPandas()
+    assert len(rep) == len(pdf)
+    with pytest.raises(ValueError):
+        X.mix_sources(docs, {})
+    with pytest.raises(ValueError):
+        X.mix_sources(docs, {"en": -1.0})
