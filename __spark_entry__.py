@@ -639,6 +639,29 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_evt_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window metrics (streaming/windows.py — the SAME
+    column algebra runs streaming with a watermark, pytest-proven in
+    tests/test_windows.py): per-(hour-window, event_type) counts + exact
+    fixed-point value sums. One shuffle keyed on (window, type) with map-side
+    partial agg; fixed-point so the sum is independent of partition summation
+    order (a DOUBLE sum would not be exactly checkable)."""
+    from debezium_spark.streaming.windows import windowed_event_metrics
+
+    return windowed_event_metrics(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        group_cols=("event_type",),
+        window="1 hour",
+        value_col="value",
+    ).withColumn(
+        # parquet ts is NTZ; session TZ is UTC, so ntz->tz->epoch matches
+        # DuckDB's epoch(time_bucket(...)) exactly
+        "window_start",
+        F.col("window_start").cast("timestamp").cast("long"),
+    )
+
+
 def q_content_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 content-based router: expression -> route."""
     ev = _events(spark, sf_dir)
@@ -1750,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_value_converters": q_value_converters,
         "cdc_custom_converters": q_custom_converters,
         "cdc_metrics_rollup": q_metrics_rollup,
+        "evt_windowed_metrics": q_evt_windowed_metrics,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2217,6 +2241,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_metrics_rollup": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "evt_windowed_metrics": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value_fp
             FROM events GROUP BY 1, 2
         """,
         "cdc_content_router": """

@@ -1,0 +1,169 @@
+"""Event-time windowed metrics + watermark semantics (streaming/windows.py).
+
+Covers the three contracts that only show up under a real streaming run:
+append-mode windows finalize exactly when the watermark passes their end,
+late-but-in-watermark events are counted while too-late events are dropped
+(no duplicate window emission), and dropDuplicatesWithinWatermark gives
+dedup-by-offset with bounded state. Watermark progress is persisted in the
+checkpoint, so the tests drive two availableNow phases with a query restart
+between them — the deterministic way to observe watermark advancement
+(within one availableNow run the file order is not guaranteed)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.streaming.windows import (
+    dedup_by_offset_within_watermark,
+    windowed_event_metrics,
+)
+from tests.conftest import SF_DIR
+
+EVT_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _write(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_phase(spark, src, out, ckpt):
+    stream = spark.readStream.schema(EVT_SCHEMA).parquet(src)
+    m = windowed_event_metrics(
+        stream, ts_col="ts", group_cols=("event_type",), window="1 hour",
+        value_col="value", watermark="1 hour",
+    )
+    q = (
+        m.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_windowed_metrics_finalize_and_late_events(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    T = "2024-01-01 {}:00"
+    # phase 1: two events in w0, one in w1, max-ts anchor in w3
+    _write(spark, src, [
+        (f"2024-01-01 00:10:00", "a", 1.25),
+        (f"2024-01-01 00:40:00", "a", 2.25),
+        (f"2024-01-01 01:20:00", "b", 4.00),
+        (f"2024-01-01 03:00:00", "a", 8.00),
+    ])
+    _run_phase(spark, src, out, ckpt)
+    got1 = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value_fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark after phase 1 = 03:00 - 1h = 02:00 -> only w0/w1 finalized
+    assert got1 == {
+        ("2024-01-01 00:00:00", "a"): (2, 35000),
+        ("2024-01-01 01:00:00", "b"): (1, 40000),
+    }
+    # phase 2: late-but-allowed event lands in the open w2; too-late event
+    # (00:30, behind the 02:00 watermark) is dropped; 05:00 advances the
+    # watermark to 04:00, finalizing w2 (with the late event) and w3
+    _write(spark, src, [
+        ("2024-01-01 02:30:00", "b", 0.50),
+        ("2024-01-01 00:30:00", "a", 100.0),
+        ("2024-01-01 05:00:00", "a", 16.0),
+    ])
+    _run_phase(spark, src, out, ckpt)
+    got2 = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value_fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        ("2024-01-01 00:00:00", "a"): (2, 35000),  # NOT re-emitted/doubled
+        ("2024-01-01 01:00:00", "b"): (1, 40000),
+        ("2024-01-01 02:00:00", "b"): (1, 5000),   # late event counted
+        ("2024-01-01 03:00:00", "a"): (1, 80000),
+    }
+    # w5 (05:00) stays open — append mode only emits finalized windows
+    assert ("2024-01-01 05:00:00", "a") not in got2
+
+
+def test_windowed_metrics_batch_mode(spark):
+    """Same column algebra in batch (metric backfill): exact fixed-point sums
+    over the sf0.001 events table, cross-checked against a pandas reduction."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = windowed_event_metrics(
+        ev, ts_col="ts", group_cols=("event_type",), window="24 hours",
+        value_col="value",
+    )
+    pdf = ev.select("ts", "event_type", "value").toPandas()
+    pdf["day"] = pdf["ts"].dt.floor("24h")
+    pdf["fp"] = (pdf["value"] * 10000 + 0.5).apply(int)  # floor for v >= 0
+    want = pdf.groupby(["day", "event_type"]).agg(
+        n=("fp", "size"), s=("fp", "sum")
+    )
+    gmap = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_fp"])
+        for r in got.collect()
+    }
+    assert len(gmap) == len(want)
+    for (day, et), row in want.iterrows():
+        assert gmap[(day.to_pydatetime(), et)] == (row["n"], row["s"])
+
+
+def test_dedup_by_offset_within_watermark(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    schema = "offset long, ts_ms long, payload string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = dedup_by_offset_within_watermark(
+            stream, offset_col="offset", ts_col="ts_ms", delay="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    t0 = 1_700_000_000_000
+    # phase 1: offsets 1,2,3 with 3 duplicated inside the batch
+    write([
+        (1, t0 + 1_000, "a"),
+        (2, t0 + 2_000, "b"),
+        (3, t0 + 3_000, "c"),
+        (3, t0 + 3_000, "c-dup"),
+    ])
+    run()
+    first = sorted(
+        (r["offset"], r["payload"]) for r in spark.read.parquet(out).collect()
+    )
+    assert [o for o, _ in first] == [1, 2, 3]
+    # phase 2: offset 2 re-delivered within the 10-minute delay -> dropped by
+    # dedup state; new offset 4 passes
+    write([
+        (2, t0 + 4_000, "b-redelivery"),
+        (4, t0 + 5_000, "d"),
+    ])
+    run()
+    offsets = sorted(r["offset"] for r in spark.read.parquet(out).collect())
+    assert offsets == [1, 2, 3, 4]
+    payloads = {r["payload"] for r in spark.read.parquet(out).collect()}
+    assert "b-redelivery" not in payloads and "c-dup" not in payloads
