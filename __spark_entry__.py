@@ -1061,6 +1061,18 @@ def q_doc_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): 64-token windows with
+    stride 32 (BERT-style sliding overlap). Split once, posexplode the window
+    starts, slice per window — codegen'd row expansion, zero shuffle, no
+    Python in the row path."""
+    from debezium_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, stride=32
+    ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary with exact integer-cents arithmetic:
     quantity/price/discount are quantized to BIGINT hundredths up front
@@ -1802,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_mix_sources": q_doc_mix_sources,
+        "doc_chunk_windows": q_doc_chunk_windows,
         "cdc_column_projection": q_column_projection,
         "cdc_topic_name": q_topic_name,
         "cdc_message_route": q_message_route,
@@ -2402,6 +2415,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(cc.component, v.vec_id) AS component,
                    COALESCE(cc.component, v.vec_id) = v.vec_id AS kept
             FROM embeddings v LEFT JOIN cc ON cc.id = v.vec_id
+        """,
+        "doc_chunk_windows": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+                     END AS ws
+              FROM documents
+            ),
+            b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            e AS (
+              SELECT doc_id, ws, n, UNNEST(range((n - 1) // 32 + 1)) AS i
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(least(64, n - i * 32) AS BIGINT) AS n_tokens,
+                   array_to_string(ws[i * 32 + 1 : i * 32 + 64], ' ') AS chunk_text
+            FROM e
         """,
         "doc_mix_sources": """
             WITH w(lang, n_full, frac_ppm) AS (

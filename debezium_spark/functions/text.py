@@ -523,3 +523,70 @@ def mix_sources(
     return kept.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias(epoch_col)
     ).drop("_n")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-token-window
+    training chunks (the step between cleaning and sequence packing in every
+    LM data pipeline). Tokens are whitespace words (swap in a real tokenizer
+    via mapInPandas when one is available — the chunk algebra is unchanged);
+    ``stride < chunk_tokens`` yields overlapping windows (the BERT-style
+    sliding context), ``stride == chunk_tokens`` (default) non-overlapping.
+
+    Pure codegen'd column algebra — split once, explode a window-start
+    ``sequence``, ``slice`` the word array per window, re-join. No shuffle,
+    no Python in the row path, and the explode multiplies rows by
+    ceil(n_tokens/stride) exactly like the downstream training set does.
+
+    Output: (``id_col``, chunk_id, n_tokens, chunk_text) where chunk_id is
+    0-based in window order and n_tokens is the window's actual token count
+    (< chunk_tokens only for the tail window).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = docs.select(F.col(id_col), words.alias("_w")).withColumn(
+        "_n", F.size("_w")
+    )
+    if drop_empty:
+        base = base.where(F.col("_n") > 0)
+    # window starts: 0, stride, 2*stride, ... while start < n (tail window
+    # keeps the remainder; fully-contained-in-previous windows are skipped
+    # when stride == chunk_tokens by construction)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("_n") - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+        ),
+        F.lit(stride),
+    )
+    out = base.select(
+        id_col,
+        "_w",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_w") - F.col("_start")
+        ).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("_start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+    return out

@@ -533,3 +533,28 @@ def test_mix_sources_epochs_and_fractions(spark):
         X.mix_sources(docs, {})
     with pytest.raises(ValueError):
         X.mix_sources(docs, {"en": -1.0})
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "  "), (4, None)],
+        "doc_id long, text string",
+    )
+    # non-overlapping: 10 tokens / window 4 -> chunks of 4,4,2
+    out = X.chunk_documents(docs, chunk_tokens=4).orderBy("doc_id", "chunk_id")
+    rows = [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect()]
+    assert rows == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 2, "w8 w9"),
+        (2, 0, 1, "solo"),
+    ]  # empty/null docs dropped
+    # overlapping stride 2: starts 0,2,4,6,8 over 10 tokens
+    ov = X.chunk_documents(docs.where("doc_id = 1"), chunk_tokens=4, stride=2)
+    got = [(r["chunk_id"], r["n_tokens"]) for r in ov.orderBy("chunk_id").collect()]
+    assert got == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        X.chunk_documents(docs, chunk_tokens=0)
+    with _pt.raises(ValueError):
+        X.chunk_documents(docs, chunk_tokens=4, stride=5)
