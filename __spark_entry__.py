@@ -662,6 +662,23 @@ def q_evt_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (streaming/windows.sessionize — F.session_window, the
+    Spark-native gap-based sessionization; streaming form emits a session
+    when the watermark passes its end + gap, state bounded by OPEN sessions):
+    per-user 30-minute-gap sessions with exact integer epoch-micro bounds.
+    One shuffle keyed on (session_window, user) with map-side partial agg —
+    no global sort, no per-user repartition of the world."""
+    from debezium_spark.streaming.windows import sessionize
+
+    return sessionize(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        key_cols=("user_id",),
+        gap="30 minutes",
+    )
+
+
 def q_content_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 content-based router: expression -> route."""
     ev = _events(spark, sf_dir)
@@ -1786,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_custom_converters": q_custom_converters,
         "cdc_metrics_rollup": q_metrics_rollup,
         "evt_windowed_metrics": q_evt_windowed_metrics,
+        "evt_sessionize": q_evt_sessionize,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2255,6 +2273,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "evt_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, new_s DESC
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "evt_windowed_metrics": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

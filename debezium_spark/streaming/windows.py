@@ -95,3 +95,54 @@ def dedup_by_offset_within_watermark(
         df = df.withColumn(tcol, F.col(ts_col))
     out = df.withWatermark(tcol, delay).dropDuplicatesWithinWatermark([offset_col])
     return out.drop(tcol)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: group each key's events into maximal runs where
+    consecutive gaps are <= ``gap`` (Spark's `session_window` — a session
+    spans [first, last + gap], and an event starting exactly at a session's
+    current end still merges; only a STRICTLY larger gap opens a new
+    session — pinned in tests/test_windows.py).
+
+    Batch: the historical sessionization backfill. Streaming: pass
+    ``watermark`` — Spark merges the growing session in state and emits it
+    (append mode) once the watermark passes session end + gap, so state is
+    bounded by open sessions only.
+
+    Output: one row per (key, session): ``session_start_us`` /
+    ``session_end_us`` (exact integer epoch-microseconds of the first/last
+    event — interval arithmetic in microseconds is engine-portable where
+    float seconds are not) and ``n_events``.
+
+    Scale: one shuffle keyed on (session_window, *keys) with partial
+    map-side aggregation; per-key session merging never needs a global sort
+    — skewed users cost one hot reduce key, not a repartition of the world.
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    out = (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *key_cols)
+        .agg(
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            *key_cols,
+            F.unix_micros(F.col("_first").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("_last").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+    return out

@@ -167,3 +167,94 @@ def test_dedup_by_offset_within_watermark(spark, tmpdir_path):
     assert offsets == [1, 2, 3, 4]
     payloads = {r["payload"] for r in spark.read.parquet(out).collect()}
     assert "b-redelivery" not in payloads and "c-dup" not in payloads
+
+
+def test_sessionize_batch_gap_boundary(spark):
+    from debezium_spark.streaming.windows import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:39:59"),  # 29:59 after prev -> same session
+            (1, "2024-01-01 01:09:59"),  # exactly 30:00 after -> still MERGES
+            (1, "2024-01-01 01:40:00"),  # 30:01 after -> NEW session
+            (2, "2024-01-01 00:00:00"),
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = sessionize(df, ts_col="ts", key_cols=("user_id",), gap="30 minutes")
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in out.collect()
+    )
+    base = 1704067200_000000  # 2024-01-01 00:00:00 UTC in micros
+    m = 60_000_000
+    assert got == [
+        (1, base, base + 69 * m + 59_000_000, 4),
+        (1, base + 100 * m, base + 100 * m, 1),
+        (2, base, base, 1),
+    ]
+
+
+def test_sessionize_streaming_finalizes_on_watermark(spark, tmpdir_path):
+    from debezium_spark.streaming.windows import sessionize
+
+    src = os.path.join(tmpdir_path, "src")
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        s = sessionize(
+            stream, ts_col="ts", key_cols=("user_id",), gap="30 minutes",
+            watermark="1 hour",
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # phase 1: one closed session (3 events) + an open anchor at 03:00
+    write([
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:20:00"),
+        (1, "2024-01-01 03:00:00"),
+    ])
+    run()
+    got1 = sorted(
+        (r["session_start_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    base = 1704067200_000000
+    m = 60_000_000
+    # watermark 03:00-1h = 02:00 > session end 00:20 + 30min gap -> finalized
+    assert got1 == [(base, 3)]
+    # phase 2: 03:05 merges into the open session; 06:00 advances the
+    # watermark to 05:00, finalizing {03:00, 03:05}; a too-late 00:15 event
+    # (behind the 02:00 watermark) must NOT resurrect the emitted session
+    write([
+        (1, "2024-01-01 03:05:00"),
+        (1, "2024-01-01 00:15:00"),
+        (1, "2024-01-01 06:00:00"),
+    ])
+    run()
+    got2 = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [
+        (base, base + 20 * m, 3),
+        (base + 180 * m, base + 185 * m, 2),
+    ]
