@@ -182,6 +182,25 @@ class EngineConfig:
     time_precision_mode: str | None = None
     binary_handling_mode: str | None = None
 
+    # --- retriable failure restarts (pipeline/ErrorHandler.java:56-85;
+    # CommonConnectorConfig.java:308-319,536,937; BaseSourceTask.java:204-261
+    # startIfNeededAndPossible) --- A retriable failure stops the run, waits
+    # retriable_restart_wait_ms, and restarts from the durable committed
+    # state (resume is exact, so a restart re-applies nothing). Base
+    # retriable class = storage-connectivity failures (OSError and Spark
+    # task failures wrapping one — the connection-loss analogue of each
+    # connector's ErrorHandler.isRetriable override);
+    # custom_retriable_exception widens it exactly like
+    # custom.retriable.exception: a regex full-matched against every message
+    # in the failure's cause chain (isCustomRetriable walks getCause()).
+    custom_retriable_exception: str | None = None
+    # retriable.restart.connector.wait.ms (DEFAULT_RETRIABLE_RESTART_WAIT)
+    retriable_restart_wait_ms: int = 10_000
+    # restart budget per run()/run_streaming() call: -1 = unlimited (a
+    # Connect worker restarts a retriable task forever); >= 0 bounds the
+    # number of restarts before the failure propagates.
+    errors_max_retries: int = -1
+
     def __post_init__(self) -> None:
         if self.snapshot_mode not in VALID_SNAPSHOT_MODES:
             raise ValueError(f"invalid snapshot_mode {self.snapshot_mode!r}")
@@ -208,6 +227,10 @@ class EngineConfig:
             raise ValueError("snapshot_retention must be >= 1 when set")
         if self.expire_every_batches < 1:
             raise ValueError("expire_every_batches must be >= 1")
+        if self.retriable_restart_wait_ms < 0:
+            raise ValueError("retriable_restart_wait_ms must be >= 0")
+        if self.errors_max_retries < -1:
+            raise ValueError("errors_max_retries must be >= -1")
 
     @classmethod
     def from_properties(cls, props: dict[str, str], **overrides) -> "EngineConfig":
@@ -364,6 +387,11 @@ _PROPERTY_MAP: dict[str, tuple[str, callable]] = {
     "decimal.handling.mode": ("decimal_handling_mode", lambda v: str(v).strip().lower()),
     "time.precision.mode": ("time_precision_mode", lambda v: str(v).strip().lower()),
     "binary.handling.mode": ("binary_handling_mode", lambda v: str(v).strip().lower()),
+    # retriable failure restarts (ErrorHandler.java, CommonConnectorConfig
+    # CUSTOM_RETRIABLE_EXCEPTION:536 / RETRIABLE_RESTART_WAIT:311)
+    "custom.retriable.exception": ("custom_retriable_exception", str),
+    "retriable.restart.connector.wait.ms": ("retriable_restart_wait_ms", int),
+    "errors.max.retries": ("errors_max_retries", int),
 }
 
 import re as _re  # noqa: E402  (module-tail helpers for from_properties)

@@ -1328,6 +1328,53 @@ class CdcEngine:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
+    # ------------------------------------------------------ retriable restarts
+    def _is_retriable(self, exc: BaseException) -> bool:
+        """ErrorHandler.isRetriable + isCustomRetriable (ErrorHandler.java:
+        56-85): base retriable class = storage-connectivity failures (an
+        OSError anywhere in the cause chain — the connection-loss analogue of
+        the per-connector isRetriable overrides); custom_retriable_exception
+        widens it with a regex full-matched against every message in the
+        chain, exactly like isCustomRetriable walking getCause()."""
+        pattern = self.config.custom_retriable_exception
+        seen: set[int] = set()
+        e: BaseException | None = exc
+        while e is not None and id(e) not in seen:
+            seen.add(id(e))
+            if isinstance(e, OSError):
+                return True
+            if pattern is not None:
+                try:
+                    if re.fullmatch(pattern, str(e), flags=re.DOTALL):
+                        return True
+                except re.error:
+                    pass  # a bad pattern must not mask the real failure
+            e = e.__cause__ or e.__context__
+        return False
+
+    def _with_restarts(self, fn) -> None:
+        """Run ``fn`` to completion, restarting it after retriable failures
+        (BaseSourceTask.java:204-261 startIfNeededAndPossible: stop, wait
+        retriable.restart.connector.wait.ms, start from the last committed
+        offset). Non-retriable failures and exhausted budgets propagate —
+        the ConnectException path that stops the connector for good."""
+        attempts = 0
+        while True:
+            try:
+                return fn()
+            except _PauseSignal:
+                raise
+            except Exception as e:  # noqa: BLE001 — classification is the point
+                budget = self.config.errors_max_retries
+                if not self._is_retriable(e) or (0 <= budget <= attempts):
+                    raise
+                attempts += 1
+                self._append_jsonl(
+                    self._metrics_path,
+                    [{"connector_restart": attempts, "error": str(e)[:500]}],
+                )
+                time.sleep(self.config.retriable_restart_wait_ms / 1000.0)
+
     # -------------------------------------------------------------- run modes
     def run(self, *, max_batches: int | None = None) -> list[dict[str, Any]]:
         """Deterministic offset-range batch replay until the WAL is exhausted.
@@ -1335,7 +1382,19 @@ class CdcEngine:
         Resumable: picks up after the lake manifest's committed_max_offset. Batch
         slicing is by offset range, so parquet min/max stats prune unread segments
         (predicate pushdown on `offset`).
+
+        Retriable failures (see :meth:`_is_retriable`) restart the replay in
+        place after ``retriable_restart_wait_ms``; committed batches survive
+        (``results`` accumulates across restarts), uncommitted work re-runs
+        idempotently under the offset guard.
         """
+        results: list[dict[str, Any]] = []
+        self._with_restarts(lambda: self._run_batches(results, max_batches))
+        return results
+
+    def _run_batches(
+        self, results: list[dict[str, Any]], max_batches: int | None
+    ) -> None:
         self._resolve_message_key()
         lake = self.target()
         if self.config.snapshot_mode == SNAPSHOT_SCHEMA_ONLY_RECOVERY:
@@ -1354,12 +1413,11 @@ class CdcEngine:
             F.min("offset").alias("lo"), F.max("offset").alias("hi")
         ).collect()[0]
         if bounds["hi"] is None:
-            return []
-        results = []
+            return
         step = self.config.max_offsets_per_batch
         lo = lake.committed_max_offset
         batch_id = lake.committed_batch_id + 1
-        n = 0
+        n = len(results)  # committed batches surviving a retriable restart
         if self.config.signal_data_collection:
             # Crash-window recovery: in-band signals whose batch committed but
             # whose action never applied (crash between commit and marker
@@ -1422,7 +1480,6 @@ class CdcEngine:
             batch_id, n = batch_id + 1, n + 1
             self._maybe_expire(lake, n)
         self._maybe_expire(lake, None)  # drain: bound storage before returning
-        return results
 
     def _maybe_expire(self, lake: LakeTable, n: int | None) -> None:
         """Bounded-storage maintenance inside the replay loop: expire lake
@@ -1537,17 +1594,29 @@ class CdcEngine:
             # keyed to the committed batch counter (epochs vary in size)
             self._maybe_expire(lake, lake.committed_batch_id + 1)
 
-        q = (
-            stream.writeStream.foreachBatch(handle)
-            .option("checkpointLocation", os.path.join(self.work_dir, "stream_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        except Exception:  # pause is a clean stop, not a failure
-            if not self._pause_requested:
-                raise
+        def drive() -> None:
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", os.path.join(self.work_dir, "stream_ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            except Exception:  # pause is a clean stop, not a failure
+                if not self._pause_requested:
+                    raise
+
+        # Retriable failures restart the query from its checkpoint (committed
+        # epochs never re-run; the failed epoch replays idempotently under the
+        # offset guard). Streaming-side classification is message-based: a
+        # foreachBatch failure crosses the JVM boundary as a
+        # StreamingQueryException whose message embeds the Python traceback,
+        # so custom_retriable_exception patterns match against that text
+        # (use '.*pattern.*'-style regexes).
+        self._with_restarts(drive)
         # availableNow drained the WAL, but an in-flight ad-hoc snapshot may
         # still have chunk windows left — keep emitting chunk-only batches
         # (the streaming twin of run()'s drain tail).
