@@ -679,6 +679,45 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (streaming/windows.funnel): per-user
+    view -> click -> purchase with strictly-after first-touch chaining.
+    Step times are chained MIN windows all partitioned by user — ONE hash
+    exchange total, every layer reuses the same partitioning, and only the
+    len(steps)-row summary leaves the cluster."""
+    from debezium_spark.streaming.windows import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir),
+        ("view", "click", "purchase"),
+        ts_col="ts",
+        key_cols=("user_id",),
+        type_col="event_type",
+    )
+
+
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (text.tfidf_top_terms): exact
+    fixed-point scoring — idf quantized to ppm once per TERM on the
+    vocabulary-sized frame, score = tf * idf_ppm an exact BIGINT, ties by
+    (score desc, term asc). Two map-side-combined shuffles (doc-term tf,
+    term df), a term-keyed join, and a bounded per-doc rank window — no
+    global sort, no float accumulation in the row path."""
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_weights, arXiv:2302.03169):
+    log-likelihood ratio of the lang='en' target distribution vs the raw
+    corpus over 1024 hashed unigram buckets, Laplace-smoothed; per-bucket
+    log-ratios quantized to ppm on the <=1024-row bucket frame so each
+    document's weight is an exact BIGINT sum. One corpus-sized shuffle
+    (bucket counts) + one broadcast lookup + one groupBy(doc) sum."""
+    return TX.dsir_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=1024
+    )
+
+
 def q_content_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 content-based router: expression -> route."""
     ev = _events(spark, sf_dir)
@@ -1804,6 +1843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_metrics_rollup": q_metrics_rollup,
         "evt_windowed_metrics": q_evt_windowed_metrics,
         "evt_sessionize": q_evt_sessionize,
+        "evt_funnel": q_evt_funnel,
+        "doc_tfidf_topterms": q_doc_tfidf_topterms,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2296,6 +2338,103 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) AS session_end_us,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "evt_funnel": """
+            WITH s1 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+              FROM events GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT s1.user_id, s1.t1,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                              THEN e.ts END) AS t2
+              FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+              GROUP BY s1.user_id, s1.t1
+            ),
+            s3 AS (
+              SELECT s2.user_id, s2.t1, s2.t2,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                              THEN e.ts END) AS t3
+              FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+              GROUP BY s2.user_id, s2.t1, s2.t2
+            ),
+            r AS (
+              SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          ELSE 1 END AS reached
+              FROM s3 WHERE t1 IS NOT NULL
+            )
+            SELECT s.step, s.step_name,
+                   (SELECT count(*) FROM r WHERE r.reached >= s.step) AS n_keys
+            FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+                 AS s(step, step_name)
+        """,
+        "doc_tfidf_topterms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(coalesce(text,''))), '\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            idf AS (
+              SELECT term, df,
+                     CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5)
+                          AS BIGINT) AS idf_ppm
+              FROM df CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * idf.idf_ppm AS score_ppm,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf_ppm DESC, tf.term ASC
+                     ) AS term_rank
+              FROM tf JOIN idf USING (term)
+            )
+            SELECT doc_id, term, tf, score_ppm, term_rank
+            FROM ranked WHERE term_rank <= 3
+        """,
+        "doc_dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS is_target,
+                     CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT)
+                       % 1024 AS bucket
+              FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(trim(coalesce(text,''))), '\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                     count(*) AS cr
+              FROM toks GROUP BY 1
+            ),
+            totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            lr AS (
+              SELECT bucket,
+                     CAST(floor(ln(
+                       (CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+                       / (CAST(cr + 1 AS DOUBLE) / (tr + 1024))
+                     ) * 1e6 + 0.5) AS BIGINT) AS lr_ppm
+              FROM counts CROSS JOIN totals
+            ),
+            per_doc AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     sum(lr.lr_ppm) AS w
+              FROM toks t JOIN lr USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   CAST(coalesce(p.w, 0) AS BIGINT) AS dsir_logratio_ppm
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "evt_windowed_metrics": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

@@ -590,3 +590,159 @@ def chunk_documents(
         ).alias("chunk_text"),
     )
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF top-``k`` terms per document — the keyword-extraction /
+    relevance-weighting primitive of corpus curation (topic balancing,
+    near-duplicate triage, retrieval-augmented filtering).
+
+    Exact fixed-point scoring so the ranking (and the DuckDB oracle hash)
+    is engine-portable: ``idf_ppm = floor(ln(N / df) * 1e6 + 0.5)`` is
+    quantized once per TERM on the vocabulary-sized frame, and
+    ``score_ppm = tf * idf_ppm`` is an exact BIGINT product — no float
+    accumulation in any per-row path, ties broken by (score desc, term asc).
+
+    Scale shape (the plan you want at 100 TB):
+      1. tokenize + explode → groupBy (doc, term) count  — one shuffle with
+         map-side partial aggregation (the explode itself is pipelined).
+      2. document frequency: groupBy term COUNT over the (doc, term) frame —
+         second map-side-combined shuffle, output is vocabulary-sized.
+      3. corpus size N: a 1-row aggregate cross-joined in (broadcast — ships
+         one long with the plan, no driver collect in the row path).
+      4. tf ⋈ df on term — both sides already hash-partitioned by term from
+         (1)-(2) inputs; AQE picks shuffle-hash for the vocab side.
+      5. top-k per doc: rank window partitioned by doc — bounded partitions
+         (a document's distinct-term count), never a global sort.
+
+    ``min_df`` drops hapax noise terms before ranking (df < min_df).
+    Output: (id_col, term, tf, score_ppm, term_rank), term_rank in 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    tokens = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    toks = docs.select(F.col(id_col), F.explode(tokens).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.floor(
+            F.log(F.col("_n_docs").cast("double") / F.col("df")) * 1e6 + 0.5
+        ).cast("long").alias("idf_ppm"),
+    )
+    scored = tf.join(idf.where(F.col("df") >= min_df), "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_ppm")).alias("score_ppm"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "score_ppm", "term_rank")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    arXiv:2302.03169): score every document by the log-likelihood ratio of a
+    TARGET distribution vs the RAW corpus distribution over hashed token
+    features — the weights used to resample a web-scale corpus toward a
+    high-quality target domain.
+
+    ``target`` is a boolean Column selecting the target subset (e.g.
+    ``F.col("lang") == "en"`` or a quality-classifier verdict). Features are
+    hashed unigram buckets ``pmod(_h64(token, salt), buckets)`` (the shared
+    oracle-portable hash); bucket probabilities get Laplace smoothing
+    ``(count + 1) / (total + buckets)``; per-bucket
+    ``logratio_ppm = floor(ln(p_target / p_raw) * 1e6 + 0.5)`` is quantized
+    once per BUCKET, so the per-document weight
+    ``sum(logratio_ppm over tokens)`` is an exact BIGINT — order-independent
+    and bit-identical in the DuckDB oracle.
+
+    Scale shape: tokenize + explode → ONE map-side-combined shuffle produces
+    the (bucket, is_target) counts; bucket stats are ≤ ``buckets`` rows
+    (driver-free 1-row totals cross-joined in), and the per-token lookup
+    joins against that broadcast bucket table — the corpus-sized path is one
+    explode + one groupBy(doc) sum. Raw = the WHOLE corpus (target included),
+    per the paper's formulation.
+
+    Output: (id_col, n_tokens, dsir_logratio_ppm); token-less docs keep
+    weight 0 with n_tokens 0.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from debezium_spark.functions.dedup import _h64
+
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    tokens = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    toks = docs.select(
+        F.col(id_col),
+        target.cast("boolean").alias("_is_target"),
+        F.explode(tokens).alias("_tok"),
+    ).select(
+        id_col,
+        "_is_target",
+        F.pmod(_h64(F.col("_tok"), salt), F.lit(buckets)).alias("_bucket"),
+    )
+    counts = toks.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+        F.count(F.lit(1)).alias("_cr"),
+    )
+    totals = counts.select(
+        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    )
+    b = F.lit(float(buckets))
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.floor(
+            F.log(
+                ((F.col("_ct") + 1).cast("double") / (F.col("_tt") + b))
+                / ((F.col("_cr") + 1).cast("double") / (F.col("_tr") + b))
+            )
+            * 1e6
+            + 0.5
+        ).cast("long").alias("_lr_ppm"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lr_ppm").alias("dsir_logratio_ppm"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("dsir_logratio_ppm", F.lit(0)).alias(
+                "dsir_logratio_ppm"
+            ),
+        )
+    )

@@ -146,3 +146,106 @@ def sessionize(
         )
     )
     return out
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, walk the event stream through
+    the ordered ``steps`` sequence — step i completes at the EARLIEST event
+    of type ``steps[i]`` that is STRICTLY after step i-1's completion time
+    (first-touch attribution, the standard product-analytics funnel).
+
+    Declarative single-exchange plan: step times are chained unbounded
+    MIN-window aggregates all partitioned by ``key_cols`` — Catalyst plans
+    ONE hash exchange (+ one sort) and evaluates every layer on the same
+    partitioning (no per-step shuffle, no self-joins), then a final same-key
+    groupBy collapses to one row per key without re-exchanging. Skewed keys
+    cost a hot partition of that key's events only — never a global sort.
+
+    Output: one row per key that entered the funnel (completed step 1):
+    ``*key_cols``, ``reached`` (1..len(steps)), and ``step{i}_us`` exact
+    epoch-microsecond completion times (null beyond ``reached``) — integer
+    timestamps keep the frame engine-portable for exact oracle comparison.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    ts = F.col(ts_col)
+    cur = df.withColumn(
+        "_t1", F.min(F.when(F.col(type_col) == steps[0], ts)).over(w)
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = F.col(f"_t{i - 1}")
+        cur = cur.withColumn(
+            f"_t{i}",
+            F.min(
+                F.when((F.col(type_col) == s) & (ts > prev) & prev.isNotNull(), ts)
+            ).over(w),
+        )
+    tcols = [f"_t{i}" for i in range(1, len(steps) + 1)]
+    per_key = cur.groupBy(*key_cols).agg(
+        *[F.min(c).alias(c) for c in tcols]
+    )
+    reached = F.coalesce(
+        *[
+            F.when(F.col(f"_t{i}").isNotNull(), F.lit(i))
+            for i in range(len(steps), 0, -1)
+        ],
+        F.lit(0),
+    )
+    return per_key.where(F.col("_t1").isNotNull()).select(
+        *key_cols,
+        reached.cast("int").alias("reached"),
+        *[
+            F.unix_micros(F.col(c).cast("timestamp")).alias(
+                f"step{i}_us"
+            )
+            for i, c in enumerate(tcols, start=1)
+        ],
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion report over :func:`funnel`: one row per step with
+    the count of keys that reached at least that step. The per-key frame
+    never leaves the cluster — the report is a ``len(steps)``-row aggregate
+    (explode the reached prefix, groupBy step), so the driver sees only the
+    summary regardless of corpus size.
+
+    Output: (step 1-based, step_name, n_keys), every step present even at 0.
+    """
+    per_key = funnel(
+        df, steps, ts_col=ts_col, key_cols=key_cols, type_col=type_col
+    )
+    hit = per_key.select(
+        F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("step")
+    ).groupBy("step").agg(F.count(F.lit(1)).alias("n_keys"))
+    names = F.create_map(
+        *[x for i, s in enumerate(steps, 1) for x in (F.lit(i), F.lit(s))]
+    )
+    all_steps = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    return (
+        all_steps.join(hit, "step", "left")
+        .select(
+            "step",
+            names[F.col("step")].alias("step_name"),
+            F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+        )
+    )

@@ -558,3 +558,77 @@ def test_chunk_documents_windows_and_tail(spark):
         X.chunk_documents(docs, chunk_tokens=0)
     with _pt.raises(ValueError):
         X.chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    import math
+
+    from debezium_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+            (4, "durian common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term_rank"]): (r["term"], r["tf"], r["score_ppm"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+
+    def idf_ppm(df):
+        return math.floor(math.log(4 / df) * 1e6 + 0.5)
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2; 'common' has idf 0
+    assert got[(1, 1)] == ("apple", 2, 2 * idf_ppm(1))
+    assert got[(1, 2)] == ("banana", 1, idf_ppm(2))
+    # doc 3: cherry tf=3 df=2 tops; rank 2 is 'common' at score 0
+    assert got[(3, 1)] == ("cherry", 3, 3 * idf_ppm(2))
+    assert got[(3, 2)] == ("common", 1, 0)
+    # ties at equal score break by term asc: doc 4 'durian' (df=1) then common
+    assert got[(4, 1)] == ("durian", 1, idf_ppm(1))
+    # every doc emits at most k rows
+    assert max(rank for _, rank in got) <= 2
+
+
+def test_tfidf_min_df_drops_hapax(spark):
+    from debezium_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "rare shared"), (2, "shared")], "doc_id long, text string"
+    )
+    terms = {
+        r["term"]
+        for r in tfidf_top_terms(docs, k=5, min_df=2).collect()
+    }
+    assert terms == {"shared"}
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_spark.functions.text import dsir_weights
+
+    # target vocabulary {aa bb}, raw-only vocabulary {zz yy}
+    rows = (
+        [(i, "aa bb aa bb", "t") for i in range(20)]
+        + [(100 + i, "zz yy zz yy", "r") for i in range(20)]
+        + [(200, "aa bb", "r"), (201, "zz yy", "r"), (202, "", "r")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio_ppm"])
+        for r in dsir_weights(docs, F.col("kind") == "t", buckets=64).collect()
+    }
+    assert len(got) == len(rows)
+    # a raw doc written in the target's vocabulary scores ABOVE one written
+    # in raw-only vocabulary — the importance-resampling ordering
+    assert got[200][1] > got[201][1]
+    assert got[200][1] > 0 > got[201][1]
+    # token-less docs keep weight 0 with n_tokens 0 (never dropped)
+    assert got[202] == (0, 0)
+    # weights are exact integers: same doc text => identical weight
+    assert len({got[i][1] for i in range(20)}) == 1

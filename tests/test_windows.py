@@ -258,3 +258,65 @@ def test_sessionize_streaming_finalizes_on_watermark(spark, tmpdir_path):
         (base, base + 20 * m, 3),
         (base + 180 * m, base + 185 * m, 2),
     ]
+
+
+def test_funnel_strictly_after_chaining(spark):
+    from datetime import datetime
+
+    from debezium_spark.streaming.windows import funnel, funnel_counts
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE its first view -> click must not count; later
+        # click after view does, but purchase precedes that click -> reached 2
+        (2, t(1), "click"), (2, t(2), "view"), (2, t(3), "purchase"),
+        (2, t(4), "click"),
+        # u3: view only
+        (3, t(1), "view"), (3, t(2), "error"),
+        # u4: never enters the funnel (no view) -> excluded entirely
+        (4, t(1), "click"), (4, t(2), "purchase"),
+        # u5: simultaneous view+click (strictly-after excludes the tie)
+        (5, t(1), "view"), (5, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["reached"], r["step1_us"], r["step2_us"], r["step3_us"])
+        for r in funnel(
+            df, ("view", "click", "purchase"), key_cols=("user_id",)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    us = lambda s: int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
+    assert got[1] == (3, us(1), us(2), us(3))
+    assert got[2] == (2, us(2), us(4), None)
+    assert got[3] == (1, us(1), None, None)
+    assert got[5] == (1, us(1), None, None)  # tie is not strictly after
+
+    counts = {
+        r["step"]: (r["step_name"], r["n_keys"])
+        for r in funnel_counts(
+            df, ("view", "click", "purchase"), key_cols=("user_id",)
+        ).collect()
+    }
+    assert counts == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The chained step windows + same-key collapse must cost ONE hash
+    exchange on the key, not one per step."""
+    from datetime import datetime
+
+    from debezium_spark.streaming.windows import funnel
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "view")],
+        "user_id int, ts timestamp, event_type string",
+    )
+    plan = funnel(
+        df, ("view", "click", "purchase"), key_cols=("user_id",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
