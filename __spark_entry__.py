@@ -1061,6 +1061,25 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (similarity.pq_topk — Jegou TPAMI
+    2011, the compression half of IVF-PQ): 64-dim vectors encoded as 4
+    packed 4-bit codes against training-free head-row codebooks, then
+    scored by the query's m x ks scaled-integer distance table. The table
+    ships as plan literals, so the search scan reads only the 2-byte code —
+    the 128x-compression trick that makes 10^10-vector ANN feasible. Scores
+    are exact BIGINT sums (no float in the row path); TakeOrdered top-k."""
+    from debezium_spark.functions.similarity import (
+        pq_codebooks_from_head,
+        pq_topk,
+    )
+
+    v = _emb(spark, sf_dir)
+    cbs = pq_codebooks_from_head(v, m=4, ks=16)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    return pq_topk(v, query, cbs, k=10)
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above cosine 0.3 via the LSH-bucketed self-join
     (similarity.embedding_near_dups): pairs are scored only inside a shared
@@ -1871,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_pq_topk": q_emb_pq_topk,
         "emb_near_dups": q_emb_near_dups,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_mix_sources": q_doc_mix_sources,
@@ -2922,6 +2942,46 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN asgn USING (vec_id)
             WHERE asgn.ivf_cell IN (SELECT cid FROM probes)
             ORDER BY cos_c DESC, vec_id
+            LIMIT 10
+        """,
+        "emb_pq_topk": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            cb AS (
+              SELECT s.s, c.vec_id AS code,
+                     list_slice(c.e, s.s * 16 + 1, s.s * 16 + 16) AS cv
+              FROM (SELECT unnest(range(4)) AS s) s
+              CROSS JOIN (SELECT vec_id, e FROM v WHERE vec_id < 16) c
+            ),
+            asgn AS (
+              SELECT vec_id, s, code FROM (
+                SELECT v.vec_id, cb.s, cb.code,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id, cb.s
+                         ORDER BY CAST(floor(list_sum(list_transform(
+                             list_zip(list_slice(v.e, cb.s * 16 + 1, cb.s * 16 + 16), cb.cv),
+                             x -> (x[1] - x[2]) * (x[1] - x[2])
+                           )) * 10000 + 0.5) AS BIGINT) ASC, cb.code ASC
+                       ) AS rn
+                FROM v CROSS JOIN cb
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            dtab AS (
+              SELECT cb.s, cb.code,
+                     CAST(floor(list_sum(list_transform(
+                         list_zip(list_slice((SELECT qe FROM q), cb.s * 16 + 1, cb.s * 16 + 16), cb.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])
+                       )) * 10000 + 0.5) AS BIGINT) AS d
+              FROM cb
+            )
+            SELECT a.vec_id,
+                   CAST(sum(a.code << (4 * a.s)) AS BIGINT) AS pq_code,
+                   CAST(sum(d.d) AS BIGINT) AS adc_dist_fp
+            FROM asgn a JOIN dtab d ON d.s = a.s AND d.code = a.code
+            GROUP BY a.vec_id
+            ORDER BY adc_dist_fp ASC, a.vec_id
             LIMIT 10
         """,
         "cdc_column_projection": """

@@ -632,3 +632,54 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert got[202] == (0, 0)
     # weights are exact integers: same doc text => identical weight
     assert len({got[i][1] for i in range(20)}) == 1
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    import numpy as np
+
+    from debezium_spark.functions.similarity import (
+        pq_codebooks_from_head,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(64, 16).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_codebooks_from_head(df, m=4, ks=8)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+
+    # numpy reference: per-subspace argmin of scaled sqdist, tie -> low code
+    def ref_codes(v):
+        out = []
+        for s in range(4):
+            sub = v[s * 4 : (s + 1) * 4]
+            ds = [
+                int(np.floor(sum((a - b) * (a - b) for a, b in zip(sub, cv)) * 10000 + 0.5))
+                for cv in cbs[s]
+            ]
+            out.append(min(range(8), key=lambda j: (ds[j], j)))
+        return out
+
+    got = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, cbs).collect()}
+    for i in range(64):
+        codes = ref_codes(vecs[i])
+        packed = sum(c << (3 * s) for s, c in enumerate(codes))
+        assert got[i] == packed, f"vec {i}: {got[i]} != {packed}"
+
+    # head vectors encode to themselves (distance 0 to their own sub-centroid)
+    for j in range(8):
+        assert got[j] == sum(j << (3 * s) for s in range(4))
+
+    # ADC: query = vector 3 -> its own code must rank first (distance table
+    # entry for its code is 0 in every subspace)
+    top = pq_topk(df, [float(x) for x in vecs[3]], cbs, k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["adc_dist_fp"] == 0
+
+    with pytest.raises(ValueError):
+        pq_topk(df, [0.0] * 7, cbs)
+    with pytest.raises(ValueError):
+        pq_codebooks_from_head(df, m=5, ks=8)  # 16 % 5 != 0
