@@ -126,3 +126,34 @@ def test_validate_properties_empty_means_buildable():
 def test_validate_properties_empty_column_list():
     findings = EngineConfig.validate_properties({"column.mask.with.4.chars": " "})
     assert findings and "comma-separated" in findings[0]["errors"][0]
+
+
+def test_schema_generator_covers_property_map():
+    """The generated connector schema (tools/schema_generator.py — the
+    debezium-schema-generator analogue) must describe every dotted property
+    from_properties accepts, with types/enums consistent with EngineConfig."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from schema_generator import build_connector_schema
+
+    from debezium_spark import config as C
+
+    spec = build_connector_schema()
+    props = spec["properties"]
+    for dotted, (field_name, _conv) in C._PROPERTY_MAP.items():
+        assert dotted in props, f"{dotted} missing from generated schema"
+        assert props[dotted]["x-field"] == field_name
+    # enums mirror __post_init__ validation: every enum default is legal
+    assert set(props["snapshot.mode"]["enum"]) == C.VALID_SNAPSHOT_MODES
+    assert props["snapshot.mode"]["default"] == "initial"
+    assert props["tombstones.on.delete"]["type"] == "boolean"
+    assert props["tombstones.on.delete"]["default"] is True
+    assert props["max.batch.size"]["type"] == "integer"
+    # pattern families (mask/truncate/hash-mask) are declared
+    fams = spec["x-pattern-properties"]
+    assert any("mask\\.with" in k for k in fams)
+    assert any("truncate\\.to" in k for k in fams)
+    # the descriptor identity block mirrors buildConnectorSchema's extensions
+    assert spec["x-connector-id"] == "spark-cdc"
+    assert spec["x-className"].endswith("CdcEngine")
