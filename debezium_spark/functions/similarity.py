@@ -471,10 +471,19 @@ def pq_encode(
     (scaled_dist, code) structs so float summation-order drift can never
     flip a winner (same trick as ivf_assign).
     """
+    e = F.col(vec_col).cast("array<double>")
+    return vectors.withColumn(code_col, _pq_pack_expr(e, codebooks, scale))
+
+
+def _pq_pack_expr(
+    e: Column, codebooks: list[list[list[float]]], scale: int
+) -> Column:
+    """Packed-code expression over any array<double> Column (raw vector for
+    plain PQ, cell residual for IVF-PQ) — per-subspace argmin of scaled
+    squared L2, ties to the smallest code, codes bit-packed into one long."""
     m, ks = len(codebooks), len(codebooks[0])
     bits = max(1, (ks - 1).bit_length())
     d = len(codebooks[0][0])
-    e = F.col(vec_col).cast("array<double>")
     packed = F.lit(0).cast("long")
     for s in range(m):
         sub = F.slice(e, s * d + 1, d)
@@ -493,7 +502,7 @@ def pq_encode(
         )
         code_s = F.array_min(ranked).getField("code")
         packed = packed + F.shiftleft(code_s.cast("long"), bits * s)
-    return vectors.withColumn(code_col, packed)
+    return packed
 
 
 def pq_topk(
@@ -551,6 +560,147 @@ def pq_topk(
         ).cast("long")
     return (
         coded.select(id_col, "pq_code", adc.alias("adc_dist_fp"))
+        .orderBy(F.asc("adc_dist_fp"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10000,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the canonical 10^10-vector index (FAISS IVFPQ;
+    Jegou et al. TPAMI 2011 §IV): coarse-quantize each vector to an IVF cell,
+    PQ-encode its RESIDUAL (vector minus cell centroid), and at query time
+    probe only the ``nprobe`` nearest cells, scoring candidates with a
+    per-probed-cell ADC table built from the QUERY's residual in that cell.
+
+    Why this is the at-scale composition of the two indexes this module
+    already ships: IVF prunes the scan to ~nprobe/n_cells of the table
+    (partition pruning when the lake is written partitioned by ivf_cell),
+    and PQ shrinks what the probed scan reads to m*log2(ks) bits per vector.
+    Residual encoding is what makes the shared codebooks tight across cells
+    — residuals live near the origin regardless of which cell a vector is in.
+
+    All distance math is fixed-point: cell assignment and code assignment
+    quantize before argmin (ties to smallest id/code), the nprobe*m*ks ADC
+    tables are scaled-integer literals computed driver-side, and the final
+    score is an exact BIGINT sum — deterministic on any engine/partitioning.
+
+    Defaults are training-free and deterministic: centroids = first
+    ``n_cells`` vectors, codebooks = per-subspace residuals of the first
+    ``ks`` vectors w.r.t. their assigned cells; pass trained ones
+    (ivf_train_kmeans + per-subspace k-means over sampled residuals) at
+    scale — the encode/probe/score machinery is identical.
+
+    Output: (id_col, ivf_cell, pq_code, adc_dist_fp), k smallest ADC
+    distances over the probed cells, ties by id.
+    """
+    import math
+
+    if centroids is None:
+        cent_rows = (
+            vectors.where(F.col(id_col) < n_cells)
+            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
+    cent = dict(centroids)
+    dim = len(query)
+
+    def nearest_cell(v: list[float]) -> int:
+        best = min(
+            (
+                (_scaled_py(-_cos_py(v, cv), scale), cid)
+                for cid, cv in centroids
+            )
+        )
+        return best[1]
+
+    def residual(v: list[float], cid: int) -> list[float]:
+        c = cent[cid]
+        return [a - b for a, b in zip(v, c)]
+
+    if codebooks is None:
+        head_rows = (
+            vectors.where(F.col(id_col) < ks)
+            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        if len(head_rows) < ks:
+            raise ValueError(f"need at least ks={ks} head vectors")
+        head = [list(r["v"]) for r in sorted(head_rows, key=lambda r: r[id_col])]
+        res = [residual(v, nearest_cell(v)) for v in head[:ks]]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
+        codebooks = [[v[s * d : (s + 1) * d] for v in res] for s in range(m)]
+    d = len(codebooks[0][0])
+    bits = max(1, (ks - 1).bit_length())
+
+    # probe order: nprobe cells nearest the query (same rule as ivf_topk)
+    probes = [
+        cid
+        for _, cid in sorted(
+            (_scaled_py(-_cos_py(query, cv), scale), cid)
+            for cid, cv in centroids
+        )[:nprobe]
+    ]
+
+    def sqd(a: list[float], b: list[float]) -> int:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return int(math.floor(acc * scale + 0.5))
+
+    # per-probed-cell ADC tables over the QUERY residual in that cell
+    dtabs = {
+        c: [
+            [sqd(residual(query, c)[s * d : (s + 1) * d], cv) for cv in codebooks[s]]
+            for s in range(m)
+        ]
+        for c in probes
+    }
+
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, scale=scale)
+    cand = assigned.where(F.col("ivf_cell").isin(probes))
+    e = F.col(vec_col).cast("array<double>")
+    cent_lits = {
+        c: F.array(*[F.lit(float(x)) for x in cent[c]]) for c in probes
+    }
+    res_expr = None
+    for c in probes:
+        r = F.zip_with(e, cent_lits[c], lambda a, b: a - b)
+        cond = F.col("ivf_cell") == c
+        res_expr = r if res_expr is None else F.when(cond, r).otherwise(res_expr)
+    # (when-chain order: later probes override earlier 'otherwise' — each row
+    # matches exactly one cell, so the chain is a disjoint case split)
+    coded = cand.withColumn("pq_code", _pq_pack_expr(res_expr, codebooks, scale))
+    mask = (1 << bits) - 1
+    adc = F.lit(0).cast("long")
+    for s in range(m):
+        code_s = (
+            F.shiftright(F.col("pq_code"), bits * s).bitwiseAND(F.lit(mask)).cast("int")
+        )
+        tab_s = None
+        for c in probes:
+            arr = F.array(*[F.lit(int(v)) for v in dtabs[c][s]])
+            cond = F.col("ivf_cell") == c
+            tab_s = arr if tab_s is None else F.when(cond, arr).otherwise(tab_s)
+        adc = adc + F.element_at(tab_s, code_s + 1).cast("long")
+    return (
+        coded.select(id_col, "ivf_cell", "pq_code", adc.alias("adc_dist_fp"))
         .orderBy(F.asc("adc_dist_fp"), F.col(id_col))
         .limit(k)
     )

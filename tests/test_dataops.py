@@ -683,3 +683,41 @@ def test_pq_encode_and_adc_match_numpy(spark):
         pq_topk(df, [0.0] * 7, cbs)
     with pytest.raises(ValueError):
         pq_codebooks_from_head(df, m=5, ks=8)  # 16 % 5 != 0
+
+
+def test_ivf_pq_topk_residual_index(spark):
+    import numpy as np
+
+    from debezium_spark.functions.similarity import ivf_pq_topk
+
+    # 4 tight clusters at orthogonal-ish centers; first 8 ids seed the
+    # centroid/codebook heads (training-free defaults), rest are members
+    rng = np.random.RandomState(5)
+    centers = np.eye(4).repeat(4, axis=1) * 10.0  # (4, 16)
+    rows = []
+    for i in range(96):
+        c = i % 4
+        v = centers[c] + rng.randn(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    target = rows[50]  # cluster 50 % 4 == 2
+    top = ivf_pq_topk(
+        df, target[1], k=5, n_cells=4, nprobe=1, m=4, ks=8
+    ).collect()
+    assert len(top) == 5
+    # single-probe search returns only the query's cluster
+    assert all(r["vec_id"] % 4 == 2 for r in top)
+    # the query vector itself lands in the top few ADC ranks
+    assert 50 in [r["vec_id"] for r in top[:3]]
+    # exact integer scores, deterministic across re-runs
+    again = ivf_pq_topk(df, target[1], k=5, n_cells=4, nprobe=1, m=4, ks=8).collect()
+    assert [(r["vec_id"], r["adc_dist_fp"]) for r in top] == [
+        (r["vec_id"], r["adc_dist_fp"]) for r in again
+    ]
+    # widening the probe set can only add candidates, never lose the best
+    wide = ivf_pq_topk(df, target[1], k=5, n_cells=4, nprobe=4, m=4, ks=8).collect()
+    assert wide[0]["adc_dist_fp"] <= top[0]["adc_dist_fp"]
+
+    with pytest.raises(ValueError):
+        ivf_pq_topk(df, target[1], n_cells=4, nprobe=1, m=5, ks=8)  # 16 % 5
