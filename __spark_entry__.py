@@ -706,6 +706,15 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter verdicts (text.gopher_filter — Rae et al. 2021
+    table A1): every rule evaluated as exact integer cross-multiplication
+    (no float ratio anywhere), per-row array algebra + repetition_stats'
+    count aggregations for the top-2-gram rule. min_words lowered to 10 at
+    this SF so both verdicts appear in the gate's output."""
+    return TX.gopher_filter(_docs(spark, sf_dir), min_words=10)
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (text.dsir_weights, arXiv:2302.03169):
     log-likelihood ratio of the lang='en' target distribution vs the raw
@@ -1864,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": q_evt_sessionize,
         "evt_funnel": q_evt_funnel,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
+        "doc_gopher_filter": q_doc_gopher_filter,
         "doc_dsir_weights": q_doc_dsir_weights,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
@@ -2419,6 +2429,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "doc_gopher_filter": r"""
+            WITH w AS (
+              SELECT doc_id, trim(coalesce(text,'')) AS t,
+                     coalesce(text,'') AS raw,
+                     string_split(trim(coalesce(text,'')), ' ') AS ws
+              FROM documents
+            ),
+            gc AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS tok
+                FROM w
+              ) GROUP BY doc_id, tok
+            ),
+            gtop AS (
+              SELECT doc_id, tok AS top_2gram, c AS top_2gram_n FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+                FROM gc
+              ) WHERE rn = 1
+            ),
+            base AS (
+              SELECT w.doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     length(t) AS n_chars_t,
+                     CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                          AS BIGINT) AS total_word_chars,
+                     len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words,
+                     length(t) - length(replace(t, '#', '')) AS n_hash,
+                     (length(t) - length(replace(t, '...', ''))) // 3 AS n_ellipsis,
+                     string_split(raw, chr(10)) AS lines_,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+                       AS n_req_stopwords,
+                     coalesce(gtop.top_2gram, '') AS top_2gram,
+                     CAST(coalesce(gtop.top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+              FROM w LEFT JOIN gtop USING (doc_id)
+            ),
+            r AS (
+              SELECT doc_id, n_words,
+                     n_words >= 10 AND n_words <= 100000 AS r_word_count,
+                     total_word_chars >= 3*n_words
+                       AND total_word_chars <= 10*n_words AS r_mean_word_len,
+                     10*(n_hash + n_ellipsis) <= n_words AS r_symbol_ratio,
+                     10*len(list_filter(lines_, ln -> ln LIKE '- %'
+                        OR ln LIKE '* %' OR ln LIKE '•%'))
+                       <= 9*len(lines_) AS r_bullet_lines,
+                     10*len(list_filter(lines_, ln -> ln LIKE '%...'))
+                       <= 3*len(lines_) AS r_ellipsis_lines,
+                     5*n_alpha_words >= 4*n_words AS r_alpha_words,
+                     n_req_stopwords >= 2 AS r_stopwords,
+                     5*top_2gram_n*length(top_2gram) <= n_chars_t AS r_top_2gram
+              FROM base
+            )
+            SELECT doc_id, n_words, r_word_count, r_mean_word_len,
+                   r_symbol_ratio, r_bullet_lines, r_ellipsis_lines,
+                   r_alpha_words, r_stopwords, r_top_2gram,
+                   (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                    AND r_stopwords AND r_top_2gram) AS keep
+            FROM r
         """,
         "doc_dsir_weights": r"""
             WITH toks AS (

@@ -746,3 +746,101 @@ def dsir_weights(
             ),
         )
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter verdicts (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", table A1) — the composite keep/drop rule set every
+    web-scale pretraining pipeline runs after dedup. One row per document
+    with each rule's boolean and the conjunction ``keep``.
+
+    Rules (all evaluated as EXACT INTEGER cross-multiplications — e.g.
+    "mean word length in [3, 10]" is ``3*n_words <= total_chars <=
+    10*n_words`` — so the DuckDB oracle agrees bit-for-bit; no float ratio
+    ever materializes):
+
+      r_word_count       min_words <= n_words <= max_words
+      r_mean_word_len    mean word length in [3, 10]
+      r_symbol_ratio     (#'#' + #'...') <= 0.1 * n_words
+      r_bullet_lines     lines starting with a bullet <= 90%
+      r_ellipsis_lines   lines ending with '...' <= 30%
+      r_alpha_words      words containing a letter >= 80%
+      r_stopwords        >= 2 distinct required stopwords present
+      r_top_2gram        chars in the most frequent 2-gram <= 20% of text
+
+    Tokenization is single-space split on the trimmed text — the SAME rule
+    :func:`repetition_stats` uses, because r_top_2gram joins its exact
+    integer (top_2gram, top_2gram_n) output. Everything else is per-row
+    array algebra: ZERO shuffles beyond repetition_stats' own count
+    aggregations, no Python in the row path.
+    """
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "n_words", "top_2gram", "top_2gram_n"
+    )
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    # plain single-space split, matching repetition_stats exactly (empty text
+    # yields [''] / one empty line in BOTH engines — pinned by the oracle)
+    ws = F.split(t, " ")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    required = [
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ]
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_t"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_word_chars"),
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha_words"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias("n_hash"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        ).cast("long").alias("n_ellipsis"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ")
+                | ln.startswith("* ")
+                | ln.startswith("•"),
+            )
+        ).alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).alias(
+            "n_ellipsis_lines"
+        ),
+        F.size(
+            F.array_intersect(
+                F.transform(ws, F.lower),
+                F.array(*[F.lit(s) for s in required]),
+            )
+        ).alias("n_req_stopwords"),
+    )
+    j = base.join(rep, id_col)
+    nw = F.col("n_words").cast("long")
+    rules = {
+        "r_word_count": (nw >= min_words) & (nw <= max_words),
+        "r_mean_word_len": (F.col("total_word_chars") >= 3 * nw)
+        & (F.col("total_word_chars") <= 10 * nw),
+        "r_symbol_ratio": 10 * (F.col("n_hash") + F.col("n_ellipsis")) <= nw,
+        "r_bullet_lines": 10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"),
+        "r_ellipsis_lines": 10 * F.col("n_ellipsis_lines")
+        <= 3 * F.col("n_lines"),
+        "r_alpha_words": 5 * F.col("n_alpha_words") >= 4 * nw,
+        "r_stopwords": F.col("n_req_stopwords") >= 2,
+        "r_top_2gram": 5 * F.col("top_2gram_n") * F.length("top_2gram")
+        <= F.col("n_chars_t"),
+    }
+    keep = None
+    cols = [F.col(id_col), nw.alias("n_words")]
+    for name, expr in rules.items():
+        cols.append(expr.alias(name))
+        keep = expr if keep is None else (keep & expr)
+    cols.append(keep.alias("keep"))
+    return j.select(*cols)

@@ -721,3 +721,44 @@ def test_ivf_pq_topk_residual_index(spark):
 
     with pytest.raises(ValueError):
         ivf_pq_topk(df, target[1], n_cells=4, nprobe=1, m=5, ks=8)  # 16 % 5
+
+
+def test_gopher_filter_rules(spark):
+    from debezium_spark.functions.text import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs away with "
+        "great speed that nobody could have expected from such small animal"
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text"),                           # fails word count
+        (3, "## ### " + good + " # # # # # # # # # # # # # # #"),  # symbols
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),   # bullets
+        (5, ("123 456 789 " * 10) + "the be"),       # mostly non-alpha words
+        (6, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"),  # no stopwords
+        (7, ("spam ham " * 40) + "the of and with be that"),  # top-2gram mass
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_filter(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=10,
+        ).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["r_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["r_symbol_ratio"] is False
+    assert got[4]["r_bullet_lines"] is False
+    assert got[5]["r_alpha_words"] is False
+    assert got[6]["r_stopwords"] is False
+    assert got[7]["r_top_2gram"] is False and got[7]["keep"] is False
+    # integer cross-multiplication: rule booleans are exact (no float drift):
+    # doc 1 re-evaluates identically under repartitioning
+    re_run = gopher_filter(
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(7),
+        min_words=10,
+    ).collect()
+    assert {r["doc_id"]: r["keep"] for r in re_run} == {
+        k: v["keep"] for k, v in got.items()
+    }
