@@ -706,6 +706,17 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (text.shuffle_order):
+    contiguous 1-based rank in portable-hash order. Scale-safe numbering via
+    the snapshot source's range-partitioned row numbering — one
+    rangepartitioning exchange, windows only within partitions, NEVER a
+    SinglePartition global window."""
+    return TX.shuffle_order(_docs(spark, sf_dir)).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter verdicts (text.gopher_filter — Rae et al. 2021
     table A1): every rule evaluated as exact integer cross-multiplication
@@ -1874,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_funnel": q_evt_funnel,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
         "doc_gopher_filter": q_doc_gopher_filter,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "doc_dsir_weights": q_doc_dsir_weights,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
@@ -2429,6 +2441,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "doc_shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT), doc_id
+                   ) AS shuffle_rank
+            FROM documents
         """,
         "doc_gopher_filter": r"""
             WITH w AS (

@@ -844,3 +844,39 @@ def gopher_filter(
         keep = expr if keep is None else (keep & expr)
     cols.append(keep.alias("keep"))
     return j.select(*cols)
+
+
+def shuffle_order(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    rank_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every document by
+    the portable hash of its id — the "shuffle the corpus once before
+    sharding" step of every training pipeline, made reproducible (same salt
+    -> same order on any cluster/partitioning, no RNG state to persist).
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` funnels the
+    corpus through one task (Exchange SinglePartition); this reuses the
+    snapshot source's range-partitioned numbering
+    (sources/snapshot.ranged_row_number — parallel range shuffle, windows
+    only within partitions, driver folds in per-partition offsets as a
+    literal map), so the global order costs one rangepartitioning exchange.
+
+    Output: input columns + ``rank_col`` (1-based contiguous rank in hash
+    order, hash ties broken by id).
+    """
+    from debezium_spark.functions.dedup import _h64
+    from debezium_spark.sources.snapshot import ranged_row_number
+
+    keyed = docs.withColumn(
+        "_shuf_key", _h64(F.col(id_col).cast("string"), salt)
+    )
+    numbered, _total = ranged_row_number(
+        keyed, ("_shuf_key", id_col), num_partitions=num_partitions,
+        rn_col=rank_col,
+    )
+    return numbered.drop("_shuf_key")

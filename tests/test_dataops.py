@@ -762,3 +762,43 @@ def test_gopher_filter_rules(spark):
     assert {r["doc_id"]: r["keep"] for r in re_run} == {
         k: v["keep"] for k, v in got.items()
     }
+
+
+def test_shuffle_order_deterministic_and_contiguous(spark):
+    import hashlib
+
+    from debezium_spark.functions.text import shuffle_order
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(97)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(docs, num_partitions=5).collect()
+    }
+    # contiguous 1..N
+    assert sorted(got.values()) == list(range(1, 98))
+
+    # matches the portable hash order computed independently
+    def h(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode()).hexdigest()[:15], 16)
+
+    expect = {
+        doc_id: rank
+        for rank, doc_id in enumerate(
+            sorted(range(97), key=lambda i: (h(i), i)), start=1
+        )
+    }
+    assert got == expect
+
+    # stable under input partitioning; different salt -> different order
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(docs.repartition(13), num_partitions=3).collect()
+    }
+    assert again == got
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(docs, salt="epoch1").collect()
+    }
+    assert other != got and sorted(other.values()) == list(range(1, 98))
