@@ -696,6 +696,28 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (streaming/windows.retention_cohorts):
+    daily cohorts by first event, distinct-active per later day. Exact
+    integer period indexing (floor epoch/period — no calendar functions,
+    whose week conventions differ across engines); every shuffle carries
+    (key, int) pairs, the distinct collapse runs before the join."""
+    from debezium_spark.streaming.windows import retention_cohorts
+
+    return retention_cohorts(
+        _events(spark, sf_dir), ts_col="ts", key_cols=("user_id",),
+        period_seconds=86_400,
+    )
+
+
+def q_doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (text.pmi_bigrams — the word2phrase pass): top-50
+    bigrams by ppm-quantized pointwise mutual information, min_count=3
+    noise floor. Vocab-sized joins only; corpus-sized paths are two
+    map-side-combined count shuffles; TakeOrdered top-k."""
+    return TX.pmi_bigrams(_docs(spark, sf_dir), min_count=3, k=50)
+
+
 def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (text.tfidf_top_terms): exact
     fixed-point scoring — idf quantized to ppm once per TERM on the
@@ -1883,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_windowed_metrics": q_evt_windowed_metrics,
         "evt_sessionize": q_evt_sessionize,
         "evt_funnel": q_evt_funnel,
+        "evt_retention_cohorts": q_evt_retention_cohorts,
+        "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
         "doc_gopher_filter": q_doc_gopher_filter,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -2441,6 +2465,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "evt_retention_cohorts": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS p
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, min(p) AS cohort_period FROM p GROUP BY user_id
+            ),
+            a AS (SELECT DISTINCT user_id, p FROM p)
+            SELECT c.cohort_period,
+                   a.p - c.cohort_period AS period_offset,
+                   count(*) AS n_keys
+            FROM a JOIN c USING (user_id)
+            WHERE a.p >= c.cohort_period
+            GROUP BY 1, 2
+        """,
+        "doc_pmi_bigrams": r"""
+            WITH w AS (
+              SELECT list_filter(
+                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            uni AS (
+              SELECT tok AS w, count(*) AS n_w FROM (
+                SELECT unnest(ws) AS tok FROM w
+              ) GROUP BY 1
+            ),
+            big AS (
+              SELECT bg, count(*) AS n_pair FROM (
+                SELECT unnest(list_transform(range(1, len(ws)),
+                       i -> ws[i] || chr(1) || ws[i+1])) AS bg
+                FROM w
+              ) GROUP BY 1 HAVING count(*) >= 3
+            ),
+            n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w)
+            SELECT replace(big.bg, chr(1), ' ') AS bigram,
+                   big.n_pair,
+                   ul.n_w AS n_left,
+                   ur.n_w AS n_right,
+                   CAST(floor(ln(
+                     (CAST(big.n_pair AS DOUBLE) * n.n_tokens)
+                     / (CAST(ul.n_w AS DOUBLE) * ur.n_w)
+                   ) * 1e6 + 0.5) AS BIGINT) AS pmi_ppm
+            FROM big
+            JOIN uni ul ON ul.w = string_split(big.bg, chr(1))[1]
+            JOIN uni ur ON ur.w = string_split(big.bg, chr(1))[2]
+            CROSS JOIN n
+            ORDER BY pmi_ppm DESC, bigram
+            LIMIT 50
         """,
         "doc_shuffle_order": """
             SELECT doc_id,

@@ -880,3 +880,74 @@ def shuffle_order(
         rn_col=rank_col,
     )
     return numbered.drop("_shuf_key")
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``k`` bigrams by pointwise mutual
+    information — the word2phrase step (Mikolov et al. 2013) that promotes
+    "new york"-style units before tokenizer/embedding training.
+
+    ``pmi_ppm = floor(ln(c(ab) * N / (c(a) * c(b))) * 1e6 + 0.5)`` — counts
+    are exact corpus integers, the single ln is quantized to ppm once per
+    surviving BIGRAM (a vocabulary-sized frame), and ranking ties break by
+    bigram text, so the top-k is engine-portable. ``min_count`` is the
+    standard noise floor (hapax bigrams have unboundedly inflated PMI).
+
+    Scale shape: one tokenize+explode pass each for unigram and bigram
+    counts (both map-side-combined shuffles keyed on the term); the bigram
+    frame joins the unigram counts twice (left word, right word) — vocab x
+    vocab-sized equi-joins, never corpus-sized; N is a 1-row broadcast;
+    top-k is TakeOrdered. No float in any corpus-sized path.
+
+    Output: (bigram, n_pair, n_left, n_right, pmi_ppm) ranked desc.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    toks = docs.select(words.alias("_ws"))
+    uni = (
+        toks.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    grams = F.zip_with(
+        F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
+        F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    big = (
+        toks.select(F.explode(grams).alias("g"))
+        .groupBy(F.col("g.l").alias("l"), F.col("g.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    n_total = toks.select(
+        F.sum(F.size("_ws")).cast("long").alias("_n_tokens")
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("l"), F.col("n_w").alias("n_left")), "l")
+        .join(uni.select(F.col("w").alias("r"), F.col("n_w").alias("n_right")), "r")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.concat_ws(" ", "l", "r").alias("bigram"),
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.floor(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("_n_tokens"))
+                    / (F.col("n_left").cast("double") * F.col("n_right"))
+                )
+                * 1e6
+                + 0.5
+            ).cast("long").alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ppm"), F.asc("bigram")).limit(k)

@@ -249,3 +249,47 @@ def funnel_counts(
             F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: bucket each key by the period of its FIRST event
+    (the cohort), then count distinct keys active in each later period —
+    the (cohort, offset) retention triangle every product-analytics stack
+    computes over the event stream.
+
+    Period indexing is exact integer arithmetic (``floor(epoch_seconds /
+    period)``) — engine-portable, no calendar/timezone functions whose week
+    conventions differ across engines.
+
+    Scale shape: one map-side-combined groupBy per aggregate — (key) for
+    cohorts, (key, period) for activity — then a key-partitioned join and a
+    final (cohort, offset) count. Every shuffle carries (key, int) pairs,
+    never events; the distinct-active collapse happens BEFORE the join, so
+    a chatty key costs one row per period, not one per event.
+
+    Output: (cohort_period, period_offset, n_keys), offsets >= 0, including
+    offset 0 (the cohort's own size at birth period).
+    """
+    base = df.select(
+        *key_cols,
+        (F.col(ts_col).cast("timestamp").cast("long") / period_seconds)
+        .cast("long")
+        .alias("_p"),
+    )
+    cohorts = base.groupBy(*key_cols).agg(F.min("_p").alias("cohort_period"))
+    active = base.select(*key_cols, "_p").distinct()
+    joined = active.join(cohorts, list(key_cols))
+    return (
+        joined.where(F.col("_p") >= F.col("cohort_period"))
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

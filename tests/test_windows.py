@@ -320,3 +320,55 @@ def test_funnel_single_exchange_plan(spark):
         df, ("view", "click", "purchase"), key_cols=("user_id",)
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime, timedelta
+
+    from debezium_spark.streaming.windows import retention_cohorts
+
+    day = timedelta(days=1)
+    # epoch day 0-based periods; u1 born day 0 active days 0,1,3; u2 born
+    # day 1 active days 1,2; u3 born day 0, one event only
+    base = datetime(1970, 1, 5)  # day 4 since epoch
+    rows = [
+        (1, base), (1, base + day), (1, base + 3 * day), (1, base),  # dup same day
+        (2, base + day), (2, base + 2 * day),
+        (3, base),
+    ]
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_keys"]
+        for r in retention_cohorts(
+            spark.createDataFrame(rows, "user_id long, ts timestamp"),
+            period_seconds=86_400,
+        ).collect()
+    }
+    assert got == {
+        (4, 0): 2,  # u1, u3 born day 4
+        (4, 1): 1,  # u1 back next day (same-day dup counted once)
+        (4, 3): 1,  # u1 day 7
+        (5, 0): 1,  # u2 born day 5
+        (5, 1): 1,  # u2 day 6
+    }
+
+
+def test_pmi_bigrams_promotes_collocation(spark):
+    from debezium_spark.functions.text import pmi_bigrams
+
+    # "new york" always co-occurs; "the cat/dog/sun..." disperses 'the'
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big and the cat sleeps"),
+            (2, "new york is old and the dog runs"),
+            (3, "new york is far and the sun sets"),
+            (4, "the rain falls on the new york the"),
+        ],
+        "doc_id long, text string",
+    )
+    top = pmi_bigrams(docs, min_count=3, k=5).collect()
+    assert top[0]["bigram"] == "new york"
+    assert top[0]["n_pair"] == 4 and top[0]["n_left"] == 4
+    # PMI of a perfect collocation = ln(N / c) > any dispersed pair
+    assert all(top[0]["pmi_ppm"] >= r["pmi_ppm"] for r in top)
+    # min_count floors hapax bigrams out entirely
+    assert all(r["n_pair"] >= 3 for r in top)
