@@ -696,6 +696,61 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/joins.asof_join — union-window form, ONE key
+    exchange, no inequality join / BroadcastNestedLoopJoin): each purchase
+    gets the user's latest STRICTLY-earlier view's value. Right-side
+    (user, ts) ties collapse to max value pre-union; DuckDB's native ASOF
+    LEFT JOIN is the oracle."""
+    from debezium_spark.functions.joins import asof_join
+    from debezium_spark.functions.similarity import scaled
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(left, right, on=("user_id",), right_cols=("value",))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("view_ts_us"),
+        scaled(F.col("value_right")).alias("view_value_fp"),
+    )
+
+
+def q_evt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (functions/joins.interval_join — intervals explode
+    to epoch buckets, points equi-join on their ONE bucket + containment
+    filter; never a BroadcastNestedLoopJoin): attribute every event to its
+    user's 30-minute session window from sessionize. Sessions of one user
+    are disjoint, so each event lands in exactly one session."""
+    from debezium_spark.functions.joins import interval_join
+    from debezium_spark.streaming.windows import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, ts_col="ts", key_cols=("user_id",), gap="30 minutes")
+    ivals = sess.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("s_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("s_end"),
+        "session_start_us",
+    )
+    j = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        ivals,
+        on=("user_id",),
+        point_ts="ts",
+        start_col="s_start",
+        end_col="s_end",
+        bucket_seconds=1800,
+    )
+    return j.select("event_id", "user_id", "session_start_us")
+
+
 def q_evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle (streaming/windows.retention_cohorts):
     daily cohorts by first event, distinct-active per later day. Exact
@@ -1906,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": q_evt_sessionize,
         "evt_funnel": q_evt_funnel,
         "evt_retention_cohorts": q_evt_retention_cohorts,
+        "evt_asof_join": q_evt_asof_join,
+        "evt_interval_join": q_evt_interval_join,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
         "doc_gopher_filter": q_doc_gopher_filter,
@@ -2465,6 +2522,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "evt_asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS view_ts_us,
+                   CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS view_value_fp
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts > r.ts
+        """,
+        "evt_interval_join": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, new_s DESC
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS sid
+              FROM o
+            ),
+            sess AS (
+              SELECT user_id,
+                     min(ts) AS s_start, max(ts) AS s_end,
+                     epoch_us(min(ts)) AS session_start_us
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT e.event_id, e.user_id, sess.session_start_us
+            FROM events e
+            JOIN sess ON e.user_id = sess.user_id
+                     AND e.ts BETWEEN sess.s_start AND sess.s_end
         """,
         "evt_retention_cohorts": """
             WITH p AS (

@@ -802,3 +802,102 @@ def test_shuffle_order_deterministic_and_contiguous(spark):
         for r in shuffle_order(docs, salt="epoch1").collect()
     }
     assert other != got and sorted(other.values()) == list(range(1, 98))
+
+
+def test_asof_join_backward_semantics(spark):
+    from datetime import datetime
+
+    from debezium_spark.functions.joins import asof_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (2, t(5), "c"), (3, t(5), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(3), 30.0), (1, t(5), 50.0), (1, t(7), 70.0),
+            (2, t(9), 90.0),
+            # tie on (key, ts): highest payload wins deterministically
+            (1, t(3), 31.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    strict = {
+        (r["user_id"], r["tag"]): (r["value_right"], r["ts_right"])
+        for r in asof_join(
+            left, right, on=("user_id",), right_cols=("value",), strict=True
+        ).collect()
+    }
+    # strict: the t(5) right row is NOT visible to the t(5) left row
+    assert strict[(1, "a")] == (31.0, t(3))
+    assert strict[(1, "b")] == (70.0, t(7))
+    assert strict[(2, "c")] == (None, None)   # right row is later
+    assert strict[(3, "d")] == (None, None)   # no right rows at all
+
+    loose = {
+        (r["user_id"], r["tag"]): r["value_right"]
+        for r in asof_join(
+            left, right, on=("user_id",), right_cols=("value",), strict=False
+        ).collect()
+    }
+    assert loose[(1, "a")] == 50.0  # equal-ts right row now visible
+    assert loose[(1, "b")] == 70.0
+
+
+def test_asof_join_single_exchange_plan(spark):
+    from datetime import datetime
+
+    from debezium_spark.functions.joins import asof_join
+
+    l = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x")], "user_id long, ts timestamp, tag string"
+    )
+    r = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    plan = asof_join(
+        l, r, on=("user_id",), right_cols=("value",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # agg + window
+
+
+def test_interval_join_containment(spark):
+    from datetime import datetime
+
+    from debezium_spark.functions.joins import interval_join, interval_join_left
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    pts = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(30)), (2, 102, t(5)), (1, 103, t(59))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (1, t(0), t(10), "s1"),     # covers 100
+            (1, t(25), t(40), "s2"),    # covers 101
+            (2, t(50), t(55), "s3"),    # covers nothing of user 2's points
+            (1, t(4), t(6), "s4"),      # ALSO covers 100 (overlap)
+        ],
+        "user_id long, start timestamp, end timestamp, name string",
+    )
+    got = sorted(
+        (r["event_id"], r["name"])
+        for r in interval_join(
+            pts, ivals, on=("user_id",), bucket_seconds=600
+        ).collect()
+    )
+    assert got == [(100, "s1"), (100, "s4"), (101, "s2")]
+
+    left = interval_join_left(
+        pts, ivals, on=("user_id",), bucket_seconds=600
+    ).collect()
+    ids = sorted(r["event_id"] for r in left)
+    assert ids == [100, 100, 101, 102, 103]  # unmatched kept once with nulls
+    assert {r["name"] for r in left if r["event_id"] in (102, 103)} == {None}
