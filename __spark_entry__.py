@@ -696,6 +696,19 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flags (windows.zscore_outliers): the test
+    |x-mean| > 3*std evaluated as (n*v - S)^2 > 9*(n*SS - S^2) in exact
+    DECIMAL(38,0)/HUGEINT integer algebra — no float mean/std whose
+    accumulation order could flip a boundary row between engines. One
+    map-side-combined stats groupBy broadcast back over the stream."""
+    from debezium_spark.streaming.windows import zscore_outliers
+
+    return zscore_outliers(
+        _events(spark, sf_dir), value_col="value", group_cols=("event_type",)
+    ).select("event_id", "event_type", "value_fp", "is_outlier")
+
+
 def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (functions/joins.asof_join — union-window form, ONE key
     exchange, no inequality join / BroadcastNestedLoopJoin): each purchase
@@ -1962,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_funnel": q_evt_funnel,
         "evt_retention_cohorts": q_evt_retention_cohorts,
         "evt_asof_join": q_evt_asof_join,
+        "evt_outliers": q_evt_outliers,
         "evt_interval_join": q_evt_interval_join,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -2522,6 +2536,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "evt_outliers": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000 + 0.5) AS HUGEINT) AS vfp
+              FROM events
+            ),
+            st AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(vfp) AS s,
+                     sum(vfp * vfp) AS ss
+              FROM v GROUP BY event_type
+            )
+            SELECT v.event_id, v.event_type,
+                   CAST(v.vfp AS BIGINT) AS value_fp,
+                   (st.n * v.vfp - st.s) * (st.n * v.vfp - st.s)
+                     > 9 * (st.n * st.ss - st.s * st.s) AS is_outlier
+            FROM v JOIN st USING (event_type)
         """,
         "evt_asof_join": """
             WITH l AS (

@@ -293,3 +293,55 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    k: int = 3,
+    value_unit: int = 10000,
+) -> DataFrame:
+    """Per-group z-score outlier flags with EXACT integer arithmetic — the
+    stream-quality / metrics-anomaly check, engine-portable where the
+    textbook float mean/std pipeline is not (float accumulation order is
+    partition-dependent, so a naive stddev flag can flip at the boundary
+    between runs or engines).
+
+    The test |x - mean| > k*std is evaluated with no division, no sqrt and
+    no float: with fixed-point values v = floor(x*unit + 0.5) and per-group
+    S = sum(v), SS = sum(v^2), n — multiply through by n^2:
+
+        (n*v - S)^2  >  k^2 * (n*SS - S^2)
+
+    Both sides are exact integers (DECIMAL(38,0) — products reach ~n^2*v^2,
+    past BIGINT at corpus scale), so the boundary is bit-identical in any
+    engine. Population variance (the /n form), matching the oracle.
+
+    Scale: one map-side-combined groupBy for the (n, S, SS) stats — a
+    GROUP-COLS-sized frame — broadcast back over the stream; the flag
+    itself is per-row column algebra. Output: input columns + ``value_fp``
+    + ``is_outlier``.
+    """
+    v = F.floor(F.col(value_col) * value_unit + F.lit(0.5)).cast("decimal(38,0)")
+    stats = (
+        df.select(*group_cols, v.alias("_v"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_v").cast("decimal(38,0)").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("decimal(38,0)").alias("_ss"),
+        )
+    )
+    j = df.withColumn("_v", v).join(F.broadcast(stats), list(group_cols))
+    lhs = (F.col("_n") * F.col("_v") - F.col("_s"))
+    rhs = (
+        F.lit(int(k * k)).cast("decimal(38,0)")
+        * (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+    )
+    return (
+        j.withColumn("value_fp", F.col("_v").cast("long"))
+        .withColumn("is_outlier", (lhs * lhs) > rhs)
+        .drop("_v", "_n", "_s", "_ss")
+    )

@@ -372,3 +372,39 @@ def test_pmi_bigrams_promotes_collocation(spark):
     assert all(top[0]["pmi_ppm"] >= r["pmi_ppm"] for r in top)
     # min_count floors hapax bigrams out entirely
     assert all(r["n_pair"] >= 3 for r in top)
+
+
+def test_zscore_outliers_exact_boundary(spark):
+    from debezium_spark.streaming.windows import zscore_outliers
+
+    # group 'a': values 0 repeated with one spike; group 'b': constant
+    rows = [(i, "a", 0.0) for i in range(20)] + [
+        (100, "a", 100.0),
+        (200, "b", 5.0), (201, "b", 5.0), (202, "b", 5.0),
+    ]
+    got = {
+        r["event_id"]: r["is_outlier"]
+        for r in zscore_outliers(
+            spark.createDataFrame(rows, "event_id long, event_type string, value double"),
+            value_col="value",
+            group_cols=("event_type",),
+            k=3,
+        ).collect()
+    }
+    assert got[100] is True                       # the spike
+    assert all(got[i] is False for i in range(20))  # the bulk
+    # zero-variance group: nothing can exceed 3 std = 0 strictly
+    assert got[200] is False and got[201] is False and got[202] is False
+
+    # exact boundary: symmetric two-point group has |x-mean| = std exactly;
+    # with k=1 the strict > test must NOT flag either point
+    two = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", 2.0)], "event_id long, event_type string, value double"
+    )
+    res = {
+        r["event_id"]: r["is_outlier"]
+        for r in zscore_outliers(
+            two, value_col="value", group_cols=("event_type",), k=1
+        ).collect()
+    }
+    assert res == {1: False, 2: False}
