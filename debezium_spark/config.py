@@ -410,5 +410,14 @@ _IGNORED_PROPERTIES = {
     "key.converter", "value.converter", "key.converter.schemas.enable",
     "value.converter.schemas.enable", "include.schema.changes",
     "max.queue.size", "poll.interval.ms",
+    # standard embedded-engine / file-store keys every reference config
+    # carries (EmbeddedEngine.java offset-store and MySQL server-id options);
+    # transport-level here — the Spark engine's checkpoints replace them
+    "offset.storage", "offset.flush.timeout.ms", "offset.flush.interval.ms",
+    "database.server.id",
 }
-_IGNORED_PREFIXES = ("database.history.", "schema.history.internal.kafka.")
+_IGNORED_PREFIXES = (
+    "database.history.",
+    "schema.history.internal.",  # file/kafka history store knobs (all stores)
+    "offset.storage.",  # e.g. offset.storage.file.filename (api.build pops its own)
+)

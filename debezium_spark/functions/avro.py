@@ -373,7 +373,10 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
             n = read_varint()
             if n == 0:
                 break
-            for _ in range(abs(n)):
+            if n < 0:  # negative count = block with a byte-size prefix
+                read_varint()  # skip block byte size (same as the array branch)
+                n = -n
+            for _ in range(n):
                 k = _decode(buf, "string")
                 entries[k] = _decode(buf, schema["values"])
         return entries

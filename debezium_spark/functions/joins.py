@@ -153,12 +153,18 @@ def interval_join_left(
 ) -> DataFrame:
     """LEFT containment join that keeps every point exactly once when
     unmatched: inner interval_join + anti-join union of unmatched points
-    with null interval columns."""
+    with null interval columns. The anti-join uses NULL-SAFE equality on
+    every point column — a plain column-list join compares NULL = NULL as
+    NULL, which would re-emit any matched point that carries a null
+    attribute as unmatched too."""
     inner = interval_join(points, intervals, **kwargs)
     key_pt = points.columns
-    unmatched = points.join(
-        inner.select(*key_pt).distinct(), key_pt, "left_anti"
-    )
+    matched_keys = inner.select(*key_pt).distinct()
+    cond = None
+    for c in key_pt:
+        eq = points[c].eqNullSafe(matched_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(matched_keys, cond, "left_anti")
     for c in inner.columns:
         if c not in key_pt:
             unmatched = unmatched.withColumn(

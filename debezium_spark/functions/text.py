@@ -411,11 +411,17 @@ def stratified_sample(
     md5-uniform hashes and margin=8 that is a ~never path, but correctness
     never rests on the margin. Returns the input columns plus
     ``sample_rank`` (1..k within stratum).
+
+    Rows with a NULL stratum are excluded up front (documented behavior: a
+    null language/domain is unlabeled, not a stratum) — they would otherwise
+    poison the threshold map (Spark forbids NULL map keys) and could never
+    be addressed by the isin() repair path.
     """
     from pyspark.sql import Window
 
     from debezium_spark.functions.dedup import _h64
 
+    docs = docs.where(F.col(stratum_col).isNotNull())
     h = _h64(F.col(id_col).cast("string"), salt).alias("_strat_h")
     hashed = docs.select("*", h)
     win = Window.partitionBy(stratum_col).orderBy("_strat_h", id_col)

@@ -1431,7 +1431,8 @@ class CdcEngine:
         pause = False
         while lo < bounds["hi"] and not pause:
             if self._poll_signals()["pause"]:
-                break  # P17 pause signal; resume = call run() again
+                pause = True  # P17 pause signal; resume = call run() again
+                break
             hi = lo + step
             pending_sig: tuple[int, dict[str, Any]] | None = None
             if self.config.signal_data_collection:
@@ -1465,7 +1466,8 @@ class CdcEngine:
         # WAL exhausted but an ad-hoc snapshot may still have chunks to drain —
         # keep emitting chunk-only batches until the snapshot completes.
         while (
-            self._incr_state()["active"]
+            not pause  # a pause consumed by the replay loop halts the drain too
+            and self._incr_state()["active"]
             and self.snapshot_source
             and (max_batches is None or n < max_batches)
             and not self._poll_signals()["pause"]

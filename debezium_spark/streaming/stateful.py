@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -119,7 +120,15 @@ def stateful_lww(
             if best_ord is None or o > best_ord:
                 best_ord = o
                 row = pdf.loc[i]
-                vals = [None if pd.isna(row[c]) else row[c] for c in data_names]
+                # scalar-safe null check: pd.isna on an array-typed cell
+                # (list/np.ndarray payload column) returns elementwise and
+                # would raise on truth-testing — arrays are never "missing"
+                vals = [
+                    row[c]
+                    if isinstance(row[c], (list, tuple, np.ndarray))
+                    else (None if pd.isna(row[c]) else row[c])
+                    for c in data_names
+                ]
                 best_row = (int(row["_ts"]), bool(row["_is_delete"]), vals)
         if best_ord is None:
             return

@@ -278,9 +278,11 @@ def retention_cohorts(
     """
     base = df.select(
         *key_cols,
-        (F.col(ts_col).cast("timestamp").cast("long") / period_seconds)
-        .cast("long")
-        .alias("_p"),
+        # true floor (F.floor), not cast-truncation toward zero — pre-1970
+        # timestamps must bucket to negative periods, not collapse into 0
+        F.floor(
+            F.col(ts_col).cast("timestamp").cast("long") / period_seconds
+        ).cast("long").alias("_p"),
     )
     cohorts = base.groupBy(*key_cols).agg(F.min("_p").alias("cohort_period"))
     active = base.select(*key_cols, "_p").distinct()
@@ -315,33 +317,46 @@ def zscore_outliers(
 
         (n*v - S)^2  >  k^2 * (n*SS - S^2)
 
-    Both sides are exact integers (DECIMAL(38,0) — products reach ~n^2*v^2,
-    past BIGINT at corpus scale), so the boundary is bit-identical in any
-    engine. Population variance (the /n form), matching the oracle.
+    Both sides are exact integers (DECIMAL(38,0)), so the boundary is
+    bit-identical in any engine. Population variance (the /n form),
+    matching the oracle. Because the whole test is SHIFT-INVARIANT, values
+    are anchored to the per-group MINIMUM before aggregation — the decimal
+    products then scale with n^2 * spread^2 (spread = max-min in fixed-point
+    units), not n^2 * |value|^2: safe while n * spread < 10^19 (e.g. 10^10
+    rows with a value spread of ~3*10^4 at the default unit). For
+    wider-spread metrics lower ``value_unit`` — the flags only quantize at
+    the unit, they never drift.
 
-    Scale: one map-side-combined groupBy for the (n, S, SS) stats — a
-    GROUP-COLS-sized frame — broadcast back over the stream; the flag
-    itself is per-row column algebra. Output: input columns + ``value_fp``
-    + ``is_outlier``.
+    Scale: two map-side-combined groupBys (per-group min anchor, then the
+    shifted (n, S', SS') stats) — both GROUP-COLS-sized frames broadcast
+    back over the stream; the flag itself is per-row column algebra.
+    Output: input columns + ``value_fp`` + ``is_outlier``.
     """
-    v = F.floor(F.col(value_col) * value_unit + F.lit(0.5)).cast("decimal(38,0)")
-    stats = (
-        df.select(*group_cols, v.alias("_v"))
+    v = F.floor(F.col(value_col) * value_unit + F.lit(0.5)).cast("long")
+    mins = (
+        df.select(*group_cols, v.alias("_v0"))
         .groupBy(*group_cols)
+        .agg(F.min("_v0").alias("_minv"))
+    )
+    anchored = df.withColumn("_v0", v).join(
+        F.broadcast(mins), list(group_cols)
+    ).withColumn("_v", (F.col("_v0") - F.col("_minv")).cast("decimal(38,0)"))
+    stats = (
+        anchored.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
             F.sum("_v").cast("decimal(38,0)").alias("_s"),
             F.sum(F.col("_v") * F.col("_v")).cast("decimal(38,0)").alias("_ss"),
         )
     )
-    j = df.withColumn("_v", v).join(F.broadcast(stats), list(group_cols))
+    j = anchored.join(F.broadcast(stats), list(group_cols))
     lhs = (F.col("_n") * F.col("_v") - F.col("_s"))
     rhs = (
         F.lit(int(k * k)).cast("decimal(38,0)")
         * (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
     )
     return (
-        j.withColumn("value_fp", F.col("_v").cast("long"))
+        j.withColumn("value_fp", F.col("_v0"))
         .withColumn("is_outlier", (lhs * lhs) > rhs)
-        .drop("_v", "_n", "_s", "_ss")
+        .drop("_v", "_v0", "_minv", "_n", "_s", "_ss")
     )

@@ -157,3 +157,21 @@ def test_schema_generator_covers_property_map():
     # the descriptor identity block mirrors buildConnectorSchema's extensions
     assert spec["x-connector-id"] == "spark-cdc"
     assert spec["x-className"].endswith("CdcEngine")
+
+
+def test_standard_embedded_transport_keys_ignored():
+    """Every reference embedded-engine config carries offset-store /
+    server-id / schema-history-file keys; from_properties must pass over
+    them instead of rejecting the verbatim-ported dict (regression)."""
+    from debezium_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_properties({
+        "topic.prefix": "srv",
+        "offset.storage": "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+        "offset.storage.file.filename": "/tmp/o.dat",
+        "offset.flush.interval.ms": "1000",
+        "offset.flush.timeout.ms": "5000",
+        "database.server.id": "184054",
+        "schema.history.internal.file.filename": "/tmp/h.dat",
+    })
+    assert cfg.server_name == "srv"

@@ -901,3 +901,74 @@ def test_interval_join_containment(spark):
     ids = sorted(r["event_id"] for r in left)
     assert ids == [100, 100, 101, 102, 103]  # unmatched kept once with nulls
     assert {r["name"] for r in left if r["event_id"] in (102, 103)} == {None}
+
+
+def test_interval_join_left_null_attr_not_duplicated(spark):
+    from datetime import datetime
+
+    from debezium_spark.functions.joins import interval_join_left
+
+    t0 = datetime(2024, 1, 1, 0, 5)
+    pts = spark.createDataFrame(
+        [(1, 100, t0, None), (1, 101, datetime(2024, 2, 1), "x")],
+        "user_id long, event_id long, ts timestamp, note string",
+    )
+    ivals = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 1, 1), "s1")],
+        "user_id long, start timestamp, end timestamp, name string",
+    )
+    got = interval_join_left(
+        pts, ivals, on=("user_id",), bucket_seconds=600
+    ).collect()
+    # the null-attribute matched point appears exactly once (matched), the
+    # out-of-range point exactly once (unmatched, null interval cols)
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["event_id"], []).append(r["name"])
+    assert by_id == {100: ["s1"], 101: [None]}
+
+
+def test_stratified_sample_null_stratum_excluded(spark):
+    from debezium_spark.functions.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "de")],
+        "doc_id long, lang string",
+    )
+    got = stratified_sample(docs, "lang", 5).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 4]
+
+
+def test_avro_map_negative_block_count(spark):
+    """Spec-conformant writers may emit map blocks with a NEGATIVE count
+    followed by a byte-size long; the decoder must skip the size varint
+    (regression: only the array branch did)."""
+    import io
+
+    from debezium_spark.functions import avro as A
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+
+    def zz(n):  # zigzag varint encode
+        u = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+        out = b""
+        while True:
+            b7 = u & 0x7F
+            u >>= 7
+            if u:
+                out += bytes([b7 | 0x80])
+            else:
+                out += bytes([b7])
+                return out
+
+    def s(txt):
+        bs = txt.encode()
+        return zz(len(bs)) + bs
+
+    # one block: count=-2 (negative => size-prefixed), size=whatever, then
+    # 2 entries, then the 0 terminator
+    body = zz(-2) + zz(10) + s("a") + zz(7) + s("b") + zz(9) + zz(0)
+    got = A._decode(io.BytesIO(body), schema)
+    assert got == {"m": {"a": 7, "b": 9}}

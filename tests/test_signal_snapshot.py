@@ -201,3 +201,32 @@ def test_meters_surface(spark, tmpdir_path):
         + mo["TotalNumberOfDeleteEventsSeen"]
         > 0
     )
+
+
+def test_pause_after_snapshot_halts_chunk_drain(spark, tmpdir_path):
+    """A pause consumed during the replay loop must also halt the post-WAL
+    chunk drain: the engine may not keep committing snapshot chunks after
+    the operator asked it to pause (run_streaming already guarded this;
+    run() regression)."""
+    spec, src_dir, wal_dir = _setup(spark, tmpdir_path)
+    sig = os.path.join(tmpdir_path, "signals_pause.jsonl")
+    with open(sig, "w") as f:
+        f.write(json.dumps({"type": "execute-snapshot"}) + "\n")
+
+    e1 = _engine(spark, tmpdir_path, wal_dir, src_dir, "p", sig)
+    e1.run(max_batches=1)  # snapshot started, chunks pending
+    assert e1._incr_state()["active"]
+    with open(sig, "a") as f:
+        f.write(json.dumps({"type": "pause"}) + "\n")
+    e2 = _engine(spark, tmpdir_path, wal_dir, src_dir, "p", sig)
+    e2.run()
+    # the pause landed during replay -> the chunk drain must NOT have
+    # completed the snapshot behind the operator's back
+    assert e2._incr_state()["active"], "drain ran past a pause signal"
+    # resume: a fresh run() finishes snapshot + stream to the exact oracle
+    e3 = _engine(spark, tmpdir_path, wal_dir, src_dir, "p", sig)
+    e3.run()
+    got = oracle.target_hashes(
+        e3.target().read().select("repo", "path", "content").toPandas()
+    )
+    assert got == _expected(spark, src_dir, wal_dir)

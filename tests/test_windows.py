@@ -408,3 +408,44 @@ def test_zscore_outliers_exact_boundary(spark):
         ).collect()
     }
     assert res == {1: False, 2: False}
+
+
+def test_retention_pre_epoch_floor(spark):
+    from datetime import datetime
+
+    from debezium_spark.streaming.windows import retention_cohorts
+
+    rows = [
+        (1, datetime(1969, 12, 25)),  # negative epoch -> period -1 (floor)
+        (1, datetime(1970, 1, 2)),    # period 0
+    ]
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_keys"]
+        for r in retention_cohorts(
+            spark.createDataFrame(rows, "user_id long, ts timestamp"),
+            period_seconds=604_800,
+        ).collect()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1}
+
+
+def test_zscore_anchor_shift_invariance(spark):
+    """Anchoring to the group min must not change any flag: huge absolute
+    values with a small spread stay exact (the decimal budget scales with
+    spread, not |value|)."""
+    from debezium_spark.streaming.windows import zscore_outliers
+
+    base = 1.0e8  # 1e12 fixed-point units at the default unit
+    rows = [(i, "g", base) for i in range(30)] + [(99, "g", base + 50.0)]
+    got = {
+        r["event_id"]: r["is_outlier"]
+        for r in zscore_outliers(
+            spark.createDataFrame(rows, "event_id long, event_type string, value double"),
+            value_col="value",
+            group_cols=("event_type",),
+            k=3,
+        ).collect()
+    }
+    assert got[99] is True
+    assert all(got[i] is False for i in range(30))
+    assert None not in got.values()  # overflow would null the flag
