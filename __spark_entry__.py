@@ -778,6 +778,25 @@ def q_evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (dedup.winnow_fingerprints — MOSS, SIGMOD'03):
+    min-hash of every sliding window of 4 consecutive 5-gram hashes; any
+    shared >=8-word substring leaves a shared fingerprint while only
+    ~2/5 of the gram hashes are kept. Pure per-row array algebra, zero
+    shuffles before the final explode."""
+    return DD.winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy pairs over winnowed fingerprints
+    (dedup.winnow_shared_pairs): inverted-index join on the winnowed subset
+    with the same max_doc_freq posting cap as ngram_jaccard — candidates
+    never explode quadratically on a boilerplate fingerprint."""
+    return DD.winnow_shared_pairs(
+        _docs(spark, sf_dir), k=5, window=4, min_shared=2
+    )
+
+
 def q_doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocations (text.pmi_bigrams — the word2phrase pass): top-50
     bigrams by ppm-quantized pointwise mutual information, min_count=3
@@ -1978,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_outliers": q_evt_outliers,
         "evt_interval_join": q_evt_interval_join,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
         "doc_gopher_filter": q_doc_gopher_filter,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -2616,6 +2637,67 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN c USING (user_id)
             WHERE a.p >= c.cohort_period
             GROUP BY 1, 2
+        """,
+        "doc_winnow_fingerprints": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                       lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'),
+                       '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 4, 0)),
+                       i -> CAST(('0x' || substr(md5('winnow:' ||
+                              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))
+                            AS BIGINT)) AS hs
+              FROM w
+            ),
+            f AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 0)),
+                       i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+              FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "doc_winnow_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                       lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'),
+                       '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 4, 0)),
+                       i -> CAST(('0x' || substr(md5('winnow:' ||
+                              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))
+                            AS BIGINT)) AS hs
+              FROM w
+            ),
+            f AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 0)),
+                       i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+              FROM h
+            ),
+            inv AS (
+              SELECT doc_id AS id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+              QUALIFY count(*) OVER (PARTITION BY fp) <= 256
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM inv a JOIN inv b USING (fp)
+            WHERE a.id < b.id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "doc_pmi_bigrams": r"""
             WITH w AS (

@@ -587,3 +587,104 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    salt: str = "winnow",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 — the
+    MOSS algorithm): hash every POSITIONAL word k-gram, then keep the MINIMUM
+    hash of each sliding window of ``window`` consecutive k-grams. Guarantees
+    any shared substring of >= k + window - 1 words contributes at least one
+    shared fingerprint, while storing only ~2/(window+1) of the k-gram hashes
+    — the partial-copy detector that whole-doc `fingerprint` and set-based
+    Jaccard are not.
+
+    Entirely per-row array algebra (positional grams, _h64 hashes, window
+    minima, distinct) — zero shuffles; the ONLY corpus-sized pass is the
+    final explode. Hashes are the shared oracle-portable `_h64`, so the
+    DuckDB oracle reproduces every fingerprint bit-for-bit.
+
+    Output: one row per DISTINCT (doc, fingerprint): (id_col, fp BIGINT).
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # positional k-grams with the same single-bind CSE pattern as shingles()
+    grams2d = F.transform(
+        F.array(toks),
+        lambda t: F.slice(
+            F.transform(
+                t,
+                lambda x, i: F.concat_ws(
+                    " ", x, *[F.try_element_at(t, i + j + 1) for j in range(1, k)]
+                ),
+            ),
+            1,
+            F.greatest(F.size(t) - (k - 1), F.lit(0)),
+        ),
+    )
+    grams = F.element_at(grams2d, 1)
+    hashes2d = F.transform(
+        F.array(grams), lambda g: F.transform(g, lambda x: _h64(x, salt))
+    )
+    fps = F.transform(
+        F.array(F.element_at(hashes2d, 1)),
+        lambda h: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        ),
+    )
+    out = docs.select(
+        F.col(id_col), F.explode(F.element_at(fps, 1)).alias("fp")
+    )
+    return out
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 256,
+    salt: str = "winnow",
+) -> DataFrame:
+    """Partial-copy candidate pairs over winnowing fingerprints: documents
+    sharing >= ``min_shared`` fingerprints. The inverted-index join carries
+    only the winnowed ~2/(window+1) fraction of k-gram hashes (the whole
+    point of winnowing at corpus scale), and ``max_doc_freq`` caps posting
+    lists exactly like ngram_jaccard_pairs — one boilerplate fingerprint
+    shared by n docs can never emit n^2 candidates.
+
+    Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    inv = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window, salt=salt
+    ).select(F.col(id_col).alias("id"), "fp")
+    if max_doc_freq is not None:
+        inv = inv.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).where(F.col("_df") <= max_doc_freq).drop("_df")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -972,3 +972,37 @@ def test_avro_map_negative_block_count(spark):
     body = zz(-2) + zz(10) + s("a") + zz(7) + s("b") + zz(9) + zz(0)
     got = A._decode(io.BytesIO(body), schema)
     assert got == {"m": {"a": 7, "b": 9}}
+
+
+def test_winnow_guarantee_and_compression(spark):
+    from debezium_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1 words
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "completely different preamble " + shared + " other ending"),
+            (3, "no overlap with anything else at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {
+        i: {r["fp"] for r in rows}
+        for i, rows in [
+            (i, fps.where(F.col("doc_id") == i).collect()) for i in (1, 2, 3)
+        ]
+    }
+    # winnowing guarantee: a shared substring of >= k + window - 1 words
+    # leaves at least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # compression: fingerprints are a strict subset of the k-gram hashes
+    n_grams_doc1 = len(docs.where("doc_id = 1").first()["text"].split()) - 4
+    assert 0 < len(by_doc[1]) < n_grams_doc1
+
+    pairs = winnow_shared_pairs(docs, k=5, window=4, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
