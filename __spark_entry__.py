@@ -778,6 +778,40 @@ def q_evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-5 tokens (sketches.heavy_hitters): the skew
+    probe run before any token-keyed join. Map-side-combined count shuffle
+    sized by vocabulary, bounded rank window per group."""
+    from debezium_spark.functions.sketches import heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = d.select(
+        "lang", F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=5, group_cols=("lang",))
+
+
+def q_doc_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL distinct-token estimates (sketches.cardinality_
+    sketches — Apache DataSketches HLL via hll_sketch_agg, lg_k=12): the
+    shuffle carries 4 KB mergeable sketches, never distinct values. Rows-only
+    driver check BY CONTRACT: the estimate is approximate and DuckDB's HLL
+    is a different implementation, so no SQL oracle can hash-match it; the
+    accuracy bound (±1.6%) and sketch mergeability are pinned in
+    tests/test_dataops.py instead."""
+    from debezium_spark.functions.sketches import cardinality_sketches
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = d.select(
+        "lang", F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok")
+    )
+    return cardinality_sketches(toks, "tok", group_cols=("lang",)).select(
+        "lang", "distinct_estimate"
+    )
+
+
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (dedup.winnow_fingerprints — MOSS, SIGMOD'03):
     min-hash of every sliding window of 4 consecutive 5-gram hashes; any
@@ -1997,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_outliers": q_evt_outliers,
         "evt_interval_join": q_evt_interval_join,
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
+        "doc_heavy_hitters": q_doc_heavy_hitters,
+        "doc_cardinality_sketch": q_doc_cardinality_sketch,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -2637,6 +2673,22 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN c USING (user_id)
             WHERE a.p >= c.cohort_period
             GROUP BY 1, 2
+        """,
+        "doc_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(string_split_regex(lower(trim(coalesce(text,''))), '\s+')) AS tok
+              FROM documents
+            ),
+            c AS (
+              SELECT lang, tok AS value, count(*) AS n
+              FROM toks WHERE tok <> '' GROUP BY 1, 2
+            )
+            SELECT lang, value, n, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, value) AS rank
+              FROM c
+            ) WHERE rank <= 5
         """,
         "doc_winnow_fingerprints": r"""
             WITH w AS (

@@ -1006,3 +1006,40 @@ def test_winnow_guarantee_and_compression(spark):
 
     pairs = winnow_shared_pairs(docs, k=5, window=4, min_shared=1).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_sketches_cardinality_merge_and_heavy_hitters(spark):
+    from debezium_spark.functions.sketches import (
+        cardinality_sketches,
+        heavy_hitters,
+        merge_cardinality_sketches,
+    )
+
+    rows = [(i, f"g{i % 3}", f"v{i % 157}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, grp string, val string")
+
+    per_grp = cardinality_sketches(df, "val", group_cols=("grp",))
+    got = {r["grp"]: r["distinct_estimate"] for r in per_grp.collect()}
+    # exact distinct per group is 157; HLL at lg_k=12 is ~1.6% error
+    for grp, est in got.items():
+        assert abs(est - 157) <= 8, (grp, est)
+
+    # mergeability: union of per-group sketches == sketch of the whole
+    merged = merge_cardinality_sketches(per_grp).collect()[0]
+    whole = cardinality_sketches(df, "val").collect()[0]
+    assert merged["distinct_estimate"] == whole["distinct_estimate"]
+
+    # heavy hitters: exact counts, deterministic ties
+    skew = df.union(
+        spark.createDataFrame(
+            [(9000 + i, "g0", "hot") for i in range(500)],
+            "id long, grp string, val string",
+        )
+    )
+    hh = heavy_hitters(skew, "val", k=2, group_cols=("grp",)).collect()
+    top_g0 = [r for r in hh if r["grp"] == "g0" and r["rank"] == 1][0]
+    assert top_g0["value"] == "hot" and top_g0["n"] == 500
+    assert all(r["rank"] <= 2 for r in hh)
+
+    flat = heavy_hitters(skew, "val", k=3).collect()
+    assert flat[0]["value"] == "hot" and flat[0]["rank"] == 1
