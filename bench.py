@@ -208,6 +208,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_token_stats",
         "emb_topk_cosine",
         "tpch_q1_pricing",
+        # session-8 surface (kept after the original eight so cross-round
+        # per-query comparisons stay aligned)
+        "doc_tfidf_topterms",
+        "doc_winnow_pairs",
+        "evt_asof_join",
     ]
     qs = entrymod.queries()
     out = {}
