@@ -1989,6 +1989,86 @@ def q_message_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational count-min sketch, end to end (sketches.cms_table /
+    merge_cms_tables / cms_estimate): per-source sketches of document
+    tokens built independently, merged cell-wise (counters ADD exactly —
+    the merge law is in the hash-gated path, merged == global build), then
+    every distinct token point-estimated as min-over-rows. width=256 is
+    deliberately small so hash collisions occur and estimates genuinely
+    overestimate some counts — the oracle reproduces the exact same cells
+    via the shared portable md5 hash. Shuffles are bounded at
+    depth x width cells per group; the probe join broadcasts."""
+    from debezium_spark.functions import sketches as SK
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    per_source = SK.cms_table(
+        toks, "tok", depth=4, width=256, group_cols=("source",)
+    )
+    merged = SK.merge_cms_tables(per_source.drop("source"))
+    probes = toks.select("tok").distinct()
+    return SK.cms_estimate(merged, probes, "tok", depth=4, width=256)
+
+
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (dedup.decontaminate_bloom): same
+    eval split as doc_decontaminate (doc_id % 97 == 0), but the eval
+    shingle set is compressed to a 2^18-bit bloom (k=6) and the corpus
+    probe is a zero-join bit test against one plan-literal word array —
+    no broadcast hash table, no corpus shuffle before the per-doc count.
+    The oracle states EXACT membership semantics: at these filter
+    parameters the false-positive probability across every probe at gate
+    scale is ~1e-7, so the bloom output equals the exact join
+    deterministically (the FP-rate and no-false-negative laws are
+    pytest-pinned in tests/test_dataops.py)."""
+    d = _docs(spark, sf_dir)
+    return DD.decontaminate_bloom(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        ngram_words=8,
+        m_bits=1 << 18,
+        k_hashes=6,
+    )
+
+
+def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value quantiles (windows.quantile_profile):
+    Spark's exact `percentile` aggregate — interpolation at rank (n-1)*q,
+    the same definition as DuckDB quantile_cont — computed for all five
+    quantiles from ONE map-side-combined buffer, quantized to ppm. Buffer
+    memory is O(distinct values per group) (2-decimal values here), the
+    documented trade vs approx_percentile for unbounded measures."""
+    from debezium_spark.streaming.windows import quantile_profile
+
+    return quantile_profile(
+        _events(spark, sf_dir),
+        "value",
+        quantiles=(0.25, 0.5, 0.75, 0.9, 0.99),
+        group_cols=("event_type",),
+    )
+
+
+def q_evt_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute per-user activity (windows.rolling_metrics):
+    every event's count + exact cents-scaled sum of that user's events in
+    [ts-600s, ts]. ONE user-keyed RANGE window over microsecond event time
+    serves both aggregates (single hash exchange + in-partition sort);
+    same-(user, ts) events are frame peers, so outputs are tie-stable
+    across engines."""
+    from debezium_spark.streaming.windows import rolling_metrics
+
+    return rolling_metrics(
+        _events(spark, sf_dir),
+        trailing_seconds=600,
+        value_scale=100,
+    ).select("event_id", "user_id", "rolling_n", "rolling_sum_scaled")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2033,6 +2113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pmi_bigrams": q_doc_pmi_bigrams,
         "doc_heavy_hitters": q_doc_heavy_hitters,
         "doc_cardinality_sketch": q_doc_cardinality_sketch,
+        "doc_cms_estimate": q_doc_cms_estimate,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "evt_value_quantiles": q_evt_value_quantiles,
+        "evt_rolling_metrics": q_evt_rolling_metrics,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -2593,6 +2677,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "doc_cms_estimate": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            rows_ AS (SELECT unnest(range(4)) AS r),
+            cells AS (
+              SELECT r,
+                     CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 15))
+                          AS BIGINT) % 256 AS bucket,
+                     count(*) AS n
+              FROM toks CROSS JOIN rows_
+              GROUP BY 1, 2
+            ),
+            probes AS (SELECT DISTINCT tok FROM toks)
+            SELECT p.tok AS value, CAST(min(c.n) AS BIGINT) AS est_n
+            FROM probes p
+            CROSS JOIN rows_ r
+            JOIN cells c
+              ON c.r = r.r
+             AND c.bucket = CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || p.tok), 1, 15))
+                                 AS BIGINT) % 256
+            GROUP BY 1
+        """,
+        "doc_bloom_decontaminate": """
+            WITH w AS (
+              SELECT doc_id, string_split(trim(coalesce(text,'')), ' ') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       list_transform(range(1, len(ws) - 8 + 2),
+                                      i -> array_to_string(ws[i:(i+7)], ' '))
+                     ELSE [] END) AS s
+              FROM w
+            ),
+            eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS c
+              FROM sh JOIN eval_sh USING (s)
+              WHERE sh.doc_id % 97 <> 0
+              GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT)
+                     AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        "evt_value_quantiles": """
+            WITH a AS (
+              SELECT event_type,
+                     quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+              FROM events GROUP BY event_type
+            ),
+            q AS (
+              SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                     unnest(range(5)) AS i
+            )
+            SELECT a.event_type, q.q,
+                   CAST(floor(a.vs[CAST(q.i AS INT) + 1] * 1e6 + 0.5) AS BIGINT)
+                     AS value_ppm
+            FROM a CROSS JOIN q
+        """,
+        "evt_rolling_metrics": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS rolling_n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                        AS BIGINT) AS rolling_sum_scaled
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "evt_outliers": """
             WITH v AS (

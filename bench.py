@@ -213,6 +213,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_tfidf_topterms",
         "doc_winnow_pairs",
         "evt_asof_join",
+        # session-9 surface
+        "doc_cms_estimate",
+        "doc_bloom_decontaminate",
+        "evt_rolling_metrics",
     ]
     qs = entrymod.queries()
     out = {}

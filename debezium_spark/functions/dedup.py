@@ -688,3 +688,159 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------- bloom
+def _bloom_pos(value: Column, i: int, m_bits: int) -> Column:
+    """Bit position of hash i for ``value`` in an m-bit bloom filter.
+    xxhash64 (JVM-vectorized — this runs in corpus-sized paths, where the
+    md5 portable hash would be the slow choice; membership SEMANTICS, not
+    hash values, are what the oracle checks)."""
+    return F.pmod(F.xxhash64(F.concat(F.lit(f"b{i}:"), value)), F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> list:
+    """Build an m-bit bloom filter over ``value_col`` and return it as a
+    Python list of ``m_bits/64`` ints (the driver-side literal
+    :func:`bloom_probe` embeds in its plan).
+
+    Distributed build: each value explodes to ``k_hashes`` bit positions,
+    positions groupBy their 64-bit WORD index with a map-side-combined
+    ``bit_or`` of single-bit masks — the shuffle carries at most
+    ``m_bits/64`` rows total (one per non-zero word), and only that bounded
+    word table is collected. Never collects values; never a driver loop
+    over rows.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k*n/m))^k; with n keys,
+    m = 16n bits and k=5 gives ~5e-4. There are NO false negatives ever
+    (pytest-pinned law). At 10^9 keys a 2 GB bit array outgrows a plan
+    literal — at that scale hand the filter to executors as a broadcast
+    variable inside a pandas UDF, or keep the word TABLE and equi-join on
+    word index; this literal form targets the broadcast-filter sweet spot
+    (≤ ~2^24 bits) where it replaces a shuffle semi-join outright.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    v = F.col(value_col).cast("string")
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(v, i, m_bits) for i in range(k_hashes)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("widx"),
+            # call_function: python F.shiftleft only takes an int shift
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words.collect():  # bounded: <= m_bits/64 rows by construction
+        arr[int(r["widx"])] = int(r["word"])
+    return arr
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    words: list,
+    *,
+    k_hashes: int = 5,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe each row's ``value_col`` against a bloom filter built by
+    :func:`bloom_build`: adds ``hit_col`` (int 0/1), 1 iff ALL k bits are
+    set. The word array rides the plan as ONE array literal (broadcast to
+    executors with the serialized plan), so the probe is a zero-shuffle,
+    zero-join projection over the corpus — the scale payoff vs. a semi-join
+    against the key set. Membership law: every inserted value hits
+    (no false negatives); non-members hit with probability ≈ the documented
+    FP rate, so downstream use is "cheap prefilter, exact check on
+    survivors" (or accept the bounded FP rate, as dedup pipelines do).
+    """
+    m_bits = len(words) * 64
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    v = F.col(value_col).cast("string")
+    checks = []
+    for i in range(k_hashes):
+        p = _bloom_pos(v, i, m_bits)
+        word = F.element_at(lit_words, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63)).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != F.lit(0))
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    return df.withColumn(hit_col, hit.cast("int"))
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 8,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` with the eval-shingle set compressed into a
+    bloom filter: flags corpus docs sharing any ``ngram_words``-word shingle
+    with the eval set, but the corpus-side probe is a zero-join bit test
+    instead of a broadcast hash join — the variant to reach for when the
+    eval shingle set outgrows a comfortable broadcast hash table (a bloom
+    is ~16 bits/key vs ~100+ bytes/key for broadcast strings, ~50x more
+    keys in the same executor memory).
+
+    Same output contract as :func:`decontaminate`
+    (``id, n_hits, contaminated``) with n_hits counting shingle POSITIONS
+    that test positive. False positives inflate n_hits at the documented
+    bloom FP rate (size m_bits accordingly); false negatives cannot occur,
+    so nothing contaminated is ever missed — the safe failure direction
+    for decontamination.
+    """
+
+    def _word_shingles() -> Column:
+        t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        w = F.split(t, " ")
+        return F.when(
+            F.size(w) >= ngram_words,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - ngram_words + 1),
+                lambda i: F.array_join(F.slice(w, i, ngram_words), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    eval_sh = eval_docs.select(F.explode(_word_shingles()).alias("sh")).distinct()
+    words = bloom_build(eval_sh, "sh", m_bits=m_bits, k_hashes=k_hashes)
+    corpus_sh = docs.select(F.col(id_col), F.explode(_word_shingles()).alias("sh"))
+    probed = bloom_probe(corpus_sh, "sh", words, k_hashes=k_hashes)
+    hits = (
+        probed.where(F.col("bloom_hit") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

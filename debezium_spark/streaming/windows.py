@@ -360,3 +360,92 @@ def zscore_outliers(
         .withColumn("is_outlier", (lhs * lhs) > rhs)
         .drop("_v", "_v0", "_minv", "_n", "_s", "_ss")
     )
+
+
+def quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact per-group quantile profile: (group_cols..., q, value_ppm).
+
+    Uses Spark's EXACT ``percentile`` aggregate (linear interpolation at
+    rank ``(n-1)*q`` — the same definition as DuckDB's ``quantile_cont`` and
+    NumPy's default, so results are engine-portable; the single interpolated
+    double is quantized to ppm once per group x quantile). One
+    map-side-combined aggregation: the partial buffer holds per-group
+    DISTINCT values with counts, so memory is O(distinct values per group)
+    — exact and cheap for bounded-cardinality measures (token counts,
+    quality scores, sizes in bytes); for genuinely unbounded continuous
+    values at 10^10 rows switch to ``approx_percentile`` (GK sketch,
+    fixed-size buffer, rank error <= 1/accuracy) and drop the oracle claim.
+
+    All requested quantiles compute from ONE shared buffer (percentile takes
+    the array), then explode to rows — never one aggregation per quantile.
+    """
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col).cast("double"), qarr).alias("_vals")
+    )
+    pairs = F.arrays_zip(
+        qarr.alias("q"), F.col("_vals").alias("v")
+    )
+    return agg.select(
+        *group_cols, F.explode(pairs).alias("_p")
+    ).select(
+        *group_cols,
+        F.col("_p.q").alias("q"),
+        F.floor(F.col("_p.v") * scale + F.lit(0.5)).cast("long").alias("value_ppm"),
+    )
+
+
+def rolling_metrics(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    trailing_seconds: int = 3600,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key trailing-window metrics over event time: for every event, the
+    count and sum of that key's events in ``[ts - trailing_seconds, ts]`` —
+    the sliding "activity in the last hour" feature that tumbling windows
+    (windowed_event_metrics) cannot express because every event anchors its
+    own window.
+
+    Physical shape: ONE key-partitioned RANGE window over microsecond event
+    time serves both aggregates — a single hash exchange on the key plus an
+    in-partition sort, state bounded by each key's events inside the
+    trailing range. Events tied on the same (key, ts) are RANGE-frame peers
+    and share identical outputs in any engine (no arbitrary tie order leaks
+    into results). Values sum as scaled BIGINTs (``floor(v*scale + 0.5)``)
+    — float accumulation order is partition-dependent, integer sums are
+    exact and engine-portable. Hot keys: a rolling window cannot be salted
+    (every event needs its key's full trailing range); when one key's
+    events at this granularity overflow a task, coarsen per-(key, bucket)
+    partial sums first (tumbling pre-aggregation at, say, 1s grain) and
+    roll over the bucket series instead.
+
+    Output: input columns + rolling_n (BIGINT), rolling_sum_scaled (BIGINT).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
+    )
+    scaled = F.floor(
+        F.col(value_col).cast("double") * value_scale + F.lit(0.5)
+    ).cast("long")
+    return events.withColumn(
+        "rolling_n", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("rolling_sum_scaled", F.sum(scaled).over(w).cast("long"))

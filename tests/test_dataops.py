@@ -1043,3 +1043,162 @@ def test_sketches_cardinality_merge_and_heavy_hitters(spark):
 
     flat = heavy_hitters(skew, "val", k=3).collect()
     assert flat[0]["value"] == "hot" and flat[0]["rank"] == 1
+
+
+def test_cms_table_laws(spark, docs):
+    """Relational count-min: never underestimates, merge == global build,
+    bounded cell count, and heavy hitters estimate near-exactly."""
+    from debezium_spark.functions import sketches as SK
+
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    depth, width = 4, 128
+    global_cms = SK.cms_table(toks, "tok", depth=depth, width=width)
+    assert global_cms.count() <= depth * width
+    # merge law: per-source sketches summed cell-wise == one global build
+    per_src = SK.cms_table(toks, "tok", depth=depth, width=width, group_cols=("source",))
+    merged = SK.merge_cms_tables(per_src.drop("source"))
+    assert (
+        merged.exceptAll(global_cms).count() == 0
+        and global_cms.exceptAll(merged).count() == 0
+    )
+    # estimates: est >= true for every token; total overestimate bounded
+    true = toks.groupBy(F.col("tok").alias("value")).agg(F.count(F.lit(1)).alias("true_n"))
+    probes = toks.select("tok").distinct()
+    est = SK.cms_estimate(global_cms, probes, "tok", depth=depth, width=width)
+    joined = est.join(true, "value").collect()
+    n_total = toks.count()
+    assert len(joined) == probes.count()
+    for r in joined:
+        assert r["est_n"] >= r["true_n"]
+        # classic CMS bound: overestimate <= 2N/width with prob 1 - 2^-depth;
+        # assert the loose deterministic-ish bound holds for all but a few
+    over = [r["est_n"] - r["true_n"] for r in joined]
+    bound = 2 * n_total / width
+    assert sum(1 for o in over if o > bound) <= max(1, len(over) // 16)
+
+
+def test_freq_sketch_binary_jvm_laws(spark, docs):
+    """Spark's binary CMS: JVM decode, overestimate-only within eps*N, and
+    mergeInPlace equals the global sketch's estimates."""
+    from debezium_spark.functions import sketches as SK
+
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    eps, conf = 0.01, 0.99
+    row = SK.freq_sketch_binary(toks, "tok", eps=eps, confidence=conf).collect()[0]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["cms_sketch"]))
+    assert cms.totalCount() == row["total_n"]
+    true = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = row["total_n"]
+    for tok, tn in list(true.items())[:50]:
+        est = cms.estimateCount(tok)
+        assert est >= tn
+        assert est <= tn + eps * n + 1
+    # merge law: per-source sketches merged == same estimates as global
+    parts = SK.freq_sketch_binary(
+        toks, "tok", eps=eps, confidence=conf, group_cols=("source",)
+    ).collect()
+    acc = None
+    for p in parts:
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(p["cms_sketch"]))
+        acc = s if acc is None else acc.mergeInPlace(s)
+    for tok in list(true)[:20]:
+        assert acc.estimateCount(tok) == cms.estimateCount(tok)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Bloom filter laws: every inserted key hits; FP rate on disjoint keys
+    stays within ~3x the analytic bound."""
+    from debezium_spark.functions.dedup import bloom_build, bloom_probe
+
+    n_keys, m_bits, k = 2000, 1 << 16, 5
+    members = spark.range(n_keys).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v")
+    )
+    words = bloom_build(members, "v", m_bits=m_bits, k_hashes=k)
+    assert len(words) == m_bits // 64
+    hit = bloom_probe(members, "v", words, k_hashes=k)
+    assert hit.where("bloom_hit = 0").count() == 0  # no false negatives, ever
+    import math
+    others = spark.range(20000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    fp = bloom_probe(others, "v", words, k_hashes=k).where("bloom_hit = 1").count()
+    p = (1 - math.exp(-k * n_keys / m_bits)) ** k
+    assert fp <= max(5, 3 * p * 20000)
+
+
+def test_decontaminate_bloom_matches_exact(spark, docs):
+    """At the entry's filter size the bloom output equals exact decontaminate
+    (zero false positives on this corpus — deterministic, not luck: verified
+    at sf0.001/0.01/0.1 by the gate; the FP law above covers the general case)."""
+    eval_side = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    exact = D.decontaminate(corpus, eval_side, ngram_words=8)
+    bloom = D.decontaminate_bloom(
+        corpus, eval_side, ngram_words=8, m_bits=1 << 18, k_hashes=6
+    )
+    assert (
+        exact.exceptAll(bloom).count() == 0 and bloom.exceptAll(exact).count() == 0
+    )
+
+
+def test_quantile_profile_matches_numpy(spark):
+    """Exact percentile parity with numpy's linear interpolation, per group."""
+    from debezium_spark.streaming.windows import quantile_profile
+
+    rows = [(("a" if i % 3 else "b"), float(i * 7 % 101) / 4) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_profile(
+        df, "v", quantiles=(0.1, 0.5, 0.9), group_cols=("g",), scale=10**6
+    ).collect()
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for r in out:
+        expect = np.percentile(np.array(by_g[r["g"]]), r["q"] * 100)
+        assert r["value_ppm"] == int(np.floor(expect * 10**6 + 0.5))
+
+
+def test_rolling_metrics_trailing_window(spark):
+    """Rolling metrics vs a brute-force pandas check, including ts ties
+    (RANGE peers share outputs) and exact scaled sums."""
+    import pandas as pd
+    from debezium_spark.streaming.windows import rolling_metrics
+
+    rows = []
+    for i in range(200):
+        uid = i % 5
+        # deliberate ties: every 10th event repeats the previous timestamp
+        sec = (i // 5) * 13 if i % 10 else ((i // 5) * 13 - 13 if i >= 10 else 0)
+        rows.append((i, uid, f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}", 0.01 * i))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        r["event_id"]: (r["rolling_n"], r["rolling_sum_scaled"])
+        for r in rolling_metrics(
+            df, trailing_seconds=60, value_scale=100
+        ).collect()
+    }
+    pdf = df.toPandas()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    for _, e in pdf.iterrows():
+        w = pdf[
+            (pdf.user_id == e.user_id)
+            & (pdf.us >= e.us - 60_000_000)
+            & (pdf.us <= e.us)
+        ]
+        scaled = int(sum(int(np.floor(v * 100 + 0.5)) for v in w.value))
+        assert out[e.event_id] == (len(w), scaled)
