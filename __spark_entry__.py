@@ -2069,6 +2069,35 @@ def q_evt_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "rolling_n", "rolling_sum_scaled")
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank (graph.pagerank) over the 3-gram-Jaccard
+    pair graph — centrality-based keep-representative selection for dup
+    cluster families. 5 power iterations; every per-edge contribution is an
+    integer division of BIGINT rank by degree, so round sums are
+    order-independent and the oracle (the same graph unrolled 5 rounds in
+    SQL) matches bit-for-bit. Per round: one slim rank-onto-edges join + a
+    map-side-combined SUM keyed by the receiving node, lineage truncated
+    by eager checkpoint."""
+    from debezium_spark.functions.graph import pagerank
+
+    d = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.1, max_doc_freq=256).select(
+        "id_a", "id_b"
+    )
+    return pagerank(pairs, iterations=5)
+
+
+def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (windows.transition_matrix): one user-keyed exchange feeds the lead
+    window ((ts, event_id)-ordered, tie-deterministic), pair counts
+    map-side combine into a |types|²-bounded frame, and row probabilities
+    are exact integer-division ppm."""
+    from debezium_spark.streaming.windows import transition_matrix
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2117,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "evt_value_quantiles": q_evt_value_quantiles,
         "evt_rolling_metrics": q_evt_rolling_metrics,
+        "doc_pagerank": q_doc_pagerank,
+        "evt_transitions": q_evt_transitions,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -2286,6 +2317,28 @@ def _bucket_sql(dim: int = 64, planes: int = 8) -> str:
 # Fixed-point 1e-4 quantization (similarity.scaled analogue) — floor(x*1e4+0.5)
 # is pure IEEE double math, bit-identical in Spark and DuckDB, unlike
 # double->DECIMAL casts whose rounding mode differs between the engines.
+def _pagerank_rounds_sql(n_rounds: int) -> str:
+    """Unrolled PageRank iteration CTEs it1..itN for the doc_pagerank oracle
+    (exact integer arithmetic mirroring graph.pagerank: contribution =
+    r // degree per edge, update = base + (85 * sum_in) // 100)."""
+    rounds = []
+    for k in range(1, n_rounds + 1):
+        rounds.append(f"""
+            it{k} AS MATERIALIZED (
+              SELECT d.id, d.degree,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s.sum_in, 0)) // 100 AS r
+              FROM it{k - 1} d
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.b AS id, sum(p.r // p.degree) AS sum_in
+                FROM edges e JOIN it{k - 1} p ON p.id = e.a
+                GROUP BY e.b
+              ) s USING (id)
+            )""")
+    return ",".join(rounds)
+
+
 def _scaled_sql(expr: str, scale: int = 10000) -> str:
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
 
@@ -3319,6 +3372,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cc.id AS doc_id, cc.component, sizes.cluster_size
             FROM cc JOIN sizes USING (component)
+        """,
+        "doc_pagerank": f"""
+            -- AS MATERIALIZED throughout: DuckDB inlines multiply-referenced
+            -- CTEs, and the 5 unrolled rounds reference edges/it_k 2x each —
+            -- uninlined this oracle re-runs the shingle pipeline ~12x (280s
+            -- vs 6s measured at sf0.01)
+            WITH s AS MATERIALIZED (
+              SELECT doc_id AS id, list_sort(list_distinct({shingles3})) AS sh
+              FROM documents
+            ),
+            s2 AS MATERIALIZED (SELECT id, sh FROM s WHERE len(sh) > 0),
+            inv AS MATERIALIZED (
+              SELECT id, g FROM (SELECT id, unnest(sh) AS g FROM s2)
+              QUALIFY count(*) OVER (PARTITION BY g) <= 256
+            ),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM inv a JOIN inv b USING (g) WHERE a.id < b.id
+            ),
+            pairs AS MATERIALIZED (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN s2 sa ON sa.id = cand.id_a
+              JOIN s2 sb ON sb.id = cand.id_b
+              WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+            ),
+            edges AS MATERIALIZED (
+              SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a != id_b
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a != id_b
+            ),
+            deg AS MATERIALIZED (SELECT a AS id, count(*) AS degree FROM edges GROUP BY 1),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+            it0 AS MATERIALIZED (
+              SELECT id, degree, 1000000000000 // nn.n AS r
+              FROM deg CROSS JOIN nn
+            ),
+            {_pagerank_rounds_sql(5)}
+            SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM it5
+        """,
+        "evt_transitions": """
+            WITH p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            ),
+            c AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+                   CAST((c.n * 1000000) // t.n_from AS BIGINT) AS p_ppm
+            FROM c JOIN t USING (from_type)
         """,
         "doc_pack_shards": """
             WITH t AS (

@@ -217,6 +217,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_cms_estimate",
         "doc_bloom_decontaminate",
         "evt_rolling_metrics",
+        "evt_transitions",
     ]
     qs = entrymod.queries()
     out = {}

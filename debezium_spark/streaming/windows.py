@@ -449,3 +449,55 @@ def rolling_metrics(
     return events.withColumn(
         "rolling_n", F.count(F.lit(1)).over(w).cast("long")
     ).withColumn("rolling_sum_scaled", F.sum(scaled).over(w).cast("long"))
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    p_scale: int = 10**6,
+) -> DataFrame:
+    """First-order Markov transition matrix of per-key event sequences:
+    ``(from_type, to_type, n, p_ppm)`` — the user-journey model behind
+    next-step prediction, funnel design, and bot detection (bots have
+    near-degenerate rows).
+
+    Each key's events are ordered by ``(ts, id)`` — the id tiebreak makes
+    simultaneous events deterministically ordered, so the pair counts are
+    engine-portable — and consecutive pairs count into the matrix.
+    ``p_ppm = (n * p_scale) DIV n_from`` is the exact integer-division
+    row-normalized probability (order-independent, no float).
+
+    Physical shape: ONE key-hash exchange + in-partition sort feeds the lag
+    window (partitions bounded by per-key event counts), then the pair
+    count is a map-side-combined groupBy on (from, to) — a frame bounded by
+    |type vocabulary|², tiny by construction. The row-sum join back is over
+    that same tiny frame. Hot keys: a single user's events must sort in one
+    task; at 10^10-events-per-key granularity, pre-bucket each key by
+    session (sessionize) and model transitions within sessions.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr(f"(n * {p_scale}) div n_from").cast("long").alias("p_ppm"),
+        )
+    )

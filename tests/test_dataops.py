@@ -1202,3 +1202,68 @@ def test_rolling_metrics_trailing_window(spark):
         ]
         scaled = int(sum(int(np.floor(v * 100 + 0.5)) for v in w.value))
         assert out[e.event_id] == (len(w), scaled)
+
+
+def test_pagerank_fixed_point_laws(spark):
+    """PageRank: center of a star outranks leaves, rank mass ~ conserved,
+    fixed-point result tracks a float reference within truncation noise,
+    and repartitioning does not change a single bit."""
+    from debezium_spark.functions.graph import PR_SCALE, degree_stats, pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6)], "id_a long, id_b long"
+    )
+    deg = {r["id"]: r["degree"] for r in degree_stats(edges).collect()}
+    assert deg[0] == 4 and deg[1] == 1 and deg[5] == 1
+    out = {r["id"]: r["rank_scaled"] for r in pagerank(edges, iterations=5).collect()}
+    assert len(out) == 7
+    assert out[0] > out[1] == out[2] == out[3] == out[4]
+    assert out[5] == out[6]
+    # mass conservation up to integer-truncation (< (deg+1) per node per round)
+    assert abs(sum(out.values()) - PR_SCALE) < 7 * 10 * 6
+    # float reference power iteration (same damping, same iteration count)
+    import numpy as np
+    adj = {0: [1, 2, 3, 4], 1: [0], 2: [0], 3: [0], 4: [0], 5: [6], 6: [5]}
+    r = {k: 1 / 7 for k in adj}
+    for _ in range(5):
+        r = {
+            k: 0.15 / 7 + 0.85 * sum(r[j] / len(adj[j]) for j in adj if k in adj[j])
+            for k in adj
+        }
+    for k, v in r.items():
+        assert abs(out[k] / PR_SCALE - v) < 1e-9
+    # bit-determinism across partitionings
+    out2 = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(edges.repartition(7), iterations=5).collect()
+    }
+    assert out == out2
+
+
+def test_transition_matrix_hand_case(spark):
+    """Transition matrix: exact pair counts, integer-division row
+    probabilities, and deterministic ordering of simultaneous events."""
+    from debezium_spark.streaming.windows import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a  (ordered by ts)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:00:10", "b"),
+        (3, 1, "2024-01-01 00:00:20", "a"),
+        # user 2: tie on ts — event_id breaks it: a(4) -> b(5) -> b(6)
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:00:00", "b"),
+        (6, 2, "2024-01-01 00:00:05", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_ppm"])
+        for r in transition_matrix(df).collect()
+    }
+    # pairs: u1 a->b, b->a; u2 a->b, b->b
+    assert out[("a", "b")] == (2, 1_000_000)  # both a-transitions go to b
+    assert out[("b", "a")] == (1, 500_000)
+    assert out[("b", "b")] == (1, 500_000)
+    assert len(out) == 3
