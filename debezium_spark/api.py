@@ -272,10 +272,37 @@ class _Builder:
         snapshot_source = props.pop("snapshot.source", None)
         if not wal_path or not work_dir:
             raise ValueError("properties must include wal.path and work.dir")
-        offset_file = props.pop(
-            "offset.storage.file.filename",  # FileOffsetBackingStore's knob
-            os.path.join(work_dir, "_api_offsets.json"),
+        # offset.storage selects the backend by the reference's class name
+        # (FileOffsetBackingStore/MemoryOffsetBackingStore/Kafka -> log
+        # analogue) — storage.offset_store_from_properties; file remains the
+        # default with offset.storage.file.filename as its knob
+        from debezium_spark.storage import (
+            offset_store_from_properties,
+            schema_history_from_properties,
         )
+
+        store_keys = {
+            k: str(v) for k, v in props.items()
+            if k == "offset.storage" or k.startswith("offset.storage.")
+        }
+        for k in store_keys:
+            props.pop(k)
+        offset_store = offset_store_from_properties(
+            store_keys, default_path=os.path.join(work_dir, "_api_offsets.json")
+        )
+        hist_keys = {
+            k: str(v) for k, v in props.items()
+            if k == "schema.history.internal"
+            or k.startswith("schema.history.internal.")
+        }
+        history_store = None
+        if hist_keys:  # only override the engine default when configured
+            for k in hist_keys:
+                props.pop(k)
+            history_store = schema_history_from_properties(
+                hist_keys,
+                default_path=os.path.join(work_dir, "_schema_history.jsonl"),
+            )
         flush_ms = int(props.pop("offset.flush.interval.ms", 60_000))
         # JsonConverter schemas.enable -> schema+payload wrapper (Json format only)
         wrapper = str(props.pop("value.converter.schemas.enable", "false")).lower() == "true"
@@ -294,7 +321,8 @@ class _Builder:
             wal_path=wal_path,
             work_dir=work_dir,
             snapshot_source=snapshot_source,
-            offset_file=offset_file,
+            offset_store=offset_store,
+            history_store=history_store,
             flush_interval_ms=flush_ms,
             schema_payload_wrapper=wrapper,
             cloudevents_data_format=ce_data,
@@ -337,7 +365,8 @@ class DebeziumEngine:
         wal_path: str,
         work_dir: str,
         snapshot_source: str | None,
-        offset_file: str,
+        offset_store,
+        history_store=None,
         flush_interval_ms: int,
         schema_payload_wrapper: bool,
         cloudevents_data_format: str = "json",
@@ -354,12 +383,13 @@ class DebeziumEngine:
             target_path=os.path.join(work_dir, "_api_target"),
             work_dir=work_dir,
             snapshot_source=snapshot_source,
+            history_store=history_store,
         )
         self._fmt = fmt
         self._consumer = consumer
         self._ce_data = cloudevents_data_format
         self._registry_path = os.path.join(work_dir, "_avro_registry.jsonl")
-        self._offset_file = offset_file
+        self._store = offset_store
         self._flush_interval_ms = flush_interval_ms
         self._wrapper = schema_payload_wrapper
         self._completion = completion_callback
@@ -374,10 +404,7 @@ class DebeziumEngine:
 
     # ------------------------------------------------------------- offsets
     def _stored(self) -> dict[str, Any]:
-        if not os.path.exists(self._offset_file):
-            return {}
-        with open(self._offset_file) as f:
-            return json.load(f)
+        return self._store.load()
 
     def _commit(self, offset: int | None, extra: dict[str, Any], *, force: bool) -> None:
         if offset is None:
@@ -389,11 +416,9 @@ class DebeziumEngine:
         )
         if not due:
             return
-        state = {"offset": int(offset), **extra}
-        tmp = self._offset_file + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._offset_file)  # atomic, like FileOffsetBackingStore
+        # WHEN to persist is the commit policy above; HOW is the pluggable
+        # OffsetBackingStore (file atomic-rename / memory / compacted log)
+        self._store.save({"offset": int(offset), **extra})
         self._last_flush = time.monotonic()
 
     # ------------------------------------------------------------- records

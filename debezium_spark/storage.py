@@ -1,0 +1,337 @@
+"""Pluggable offset and schema-history storage backends — the
+`debezium-storage` module analogue (debezium-storage-file /
+debezium-storage-kafka; offset stores come from Kafka Connect's
+``offset.storage`` class property, histories from
+``schema.history.internal``).
+
+The reference selects storage BY CLASS NAME in configuration:
+
+    offset.storage=org.apache.kafka.connect.storage.FileOffsetBackingStore
+    schema.history.internal=io.debezium.storage.file.history.FileSchemaHistory
+
+This module accepts those exact class names (plus short aliases
+``file`` / ``memory`` / ``log``) and resolves them onto Spark-friendly
+backends:
+
+- **file** — one JSON document, atomic tmp+rename write
+  (FileOffsetBackingStore / FileSchemaHistory semantics; fsync'd).
+- **memory** — process-lifetime store registered by name
+  (MemoryOffsetBackingStore / MemorySchemaHistory: survives engine
+  rebuilds within the process, lost on restart — the reference's exact
+  contract, used by tests and ephemeral pipelines).
+- **log** — an append-only segmented JSONL directory standing in for the
+  Kafka topic backends (KafkaOffsetBackingStore's compacted topic /
+  KafkaSchemaHistory's unbounded topic). Offset segments COMPACT (only
+  the newest record per store is live — a single-key compacted topic);
+  history segments never compact (the reference's history topic must
+  retain every DDL forever). Segment rotation bounds per-file size the
+  way topic segments do, and recovery replays segments in name order —
+  the same totally-ordered-log recovery the Kafka backends rely on.
+
+Offset stores persist ONE JSON state document (the engine's offset map);
+`when` to persist stays with the engine's commit policy (always/periodic,
+EmbeddedEngine's OffsetCommitPolicy), `how` lives here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from debezium_spark.plans.registry import SchemaChange, SchemaHistoryStore
+
+# ------------------------------------------------------------ offset stores
+
+
+class OffsetBackingStore:
+    """Interface: load() -> dict (empty when never written), save(dict)."""
+
+    def load(self) -> dict[str, Any]:
+        raise NotImplementedError
+
+    def save(self, state: dict[str, Any]) -> None:
+        raise NotImplementedError
+
+
+class FileOffsetBackingStore(OffsetBackingStore):
+    """Atomic single-file JSON store (tmp + rename, fsync)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def load(self) -> dict[str, Any]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def save(self, state: dict[str, Any]) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
+_MEMORY_OFFSETS: dict[str, dict[str, Any]] = {}
+_MEMORY_HISTORIES: dict[str, list[SchemaChange]] = {}
+
+
+class MemoryOffsetBackingStore(OffsetBackingStore):
+    """Process-lifetime store registered by name: a rebuilt engine in the
+    same process resumes (Connect's worker-scoped memory store); a new
+    process starts empty. Use for tests/ephemeral pipelines only."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def load(self) -> dict[str, Any]:
+        return dict(_MEMORY_OFFSETS.get(self.name, {}))
+
+    def save(self, state: dict[str, Any]) -> None:
+        _MEMORY_OFFSETS[self.name] = dict(state)
+
+
+class LogOffsetBackingStore(OffsetBackingStore):
+    """Segmented append-only log with single-key compaction — the
+    KafkaOffsetBackingStore analogue. Every save() appends one JSONL
+    record to the active segment; load() replays segments in name order
+    and keeps the LAST record (compacted-topic read); rotation caps the
+    active segment and compaction deletes every whole segment before the
+    newest record."""
+
+    def __init__(self, log_dir: str, *, segment_records: int = 1024):
+        if segment_records < 1:
+            raise ValueError("segment_records must be >= 1")
+        self.dir = log_dir
+        self.segment_records = segment_records
+        os.makedirs(log_dir, exist_ok=True)
+
+    def _segments(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir)
+            if f.endswith(".jsonl") and f.split(".")[0].isdigit()
+        )
+
+    def _active(self) -> str:
+        segs = self._segments()
+        if segs:
+            last = os.path.join(self.dir, segs[-1])
+            with open(last) as f:
+                if sum(1 for _ in f) < self.segment_records:
+                    return last
+            nxt = int(segs[-1].split(".")[0]) + 1
+        else:
+            nxt = 0
+        return os.path.join(self.dir, f"{nxt:010d}.jsonl")
+
+    def load(self) -> dict[str, Any]:
+        state: dict[str, Any] = {}
+        for seg in self._segments():
+            with open(os.path.join(self.dir, seg)) as f:
+                for line in f:
+                    if line.strip():
+                        state = json.loads(line)
+        return state
+
+    def save(self, state: dict[str, Any]) -> None:
+        path = self._active()
+        with open(path, "a") as f:
+            f.write(json.dumps(state) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        # drop whole segments that precede the newest record — every record
+        # in them is shadowed (single-key compaction)
+        segs = self._segments()
+        for seg in segs[:-1]:
+            os.remove(os.path.join(self.dir, seg))
+
+
+# ------------------------------------------------------------ history stores
+
+
+class MemorySchemaHistory:
+    """Process-lifetime schema history (MemorySchemaHistory parity):
+    record/replay against a named in-process list."""
+
+    def __init__(self, name: str):
+        self.name = name
+        _MEMORY_HISTORIES.setdefault(name, [])
+
+    def record(self, change: SchemaChange) -> None:
+        _MEMORY_HISTORIES[self.name].append(change)
+
+    def replay(self, upto_offset: int | None = None) -> list[SchemaChange]:
+        out: list[SchemaChange] = []
+        seen: set[int] = set()
+        for c in _MEMORY_HISTORIES[self.name]:
+            if upto_offset is not None and c.offset > upto_offset:
+                continue
+            if c.version in seen:
+                continue
+            seen.add(c.version)
+            out.append(c)
+        out.sort(key=lambda c: (c.offset, c.version))
+        return out
+
+
+class LogSchemaHistory:
+    """Segmented append-only schema history — the KafkaSchemaHistory
+    analogue. NEVER compacts (the history topic retains every DDL);
+    rotation only bounds per-file size. replay() streams segments in name
+    order, filters at-or-before the restart offset, and dedups by schema
+    version (idempotent re-record, HistoryRecordComparator semantics —
+    same contract as the file store)."""
+
+    def __init__(self, log_dir: str, *, segment_records: int = 1024):
+        if segment_records < 1:
+            raise ValueError("segment_records must be >= 1")
+        self.dir = log_dir
+        self.segment_records = segment_records
+        os.makedirs(log_dir, exist_ok=True)
+
+    def _segments(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir)
+            if f.endswith(".jsonl") and f.split(".")[0].isdigit()
+        )
+
+    def _active(self) -> str:
+        segs = self._segments()
+        if segs:
+            last = os.path.join(self.dir, segs[-1])
+            with open(last) as f:
+                if sum(1 for _ in f) < self.segment_records:
+                    return last
+            nxt = int(segs[-1].split(".")[0]) + 1
+        else:
+            nxt = 0
+        return os.path.join(self.dir, f"{nxt:010d}.jsonl")
+
+    def record(self, change: SchemaChange) -> None:
+        with open(self._active(), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "offset": change.offset,
+                        "version": change.version,
+                        "ddl": change.ddl,
+                        "table_changes": change.table_changes,
+                    }
+                )
+                + "\n"
+            )
+            f.flush()
+            os.fsync(f.fileno())
+
+    def replay(self, upto_offset: int | None = None) -> list[SchemaChange]:
+        out: list[SchemaChange] = []
+        seen: set[int] = set()
+        for seg in self._segments():
+            with open(os.path.join(self.dir, seg)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    if upto_offset is not None and d["offset"] > upto_offset:
+                        continue
+                    if d["version"] in seen:
+                        continue
+                    seen.add(d["version"])
+                    out.append(
+                        SchemaChange(
+                            d["offset"], d["version"], d["ddl"], d["table_changes"]
+                        )
+                    )
+        out.sort(key=lambda c: (c.offset, c.version))
+        return out
+
+
+# ------------------------------------------------------------- resolvers
+
+_OFFSET_CLASS_ALIASES = {
+    "org.apache.kafka.connect.storage.fileoffsetbackingstore": "file",
+    "org.apache.kafka.connect.storage.memoryoffsetbackingstore": "memory",
+    "org.apache.kafka.connect.storage.kafkaoffsetbackingstore": "log",
+    "file": "file",
+    "memory": "memory",
+    "log": "log",
+    "kafka": "log",
+}
+
+_HISTORY_CLASS_ALIASES = {
+    "io.debezium.storage.file.history.fileschemahistory": "file",
+    "io.debezium.relational.history.filedatabasehistory": "file",
+    "io.debezium.relational.history.memorydatabasehistory": "memory",
+    "io.debezium.relational.history.memoryschemahistory": "memory",
+    "io.debezium.storage.kafka.history.kafkaschemahistory": "log",
+    "io.debezium.relational.history.kafkadatabasehistory": "log",
+    "file": "file",
+    "memory": "memory",
+    "log": "log",
+    "kafka": "log",
+}
+
+
+def offset_store_from_properties(
+    props: dict[str, str], *, default_path: str
+) -> OffsetBackingStore:
+    """Resolve ``offset.storage`` (reference Connect class name or short
+    alias; default file) onto a backend. Backend knobs:
+    ``offset.storage.file.filename`` (file), ``offset.storage.log.dir`` +
+    ``offset.storage.log.segment.records`` (log); memory keys off the
+    filename/default path so a rebuilt engine finds the same store."""
+    kind = _OFFSET_CLASS_ALIASES.get(
+        str(props.get("offset.storage", "file")).strip().lower()
+    )
+    if kind is None:
+        raise ValueError(f"unknown offset.storage {props['offset.storage']!r}")
+    if kind == "file":
+        return FileOffsetBackingStore(
+            props.get("offset.storage.file.filename", default_path)
+        )
+    if kind == "memory":
+        return MemoryOffsetBackingStore(
+            props.get("offset.storage.file.filename", default_path)
+        )
+    return LogOffsetBackingStore(
+        props.get("offset.storage.log.dir", default_path + ".log"),
+        segment_records=int(props.get("offset.storage.log.segment.records", 1024)),
+    )
+
+
+def schema_history_from_properties(
+    props: dict[str, str], *, default_path: str
+):
+    """Resolve ``schema.history.internal`` (reference class name or alias;
+    default file) onto a history backend sharing SchemaHistoryStore's
+    record/replay contract. Knobs: ``schema.history.internal.file.filename``
+    (file), ``schema.history.internal.log.dir`` + ``...log.segment.records``
+    (log)."""
+    kind = _HISTORY_CLASS_ALIASES.get(
+        str(props.get("schema.history.internal", "file")).strip().lower()
+    )
+    if kind is None:
+        raise ValueError(
+            f"unknown schema.history.internal {props['schema.history.internal']!r}"
+        )
+    if kind == "file":
+        return SchemaHistoryStore(
+            props.get("schema.history.internal.file.filename", default_path)
+        )
+    if kind == "memory":
+        return MemorySchemaHistory(
+            props.get("schema.history.internal.file.filename", default_path)
+        )
+    return LogSchemaHistory(
+        props.get("schema.history.internal.log.dir", default_path + ".log"),
+        segment_records=int(
+            props.get("schema.history.internal.log.segment.records", 1024)
+        ),
+    )

@@ -96,6 +96,7 @@ class CdcEngine:
         snapshot_source: str | None = None,
         wal_loader=None,
         wal_projection=None,
+        history_store=None,
     ):
         self.spark = spark
         self.config = config
@@ -115,7 +116,11 @@ class CdcEngine:
         # execute-snapshot signal re-reads (the DBLog chunk SELECT source)
         self.snapshot_source = snapshot_source
         os.makedirs(work_dir, exist_ok=True)
-        self.history = SchemaHistoryStore(os.path.join(work_dir, "_schema_history.jsonl"))
+        # pluggable schema-history backend (storage.py — file/memory/log,
+        # the debezium-storage module seam); default file, the r2 behavior
+        self.history = history_store or SchemaHistoryStore(
+            os.path.join(work_dir, "_schema_history.jsonl")
+        )
         self._ckpt_path = os.path.join(work_dir, "_checkpoints.jsonl")
         self._metrics_path = os.path.join(work_dir, "_metrics.jsonl")
         self._schema_changes_df = schema_changes

@@ -1,0 +1,186 @@
+"""Pluggable storage backends (debezium_spark/storage.py — the
+debezium-storage module analogue): backend laws, reference class-name
+resolution, and engine-facade wiring (offset.storage / schema.history.internal
+selecting the store exactly like a Connect worker config would)."""
+
+import json
+import os
+
+import pytest
+
+from debezium_spark.api import DebeziumEngine, Json
+from debezium_spark.plans.registry import SchemaChange
+from debezium_spark.sources import wal as W
+from debezium_spark.storage import (
+    FileOffsetBackingStore,
+    LogOffsetBackingStore,
+    LogSchemaHistory,
+    MemoryOffsetBackingStore,
+    MemorySchemaHistory,
+    offset_store_from_properties,
+    schema_history_from_properties,
+)
+
+
+def test_offset_store_class_name_resolution(tmpdir_path):
+    f = offset_store_from_properties(
+        {"offset.storage": "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+         "offset.storage.file.filename": f"{tmpdir_path}/o.json"},
+        default_path=f"{tmpdir_path}/d.json",
+    )
+    assert isinstance(f, FileOffsetBackingStore) and f.path.endswith("o.json")
+    m = offset_store_from_properties(
+        {"offset.storage": "org.apache.kafka.connect.storage.MemoryOffsetBackingStore"},
+        default_path=f"{tmpdir_path}/d.json",
+    )
+    assert isinstance(m, MemoryOffsetBackingStore)
+    k = offset_store_from_properties(
+        {"offset.storage": "org.apache.kafka.connect.storage.KafkaOffsetBackingStore"},
+        default_path=f"{tmpdir_path}/d.json",
+    )
+    assert isinstance(k, LogOffsetBackingStore)
+    with pytest.raises(ValueError):
+        offset_store_from_properties(
+            {"offset.storage": "com.example.Nope"}, default_path="x"
+        )
+
+
+def test_history_class_name_resolution(tmpdir_path):
+    h = schema_history_from_properties(
+        {"schema.history.internal": "io.debezium.storage.file.history.FileSchemaHistory"},
+        default_path=f"{tmpdir_path}/h.jsonl",
+    )
+    assert h.path.endswith("h.jsonl")
+    assert isinstance(
+        schema_history_from_properties(
+            {"schema.history.internal": "io.debezium.storage.kafka.history.KafkaSchemaHistory"},
+            default_path=f"{tmpdir_path}/h.jsonl",
+        ),
+        LogSchemaHistory,
+    )
+    assert isinstance(
+        schema_history_from_properties(
+            {"schema.history.internal": "memory"}, default_path=f"{tmpdir_path}/h"
+        ),
+        MemorySchemaHistory,
+    )
+
+
+def test_log_offset_store_compacts_and_resumes(tmpdir_path):
+    d = f"{tmpdir_path}/olog"
+    s = LogOffsetBackingStore(d, segment_records=5)
+    assert s.load() == {}
+    for i in range(23):
+        s.save({"offset": i, "extra": "x"})
+    # a NEW store instance over the directory reads the last record
+    assert LogOffsetBackingStore(d, segment_records=5).load()["offset"] == 22
+    # compaction: only the active segment survives (single-key topic)
+    segs = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(segs) == 1
+    with open(os.path.join(d, segs[0])) as f:
+        assert sum(1 for _ in f) <= 5
+
+
+def test_memory_offset_store_process_scoped(tmpdir_path):
+    a = MemoryOffsetBackingStore("storename")
+    a.save({"offset": 7})
+    # same name, new instance (rebuilt engine in the same process) resumes
+    assert MemoryOffsetBackingStore("storename").load() == {"offset": 7}
+    # different name is isolated
+    assert MemoryOffsetBackingStore("other-store").load() == {}
+
+
+def test_log_schema_history_rotates_never_compacts(tmpdir_path):
+    d = f"{tmpdir_path}/hlog"
+    h = LogSchemaHistory(d, segment_records=3)
+    for v in range(8):
+        h.record(SchemaChange(offset=v * 10, version=v, ddl=f"ddl{v}", table_changes=""))
+    # rotation produced multiple segments; nothing was deleted
+    segs = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(segs) >= 3
+    # full replay in offset order; at-or-before filtering; version dedup
+    out = LogSchemaHistory(d, segment_records=3).replay()
+    assert [c.version for c in out] == list(range(8))
+    upto = h.replay(upto_offset=45)
+    assert [c.version for c in upto] == [0, 1, 2, 3, 4]
+    h.record(SchemaChange(offset=0, version=0, ddl="dup", table_changes=""))
+    assert len(h.replay()) == 8  # idempotent re-record
+
+
+@pytest.fixture()
+def small_wal(spark, tmpdir_path):
+    spec = W.WalSpec(n_keys=40, n_events=200, seed=13)
+    W.write_wal(spark, spec, f"{tmpdir_path}/wal", n_files=2)
+    return tmpdir_path
+
+
+def _props(d: str, **extra) -> dict:
+    p = {
+        "topic.prefix": "repos",
+        "database.dbname": "lake",
+        "wal.path": f"{d}/wal",
+        "work.dir": f"{d}/w",
+        "max.batch.size": "1000",
+    }
+    p.update({k: str(v) for k, v in extra.items()})
+    return p
+
+
+def test_engine_with_log_offset_store_resumes(spark, small_wal):
+    """offset.storage=Kafka-analogue log store: run, rebuild, resume — the
+    second run delivers nothing new (everything was committed)."""
+    d = small_wal
+    seen = []
+    props = _props(
+        d,
+        **{
+            "offset.storage": "org.apache.kafka.connect.storage.KafkaOffsetBackingStore",
+            "offset.storage.log.dir": f"{d}/w/_offsets_log",
+            "offset.flush.interval.ms": "0",  # flush every batch
+        },
+    )
+    eng = (
+        DebeziumEngine.create(Json)
+        .using(props)
+        .using_spark(spark)
+        .notifying(seen.append)
+        .build()
+    )
+    eng.run()
+    assert len(seen) > 0
+    assert os.path.isdir(f"{d}/w/_offsets_log")
+    second = []
+    eng2 = (
+        DebeziumEngine.create(Json)
+        .using(props)
+        .using_spark(spark)
+        .notifying(second.append)
+        .build()
+    )
+    eng2.run()
+    assert second == []
+
+
+def test_engine_with_memory_offset_store(spark, small_wal):
+    """offset.storage=memory: resumes across rebuilds within the process."""
+    d = small_wal
+    seen = []
+    props = _props(
+        d,
+        **{
+            "offset.storage": "org.apache.kafka.connect.storage.MemoryOffsetBackingStore",
+            "offset.flush.interval.ms": "0",
+        },
+    )
+    make = lambda sink: (
+        DebeziumEngine.create(Json)
+        .using(dict(props))
+        .using_spark(spark)
+        .notifying(sink.append)
+        .build()
+    )
+    make(seen).run()
+    assert len(seen) > 0
+    second = []
+    make(second).run()
+    assert second == []
