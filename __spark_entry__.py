@@ -2098,6 +2098,49 @@ def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(_events(spark, sf_dir))
 
 
+def q_doc_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (text.temperature_
+    weights, mT5/XLM-R style, T=3): per-language pow quantized to an
+    integer immediately, so the normalizing sum and the ppm weights are
+    exact integer arithmetic. One map-side-combined token-count shuffle;
+    the rest runs on the |languages|-bounded frame."""
+    return TX.temperature_weights(
+        _docs(spark, sf_dir), group_col="lang", temperature=3.0
+    )
+
+
+def q_doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (text.unimax_weights, arXiv:2304.09151):
+    water-filling in closed form — capped groups are a prefix of the
+    capacity sort, uncapped groups share the remainder equally — all
+    BIGINT comparisons/divisions, windows only on the bounded language
+    frame. budget=45000/max_epochs=2 caps four of five languages at this
+    SF so both branches appear in the gate."""
+    return TX.unimax_weights(
+        _docs(spark, sf_dir),
+        group_col="lang",
+        budget_tokens=45000,
+        max_epochs=2,
+    )
+
+
+def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization top-10 (similarity.sq_encode/sq_topk, FAISS
+    ScalarQuantizer analogue): per-dimension affine grids from the head-256
+    sample (pushed-down id<256 scan), 4x-compressed codes, and EXACT
+    integer code-space distances — no float in the scan, ranking
+    deterministic with id ties."""
+    from debezium_spark.functions.similarity import (
+        sq_params_from_head,
+        sq_topk,
+    )
+
+    v = _emb(spark, sf_dir)
+    mins, steps = sq_params_from_head(v, head=256)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    return sq_topk(v, query, mins, steps, k=10)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2148,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_rolling_metrics": q_evt_rolling_metrics,
         "doc_pagerank": q_doc_pagerank,
         "evt_transitions": q_evt_transitions,
+        "doc_temperature_weights": q_doc_temperature_weights,
+        "doc_unimax_mix": q_doc_unimax_mix,
+        "emb_sq_topk": q_emb_sq_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -3693,6 +3739,108 @@ def oracle_sql() -> dict[str, str]:
             FROM asgn a JOIN dtab d ON d.s = a.s AND d.code = a.code
             GROUP BY a.vec_id
             ORDER BY adc_dist_fp ASC, a.vec_id
+            LIMIT 10
+        """,
+        "doc_temperature_weights": r"""
+            WITH c AS (
+              SELECT lang AS "group",
+                     CAST(sum(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+'))
+                          END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            p AS (
+              SELECT "group", n_tokens,
+                     CAST(floor(pow(CAST(n_tokens AS DOUBLE), 1.0/3.0) * 1e6 + 0.5)
+                          AS BIGINT) AS pq
+              FROM c
+            )
+            SELECT "group", n_tokens,
+                   CAST((pq * 1000000) // (SELECT sum(pq) FROM p) AS BIGINT)
+                     AS weight_ppm
+            FROM p
+        """,
+        "doc_unimax_mix": r"""
+            WITH c AS (
+              SELECT lang AS "group",
+                     CAST(sum(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+'))
+                          END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            caps AS (
+              SELECT "group", n_tokens,
+                     CAST(n_tokens * 2 AS BIGINT) AS cap_tokens
+              FROM c
+            ),
+            r AS (
+              SELECT *, row_number() OVER w AS i,
+                     sum(cap_tokens) OVER w AS cum,
+                     count(*) OVER () AS L
+              FROM caps
+              WINDOW w AS (ORDER BY cap_tokens, "group")
+            ),
+            f AS (
+              SELECT *, CASE WHEN cap_tokens * (L - i + 1)
+                                  <= 45000 - (cum - cap_tokens)
+                        THEN 1 ELSE 0 END AS capped
+              FROM r
+            ),
+            g AS (
+              SELECT *, sum(capped) OVER () AS K,
+                     sum(cap_tokens * capped) OVER () AS cumK
+              FROM f
+            ),
+            a AS (
+              SELECT "group", n_tokens, cap_tokens,
+                     CAST(CASE WHEN capped = 1 THEN cap_tokens
+                          ELSE (45000 - cumK) // (L - K) END AS BIGINT)
+                       AS alloc_tokens
+              FROM g
+            )
+            SELECT "group", n_tokens, cap_tokens, alloc_tokens,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (alloc_tokens * 1000000) // n_tokens END AS BIGINT)
+                     AS epochs_ppm
+            FROM a
+        """,
+        "emb_sq_topk": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            dims AS (SELECT unnest(range(64)) AS d),
+            hd AS (
+              SELECT dims.d, min(e[CAST(dims.d AS INT) + 1]) AS mn,
+                     max(e[CAST(dims.d AS INT) + 1]) AS mx
+              FROM v CROSS JOIN dims WHERE vec_id < 256 GROUP BY dims.d
+            ),
+            prm AS (
+              SELECT d, mn,
+                     CASE WHEN (mx - mn) / 255.0 = 0 THEN 1.0
+                          ELSE (mx - mn) / 255.0 END AS st
+              FROM hd
+            ),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            qc AS (
+              SELECT p.d,
+                     greatest(0, least(255, CAST(floor(
+                       ((SELECT qe FROM q)[CAST(p.d AS INT) + 1] - p.mn) / p.st + 0.5
+                     ) AS BIGINT))) AS c
+              FROM prm p
+            ),
+            codes AS (
+              SELECT v.vec_id, p.d,
+                     greatest(0, least(255, CAST(floor(
+                       (v.e[CAST(p.d AS INT) + 1] - p.mn) / p.st + 0.5
+                     ) AS BIGINT))) AS c
+              FROM v CROSS JOIN prm p
+            )
+            SELECT codes.vec_id AS id,
+                   CAST(sum((codes.c - qc.c) * (codes.c - qc.c)) AS BIGINT)
+                     AS dist_sq
+            FROM codes JOIN qc USING (d)
+            GROUP BY 1
+            ORDER BY dist_sq ASC, id ASC
             LIMIT 10
         """,
         "cdc_column_projection": """

@@ -704,3 +704,102 @@ def ivf_pq_topk(
         .orderBy(F.asc("adc_dist_fp"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------- scalar quant
+def sq_params_from_head(
+    vectors: DataFrame,
+    *,
+    head: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension scalar-quantization params (FAISS SQ8 analogue): from
+    the first ``head`` vectors by id (deterministic, pushed-down
+    ``id < head`` scan, bounded collect), ``mins[d]`` and ``steps[d] =
+    (max_d - min_d) / 255`` — the affine grid mapping each dimension onto
+    0..255. Out-of-range values in the full table clamp (the standard SQ
+    saturation trade; widen the head sample if the tails matter)."""
+    rows = (
+        vectors.where(F.col(id_col) < head)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty head sample")
+    dim = len(rows[0]["v"])
+    mins = [min(r["v"][d] for r in rows) for d in range(dim)]
+    maxs = [max(r["v"][d] for r in rows) for d in range(dim)]
+    steps = [(maxs[d] - mins[d]) / 255.0 or 1.0 for d in range(dim)]
+    return mins, steps
+
+
+def _sq_code(value: Column, mn: float, st: float) -> Column:
+    code = F.floor((value - F.lit(mn)) / F.lit(st) + F.lit(0.5)).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit(255).cast("long"), code))
+
+
+def sq_encode(
+    vectors: DataFrame,
+    mins: list[float],
+    steps: list[float],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """SQ8 encode: each dimension to its nearest grid point
+    ``clamp(floor((v - min_d)/step_d + 0.5), 0, 255)`` — a 64-dim float32
+    vector (256 B) becomes 64 bytes (4x; PQ goes further, SQ keeps
+    per-dimension fidelity and needs no codebook training). Params ride
+    the plan as literals; the encode is one zero-shuffle scan of codegen'd
+    array algebra. Output codes are ``array<long>`` holding 0..255."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[_sq_code(F.element_at(v, d + 1), mins[d], steps[d]) for d in range(len(mins))]
+    )
+    return vectors.withColumn(code_col, codes)
+
+
+def sq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    mins: list[float],
+    steps: list[float],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Top-k nearest by squared L2 IN CODE SPACE: the query quantizes onto
+    the same grid driver-side, and every distance is the exact BIGINT
+    ``sum((qc_d - c_d)^2)`` — pure integer algebra, so ranking is
+    deterministic on any engine/partitioning (float ADC never touches the
+    scan). Ties break by id. The scan reads only the code column once
+    codes are materialized — the SQ payoff at 10^10 vectors: a 4x-smaller
+    scan plus integer SIMD distances, with no codebook to train; recall
+    equals exact search up to grid rounding (dims off by <= half a step).
+
+    Output: (id, dist_sq) ascending.
+    """
+    if not (len(query) == len(mins) == len(steps)):
+        raise ValueError("query/mins/steps length mismatch")
+    qc = [
+        max(0, min(255, int(math.floor((query[d] - mins[d]) / steps[d] + 0.5))))
+        for d in range(len(query))
+    ]
+    enc = sq_encode(vectors, mins, steps, vec_col=vec_col, code_col=code_col)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.array(*[F.lit(c).cast("long") for c in qc]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        enc.select(F.col(id_col).alias("id"), dist.alias("dist_sq"))
+        .orderBy(F.asc("dist_sq"), F.asc("id"))
+        .limit(k)
+    )

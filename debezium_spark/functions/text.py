@@ -957,3 +957,121 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.desc("pmi_ppm"), F.asc("bigram")).limit(k)
+
+
+def temperature_weights(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    temperature: float = 3.0,
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (mT5 / XLM-R style):
+    ``p_g ∝ n_g^(1/T)`` over per-group token counts — T=1 is proportional
+    sampling, T→∞ uniform; 2-5 is the usual range that up-samples tail
+    languages without drowning the head.
+
+    Determinism: the single ``pow`` per GROUP is quantized to an integer
+    immediately (``pow_q = floor(n^(1/T) * 1e6 + 0.5)``), so the normalizing
+    sum is an order-independent BIGINT sum and ``weight_ppm = pow_q * 1e6
+    DIV sum(pow_q)`` is exact integer division — no float accumulates
+    across rows anywhere. One map-side-combined token-count shuffle
+    (corpus-sized path); everything after runs on the |groups|-bounded
+    frame.
+
+    Output: (group, n_tokens, weight_ppm), weight_ppm summing to ~1e6
+    (short by at most |groups| from floor truncation).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    pow_q = F.floor(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / temperature)) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    w = counts.select("group", "n_tokens", pow_q.alias("_pq"))
+    _ = Window  # bounded-frame windows via expr below
+    return w.select(
+        "group",
+        "n_tokens",
+        F.expr("(_pq * 1000000) div sum(_pq) over ()").cast("long").alias("weight_ppm"),
+    )
+
+
+def unimax_weights(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget_tokens: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): give
+    every language as equal a share of the token budget as possible,
+    capping each at ``max_epochs`` passes over its data — the greedy
+    smallest-first allocation is exactly WATER-FILLING, which has a closed
+    form computable with window functions instead of a sequential loop:
+    sort groups by capacity ``c_g = n_g * max_epochs`` ascending; group i
+    is CAPPED iff ``c_i * (L-i+1) <= B - cumsum(c)_{i-1}`` (capped is a
+    prefix of the sort — both sides are monotone), and every uncapped
+    group gets the identical remainder share ``(B - sum(capped c)) DIV
+    (L - K)``. Every comparison and division is BIGINT — the allocation is
+    bit-identical on any engine/partitioning.
+
+    Scale shape: one map-side-combined token-count shuffle over the
+    corpus; the water-fill windows run on the |groups|-bounded frame (a
+    global window over hundreds of language rows, not a data path).
+
+    Output: (group, n_tokens, cap_tokens, alloc_tokens, epochs_ppm) with
+    ``sum(alloc_tokens) <= budget_tokens`` (short only by integer-division
+    remainder) and ``epochs_ppm = alloc * 1e6 DIV n_tokens <=
+    max_epochs * 1e6``.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    c = counts.select(
+        "group",
+        "n_tokens",
+        (F.col("n_tokens") * max_epochs).cast("long").alias("cap_tokens"),
+    )
+    w_ord = Window.orderBy("cap_tokens", "group")  # bounded |groups| frame
+    w_all = Window.partitionBy()
+    ranked = c.select(
+        "*",
+        F.row_number().over(w_ord).alias("_i"),
+        F.sum("cap_tokens").over(w_ord).alias("_cum"),
+        F.count(F.lit(1)).over(w_all).alias("_L"),
+    )
+    capped = (
+        F.col("cap_tokens") * (F.col("_L") - F.col("_i") + 1)
+        <= F.lit(budget_tokens) - (F.col("_cum") - F.col("cap_tokens"))
+    )
+    flagged = ranked.select("*", capped.cast("int").alias("_capped"))
+    flagged = flagged.select(
+        "*",
+        F.sum("_capped").over(w_all).alias("_K"),
+        F.sum(F.col("cap_tokens") * F.col("_capped")).over(w_all).alias("_cumK"),
+    )
+    alloc = F.when(F.col("_capped") == 1, F.col("cap_tokens")).otherwise(
+        F.expr(f"({budget_tokens} - _cumK) div (_L - _K)")
+    ).cast("long")
+    with_alloc = flagged.select(
+        "group", "n_tokens", "cap_tokens", alloc.alias("alloc_tokens")
+    )
+    return with_alloc.select(
+        "*",
+        F.expr(
+            "case when n_tokens = 0 then 0 else (alloc_tokens * 1000000) div n_tokens end"
+        ).cast("long").alias("epochs_ppm"),
+    )

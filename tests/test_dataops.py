@@ -1267,3 +1267,69 @@ def test_transition_matrix_hand_case(spark):
     assert out[("b", "a")] == (1, 500_000)
     assert out[("b", "b")] == (1, 500_000)
     assert len(out) == 3
+
+
+def test_temperature_weights_laws(spark, docs):
+    """T=1 reduces to proportional ppm; larger T flattens toward uniform."""
+    t1 = {r["group"]: r for r in X.temperature_weights(docs, temperature=1.0).collect()}
+    total = sum(r["n_tokens"] for r in t1.values())
+    for g, r in t1.items():
+        assert r["weight_ppm"] == (r["n_tokens"] * 1_000_000) // total
+    t5 = {r["group"]: r["weight_ppm"] for r in X.temperature_weights(docs, temperature=5.0).collect()}
+    spread1 = max(r["weight_ppm"] for r in t1.values()) - min(r["weight_ppm"] for r in t1.values())
+    spread5 = max(t5.values()) - min(t5.values())
+    assert spread5 < spread1  # temperature flattens
+    assert abs(sum(t5.values()) - 1_000_000) <= len(t5)
+
+
+def test_unimax_water_filling_laws(spark, docs):
+    """Budget conserved up to division remainder, caps honored, uncapped
+    groups share equally, and a lavish budget caps everyone."""
+    out = X.unimax_weights(docs, budget_tokens=45000, max_epochs=2).collect()
+    alloc = {r["group"]: r for r in out}
+    assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in out)
+    uncapped = [r["alloc_tokens"] for r in out if r["alloc_tokens"] < r["cap_tokens"]]
+    assert len(set(uncapped)) <= 1  # water level: equal shares
+    total = sum(r["alloc_tokens"] for r in out)
+    assert total <= 45000 and 45000 - total < len(out) + sum(
+        1 for r in out if r["alloc_tokens"] == r["cap_tokens"]
+    ) * 0 + len(out)
+    # lavish budget: everyone capped at max_epochs
+    big = X.unimax_weights(docs, budget_tokens=10**9, max_epochs=2).collect()
+    for r in big:
+        assert r["alloc_tokens"] == r["cap_tokens"]
+        assert r["epochs_ppm"] == 2_000_000
+    # starvation: nobody capped, equal integer shares
+    tiny = X.unimax_weights(docs, budget_tokens=100, max_epochs=2).collect()
+    assert {r["alloc_tokens"] for r in tiny} == {100 // len(tiny)}
+
+
+def test_sq_encode_topk_matches_numpy(spark, vecs):
+    """SQ8: codes in range, query finds itself at distance 0, and the
+    Spark top-k equals a numpy recomputation on the same grid."""
+    from debezium_spark.functions.similarity import (
+        sq_encode,
+        sq_params_from_head,
+        sq_topk,
+    )
+
+    mins, steps = sq_params_from_head(vecs, head=256)
+    enc = sq_encode(vecs, mins, steps).select("vec_id", "sq_code").collect()
+    for r in enc[:50]:
+        assert all(0 <= c <= 255 for c in r["sq_code"])
+    query = [float(x) for x in vecs.where("vec_id = 0").first()["embedding"]]
+    out = sq_topk(vecs, query, mins, steps, k=10).collect()
+    assert out[0]["id"] == 0 and out[0]["dist_sq"] == 0
+    # numpy oracle on the identical grid
+    qc = np.array(
+        [max(0, min(255, int(np.floor((query[d] - mins[d]) / steps[d] + 0.5))))
+         for d in range(len(query))], dtype=np.int64)
+    rows = vecs.select("vec_id", "embedding").collect()
+    dists = []
+    for r in rows:
+        c = np.array(
+            [max(0, min(255, int(np.floor((float(v) - mins[d]) / steps[d] + 0.5))))
+             for d, v in enumerate(r["embedding"])], dtype=np.int64)
+        dists.append((int(((qc - c) ** 2).sum()), r["vec_id"]))
+    expect = sorted(dists)[:10]
+    assert [(d, i) for d, i in expect] == [(r["dist_sq"], r["id"]) for r in out]
