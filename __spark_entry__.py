@@ -2141,6 +2141,25 @@ def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(v, query, mins, steps, k=10)
 
 
+def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (text.unigram_nll — the CCNet-style
+    quality filter shape): per-token nll is ppm-quantized once per VOCAB
+    TYPE (Laplace alpha=1), each doc's score is the exact BIGINT token
+    sum — no per-instance float. Two map-side-combined count shuffles, a
+    broadcast vocab join, one doc-keyed sum."""
+    return TX.unigram_nll(_docs(spark, sf_dir))
+
+
+def q_evt_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per tumbling hour (windows.windowed_topk):
+    one (window, type)-keyed count shuffle with map-side combine, rank
+    window partitioned BY WINDOW (|types|-bounded partitions, never a
+    global sort)."""
+    from debezium_spark.streaming.windows import windowed_topk
+
+    return windowed_topk(_events(spark, sf_dir), window_duration="1 hour", k=3)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2194,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_weights": q_doc_temperature_weights,
         "doc_unimax_mix": q_doc_unimax_mix,
         "emb_sq_topk": q_emb_sq_topk,
+        "doc_unigram_nll": q_doc_unigram_nll,
+        "evt_windowed_topk": q_evt_windowed_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -3740,6 +3761,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.vec_id
             ORDER BY adc_dist_fp ASC, a.vec_id
             LIMIT 10
+        """,
+        "doc_unigram_nll": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ),
+            vocab AS MATERIALIZED (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+            nv AS (SELECT CAST(sum(c_w) AS BIGINT) AS N, count(*) AS V FROM vocab),
+            model AS MATERIALIZED (
+              SELECT w,
+                     CAST(floor(-ln(CAST(c_w + 1 AS DOUBLE) / (nv.N + 1 * nv.V))
+                                * 1e6 + 0.5) AS BIGINT) AS q
+              FROM vocab CROSS JOIN nv
+            ),
+            pd AS (SELECT id, w, count(*) AS n FROM toks GROUP BY 1, 2),
+            sc AS MATERIALIZED (
+              SELECT id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(sum(n * q) AS BIGINT) AS nll_ppm
+              FROM pd JOIN model USING (w) GROUP BY 1
+            )
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sc.nll_ppm, 0) AS BIGINT) AS nll_ppm,
+                   CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+                        ELSE coalesce(sc.nll_ppm, 0) // sc.n_tokens END AS BIGINT)
+                     AS avg_nll_ppm
+            FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+        """,
+        "evt_windowed_topk": """
+            WITH c AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+                     event_type AS type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY w ORDER BY n DESC, type ASC
+              ) AS rank
+              FROM c
+            )
+            SELECT CAST(epoch_us(w) AS BIGINT) AS window_start_us,
+                   CAST(epoch_us(w + INTERVAL '1 hour') AS BIGINT) AS window_end_us,
+                   type, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "doc_temperature_weights": r"""
             WITH c AS (

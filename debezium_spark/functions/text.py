@@ -1075,3 +1075,81 @@ def unimax_weights(
             "case when n_tokens = 0 then 0 else (alloc_tokens * 1000000) div n_tokens end"
         ).cast("long").alias("epochs_ppm"),
     )
+
+
+def unigram_nll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Unigram language-model negative log-likelihood per document — the
+    perplexity-style quality filter (CCNet, Wenzek et al. 2020, uses a
+    KenLM 5-gram; the unigram form is the same pipeline shape with a
+    vocab-sized model): documents whose tokens are improbable under the
+    corpus-wide unigram distribution score high and get filtered or
+    bucketed.
+
+    Exactness: per-token ``nll = -ln((c_w + alpha) / (N + alpha*V))`` is
+    computed and ppm-quantized ONCE PER VOCABULARY TYPE (a vocab-sized
+    frame, Laplace-smoothed so unseen-at-scoring-time tokens are
+    impossible by construction here but the formula stays total), and each
+    document's score is the exact BIGINT sum of its tokens' quantized
+    nll — float math never runs per token instance, so scores are
+    bit-identical across engines and partitionings.
+
+    Plan shape: one tokenize+explode pass feeds TWO map-side-combined
+    count shuffles (corpus token counts; per-(doc, token) counts); the
+    model is a vocab-sized frame that BROADCAST-joins the per-doc-token
+    frame; the final per-doc sum is one more map-side-combined shuffle
+    keyed on the doc id. No corpus-sized float path, no window over the
+    corpus.
+
+    Output: (id, n_tokens, nll_ppm, avg_nll_ppm) — avg is integer
+    division; rank/filter on avg_nll_ppm (length-normalized, the CCNet
+    convention).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # N and V are 1-row aggregates broadcast into the vocab frame
+    nv = vocab.agg(
+        F.sum("c_w").cast("long").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    model = vocab.crossJoin(F.broadcast(nv)).select(
+        "w",
+        F.floor(
+            -F.log(
+                (F.col("c_w") + F.lit(alpha)).cast("double")
+                / (F.col("_N") + F.lit(alpha) * F.col("_V")).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("nll_q"),
+    )
+    per_doc_tok = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        per_doc_tok.join(F.broadcast(model), "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("nll_q")).cast("long").alias("nll_ppm"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("nll_ppm"), F.lit(0)).cast("long").alias("nll_ppm"),
+            F.expr(
+                "case when coalesce(n_tokens, 0) = 0 then 0 "
+                "else coalesce(nll_ppm, 0) div n_tokens end"
+            ).cast("long").alias("avg_nll_ppm"),
+        )
+    )

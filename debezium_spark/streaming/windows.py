@@ -501,3 +501,43 @@ def transition_matrix(
             F.expr(f"(n * {p_scale}) div n_from").cast("long").alias("p_ppm"),
         )
     )
+
+
+def windowed_topk(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_duration: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Trending items per tumbling event-time window: top-``k`` types by
+    count with rank, ties by type name — the "what's hot this hour" feed.
+    One map-side-combined count shuffle keyed on (window, type), then a
+    rank window partitioned BY WINDOW (bounded at |type vocabulary| rows
+    per partition — never a global sort). The same algebra streams with a
+    watermark: counts finalize per window exactly like
+    windowed_event_metrics.
+
+    Output: (window_start_us, window_end_us, type, n, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    w = F.window(F.col(ts_col), window_duration)
+    counts = events.groupBy(
+        w.alias("_w"), F.col(type_col).alias("type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.partitionBy("_w").orderBy(F.desc("n"), F.asc("type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            # cast: windows over TIMESTAMP_NTZ columns keep NTZ bounds;
+            # unix_micros wants TIMESTAMP (session tz is pinned UTC)
+            F.unix_micros(F.col("_w.start").cast("timestamp")).alias("window_start_us"),
+            F.unix_micros(F.col("_w.end").cast("timestamp")).alias("window_end_us"),
+            "type",
+            F.col("n").cast("long").alias("n"),
+            "rank",
+        )
+    )

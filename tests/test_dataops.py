@@ -1333,3 +1333,50 @@ def test_sq_encode_topk_matches_numpy(spark, vecs):
         dists.append((int(((qc - c) ** 2).sum()), r["vec_id"]))
     expect = sorted(dists)[:10]
     assert [(d, i) for d, i in expect] == [(r["dist_sq"], r["id"]) for r in out]
+
+
+def test_unigram_nll_laws(spark):
+    """Rarer tokens raise the score; identical docs tie; score equals the
+    hand-computed quantized sum; empty docs score 0."""
+    import math
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rare"),
+        (3, "common common common rare"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in X.unigram_nll(df).collect()}
+    assert out[2]["nll_ppm"] == out[3]["nll_ppm"] > out[1]["nll_ppm"]
+    assert out[4]["n_tokens"] == 0 and out[4]["nll_ppm"] == 0
+    # hand check: N=13 counting tokens? tokens: doc1 4x common, doc2/3: 3 common + 1 rare each
+    # => c(common)=10, c(rare)=2, N=12, V=2, alpha=1
+    q_common = math.floor(-math.log(11 / 14) * 1e6 + 0.5)
+    q_rare = math.floor(-math.log(3 / 14) * 1e6 + 0.5)
+    assert out[1]["nll_ppm"] == 4 * q_common
+    assert out[2]["nll_ppm"] == 3 * q_common + q_rare
+    assert out[2]["avg_nll_ppm"] == (3 * q_common + q_rare) // 4
+
+
+def test_windowed_topk_ranks_per_window(spark):
+    """Top-k per tumbling window: counts, ordering, tie by type name."""
+    from debezium_spark.streaming.windows import windowed_topk
+
+    rows = []
+    eid = 0
+    for h, spec in [(0, {"a": 3, "b": 2, "c": 1, "d": 1}), (1, {"b": 5, "a": 1})]:
+        for t, n in spec.items():
+            for i in range(n):
+                rows.append((eid, f"2024-01-01 {h:02d}:{i:02d}:00", t))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = windowed_topk(df, window_duration="1 hour", k=2).collect()
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r["window_start_us"], []).append((r["rank"], r["type"], r["n"]))
+    w0, w1 = sorted(by_w)
+    assert sorted(by_w[w0]) == [(1, "a", 3), (2, "b", 2)]
+    assert sorted(by_w[w1]) == [(1, "b", 5), (2, "a", 1)]
+    assert w1 - w0 == 3_600_000_000
