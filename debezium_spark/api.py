@@ -33,7 +33,9 @@ Pieces mirrored 1:1 (reference file:line cited on each):
   current record is committed (engine/StopEngineException.java:1).
 * ``CompletionCallback`` / ``ConnectorCallback`` lifecycle hooks
   (DebeziumEngine.java:53-102).
-* File-backed offset store honoring ``offset.storage.file.filename`` and
+* Pluggable offset store selected by ``offset.storage`` class name
+  (storage.py — file honoring ``offset.storage.file.filename`` by default,
+  memory, segmented-log Kafka analogue) with
   ``offset.flush.interval.ms`` / ``OffsetCommitPolicy`` always-vs-periodic
   (DebeziumEngine.java:48 OFFSET_FLUSH_INTERVAL_MS_PROP,
   embedded/EmbeddedEngine.java offset commit policy wiring).
@@ -344,8 +346,10 @@ class DebeziumEngine:
     ``run()`` pumps every change record through the consumer in offset order
     and returns when the WAL is exhausted (the bounded-log analogue of the
     reference's poll loop) or when stopped — ``stop()`` from another thread,
-    or :class:`StopEngineException` from the consumer. Offsets flush to
-    ``offset.storage.file.filename`` atomically; a rebuilt engine resumes
+    or :class:`StopEngineException` from the consumer. Offsets flush through
+    the configured OffsetBackingStore (``offset.storage`` — file atomic
+    rename by default, memory, or the segmented-log Kafka analogue;
+    storage.py); a rebuilt engine on the same store resumes
     after the last flushed offset (at-least-once for unflushed records, the
     reference's exact redelivery contract)."""
 
@@ -435,8 +439,6 @@ class DebeziumEngine:
     def _proto_framed(self, env, col: str, subject_suffix: str, out_col: str):
         """Struct column -> Confluent-framed proto3 message bytes; the
         descriptor shares the engine's registry file (distinct subjects)."""
-        import json as _json
-
         from debezium_spark.functions import avro as A
         from debezium_spark.functions import protobuf as P
 
@@ -445,7 +447,7 @@ class DebeziumEngine:
         sid = reg.register(
             f"{self._destination}-{subject_suffix}-proto",
             desc,
-            canonical_fn=lambda d: _json.dumps(d, separators=(",", ":")),
+            canonical_fn=lambda d: json.dumps(d, separators=(",", ":")),
         )
         return env.withColumn(
             out_col, P.frame_confluent_protobuf(F.col(out_col), sid)

@@ -529,6 +529,23 @@ def dedup_spans(
     )
 
 
+def word_shingles_expr(text_col: str, ngram_words: int):
+    """Unbound column expression: all ``ngram_words``-word shingles of
+    ``text_col`` (space-joined, positional — one entry per start offset),
+    empty array when the doc is shorter than one shingle. THE shared
+    shingle definition for decontaminate and decontaminate_bloom — both
+    oracles depend on its exact semantics, so there is exactly one copy."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.split(t, " ")
+    return F.when(
+        F.size(w) >= ngram_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - ngram_words + 1),
+            lambda i: F.array_join(F.slice(w, i, ngram_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -554,23 +571,9 @@ def decontaminate(
     anywhere in the eval set.
     """
 
-    def _word_shingles() -> Column:
-        # unbound column expression (resolves against whichever frame selects
-        # it); NOT dedup.shingles, which is the character-shingle helper
-        t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-        w = F.split(t, " ")
-        return F.when(
-            F.size(w) >= ngram_words,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - ngram_words + 1),
-                lambda i: F.array_join(F.slice(w, i, ngram_words), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    eval_sh = (
-        eval_docs.select(F.explode(_word_shingles()).alias("sh")).distinct()
-    )
-    corpus_sh = docs.select(F.col(id_col), F.explode(_word_shingles()).alias("sh"))
+    sh = word_shingles_expr(text_col, ngram_words)
+    eval_sh = eval_docs.select(F.explode(sh).alias("sh")).distinct()
+    corpus_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
     hits = (
         corpus_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy(id_col)
@@ -813,20 +816,10 @@ def decontaminate_bloom(
     for decontamination.
     """
 
-    def _word_shingles() -> Column:
-        t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-        w = F.split(t, " ")
-        return F.when(
-            F.size(w) >= ngram_words,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - ngram_words + 1),
-                lambda i: F.array_join(F.slice(w, i, ngram_words), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    eval_sh = eval_docs.select(F.explode(_word_shingles()).alias("sh")).distinct()
+    sh = word_shingles_expr(text_col, ngram_words)
+    eval_sh = eval_docs.select(F.explode(sh).alias("sh")).distinct()
     words = bloom_build(eval_sh, "sh", m_bits=m_bits, k_hashes=k_hashes)
-    corpus_sh = docs.select(F.col(id_col), F.explode(_word_shingles()).alias("sh"))
+    corpus_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
     probed = bloom_probe(corpus_sh, "sh", words, k_hashes=k_hashes)
     hits = (
         probed.where(F.col("bloom_hit") == 1)

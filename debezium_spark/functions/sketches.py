@@ -110,6 +110,23 @@ def _cms_bucket(value: Column, row: int, width: int) -> Column:
     return F.pmod(_h64(value, f"cms{row}"), F.lit(width))
 
 
+def _cms_keys(value: Column, depth: int, width: int) -> Column:
+    """The depth-wide (row, bucket) key expansion for one value — the ONE
+    expression both the build (cms_table) and probe (cms_estimate) sides
+    must share: any drift between them silently corrupts estimates."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_bucket(value, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def cms_table(
     df: DataFrame,
     value_col: str,
@@ -137,23 +154,17 @@ def cms_table(
     For the compact single-cell binary form use Spark's built-in
     ``F.count_min_sketch`` (:func:`freq_sketch_binary`); its estimates are
     pytest-law-bounded instead (JVM hashing is not SQL-reproducible).
+
+    NULL values are EXCLUDED on both the build and probe sides (the
+    COUNT(col) convention, matching Spark's binary ``count_min_sketch``) —
+    without the filter a NULL hashes to a NULL bucket the probe join can
+    never match, which would silently break the never-underestimate law.
     """
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     v = F.col(value_col).cast("string")
-    cells = df.select(
-        *group_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_bucket(v, r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c"),
+    cells = df.where(v.isNotNull()).select(
+        *group_cols, _cms_keys(v, depth, width).alias("_c")
     ).select(*group_cols, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
     return cells.groupBy(*group_cols, "row", "bucket").agg(
         F.count(F.lit(1)).alias("n")
@@ -189,23 +200,14 @@ def cms_estimate(
     candidates); each probe expands to ``depth`` (row, bucket) keys and
     BROADCAST-joins the sketch cells — with the sketch bounded at
     ``depth * width`` cells the join is a broadcast hash join regardless of
-    which side Spark broadcasts. Output: (group_cols..., value, est_n).
+    which side Spark broadcasts. NULL probes are dropped (see
+    :func:`cms_table`'s NULL note). Output: (group_cols..., value, est_n).
     """
     v = F.col(probe_col).cast("string")
-    keys = probes.select(
+    keys = probes.where(v.isNotNull()).select(
         *group_cols,
         v.alias("value"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_bucket(v, r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_c"),
+        _cms_keys(v, depth, width).alias("_c"),
     ).select(
         *group_cols, "value", F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
     )

@@ -984,8 +984,6 @@ def temperature_weights(
     """
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
-    from pyspark.sql import Window
-
     counts = docs.groupBy(F.col(group_col).alias("group")).agg(
         F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
     )
@@ -994,7 +992,6 @@ def temperature_weights(
         + F.lit(0.5)
     ).cast("long")
     w = counts.select("group", "n_tokens", pow_q.alias("_pq"))
-    _ = Window  # bounded-frame windows via expr below
     return w.select(
         "group",
         "n_tokens",

@@ -95,7 +95,62 @@ class MemoryOffsetBackingStore(OffsetBackingStore):
         _MEMORY_OFFSETS[self.name] = dict(state)
 
 
-class LogOffsetBackingStore(OffsetBackingStore):
+class _SegmentedLog:
+    """Shared segmented append-log machinery (segment listing, zero-padded
+    naming, line-count rotation) for the Kafka-topic-analogue stores. The
+    active segment path and its record count are CACHED on the instance —
+    save()/record() is O(1) file I/O (one append) instead of re-reading and
+    line-counting the active segment every call; the cache is rebuilt once
+    per instance (cheap: one listdir + one line count) so fresh instances
+    over an existing directory stay correct."""
+
+    def __init__(self, log_dir: str, segment_records: int):
+        if segment_records < 1:
+            raise ValueError("segment_records must be >= 1")
+        self.dir = log_dir
+        self.segment_records = segment_records
+        os.makedirs(log_dir, exist_ok=True)
+        self._active_path: str | None = None
+        self._active_count = 0
+
+    def _segments(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir)
+            if f.endswith(".jsonl") and f.split(".")[0].isdigit()
+        )
+
+    def _refresh_active(self) -> None:
+        segs = self._segments()
+        if segs:
+            last = os.path.join(self.dir, segs[-1])
+            with open(last) as f:
+                n = sum(1 for _ in f)
+            if n < self.segment_records:
+                self._active_path, self._active_count = last, n
+                return
+            nxt = int(segs[-1].split(".")[0]) + 1
+        else:
+            nxt = 0
+        self._active_path = os.path.join(self.dir, f"{nxt:010d}.jsonl")
+        self._active_count = 0
+
+    def _append(self, obj: dict) -> None:
+        if self._active_path is None or self._active_count >= self.segment_records:
+            if self._active_path is not None and self._active_count >= self.segment_records:
+                # rotate: next index after the cached active segment
+                idx = int(os.path.basename(self._active_path).split(".")[0]) + 1
+                self._active_path = os.path.join(self.dir, f"{idx:010d}.jsonl")
+                self._active_count = 0
+            else:
+                self._refresh_active()
+        with open(self._active_path, "a") as f:
+            f.write(json.dumps(obj) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._active_count += 1
+
+
+class LogOffsetBackingStore(_SegmentedLog, OffsetBackingStore):
     """Segmented append-only log with single-key compaction — the
     KafkaOffsetBackingStore analogue. Every save() appends one JSONL
     record to the active segment; load() replays segments in name order
@@ -104,29 +159,7 @@ class LogOffsetBackingStore(OffsetBackingStore):
     newest record."""
 
     def __init__(self, log_dir: str, *, segment_records: int = 1024):
-        if segment_records < 1:
-            raise ValueError("segment_records must be >= 1")
-        self.dir = log_dir
-        self.segment_records = segment_records
-        os.makedirs(log_dir, exist_ok=True)
-
-    def _segments(self) -> list[str]:
-        return sorted(
-            f for f in os.listdir(self.dir)
-            if f.endswith(".jsonl") and f.split(".")[0].isdigit()
-        )
-
-    def _active(self) -> str:
-        segs = self._segments()
-        if segs:
-            last = os.path.join(self.dir, segs[-1])
-            with open(last) as f:
-                if sum(1 for _ in f) < self.segment_records:
-                    return last
-            nxt = int(segs[-1].split(".")[0]) + 1
-        else:
-            nxt = 0
-        return os.path.join(self.dir, f"{nxt:010d}.jsonl")
+        super().__init__(log_dir, segment_records)
 
     def load(self) -> dict[str, Any]:
         state: dict[str, Any] = {}
@@ -138,11 +171,7 @@ class LogOffsetBackingStore(OffsetBackingStore):
         return state
 
     def save(self, state: dict[str, Any]) -> None:
-        path = self._active()
-        with open(path, "a") as f:
-            f.write(json.dumps(state) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self._append(state)
         self._maybe_compact()
 
     def _maybe_compact(self) -> None:
@@ -181,7 +210,7 @@ class MemorySchemaHistory:
         return out
 
 
-class LogSchemaHistory:
+class LogSchemaHistory(_SegmentedLog):
     """Segmented append-only schema history — the KafkaSchemaHistory
     analogue. NEVER compacts (the history topic retains every DDL);
     rotation only bounds per-file size. replay() streams segments in name
@@ -190,45 +219,17 @@ class LogSchemaHistory:
     same contract as the file store)."""
 
     def __init__(self, log_dir: str, *, segment_records: int = 1024):
-        if segment_records < 1:
-            raise ValueError("segment_records must be >= 1")
-        self.dir = log_dir
-        self.segment_records = segment_records
-        os.makedirs(log_dir, exist_ok=True)
-
-    def _segments(self) -> list[str]:
-        return sorted(
-            f for f in os.listdir(self.dir)
-            if f.endswith(".jsonl") and f.split(".")[0].isdigit()
-        )
-
-    def _active(self) -> str:
-        segs = self._segments()
-        if segs:
-            last = os.path.join(self.dir, segs[-1])
-            with open(last) as f:
-                if sum(1 for _ in f) < self.segment_records:
-                    return last
-            nxt = int(segs[-1].split(".")[0]) + 1
-        else:
-            nxt = 0
-        return os.path.join(self.dir, f"{nxt:010d}.jsonl")
+        super().__init__(log_dir, segment_records)
 
     def record(self, change: SchemaChange) -> None:
-        with open(self._active(), "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "offset": change.offset,
-                        "version": change.version,
-                        "ddl": change.ddl,
-                        "table_changes": change.table_changes,
-                    }
-                )
-                + "\n"
-            )
-            f.flush()
-            os.fsync(f.fileno())
+        self._append(
+            {
+                "offset": change.offset,
+                "version": change.version,
+                "ddl": change.ddl,
+                "table_changes": change.table_changes,
+            }
+        )
 
     def replay(self, upto_offset: int | None = None) -> list[SchemaChange]:
         out: list[SchemaChange] = []
