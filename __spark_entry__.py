@@ -2160,6 +2160,37 @@ def q_evt_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_topk(_events(spark, sf_dir), window_duration="1 hour", k=3)
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point k-means (similarity.kmeans_fit/kmeans_assign —
+    the clustering step of topic-balancing/SemDeDup curation): vectors
+    quantize once to scaled BIGINTs, 3 Lloyd iterations with integer
+    argmin assignment and sum-DIV-count centroid updates, head-8 init.
+    Per iteration one zero-join assignment scan + one k*dim-bounded sum;
+    the final assignment is hash-gated against the same algorithm
+    unrolled in SQL."""
+    from debezium_spark.functions.similarity import kmeans_assign, kmeans_fit
+
+    v = _emb(spark, sf_dir)
+    cents = kmeans_fit(v, k=8, iterations=3)
+    return kmeans_assign(v, cents)
+
+
+def q_evt_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width value histograms per event type
+    (windows.value_histogram): cents-scaled BIGINT quantization, bin =
+    truncating integer division by the scaled width — a value can never
+    straddle two bins across engines. One map-side-combined count shuffle
+    bounded by |types| x |occupied bins|."""
+    from debezium_spark.streaming.windows import value_histogram
+
+    return value_histogram(
+        _events(spark, sf_dir),
+        group_cols=("event_type",),
+        bin_width=25.0,
+        value_scale=100,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2215,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq_topk": q_emb_sq_topk,
         "doc_unigram_nll": q_doc_unigram_nll,
         "evt_windowed_topk": q_evt_windowed_topk,
+        "emb_kmeans": q_emb_kmeans,
+        "evt_value_histogram": q_evt_value_histogram,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_tfidf_topterms": q_doc_tfidf_topterms,
@@ -2384,6 +2417,44 @@ def _bucket_sql(dim: int = 64, planes: int = 8) -> str:
 # Fixed-point 1e-4 quantization (similarity.scaled analogue) — floor(x*1e4+0.5)
 # is pure IEEE double math, bit-identical in Spark and DuckDB, unlike
 # double->DECIMAL casts whose rounding mode differs between the engines.
+def _kmeans_rounds_sql(n_rounds: int) -> str:
+    """Unrolled Lloyd iterations a1/c1..aN/cN for the emb_kmeans oracle —
+    exact integer arithmetic mirroring similarity.kmeans_fit (BIGINT
+    distances, ties to smallest cid, sum // count updates, empty clusters
+    keep their previous centroid)."""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+            a{i} AS MATERIALIZED (
+              SELECT vec_id, vq, cid FROM (
+                SELECT v.vec_id, v.vq, c.cid,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY list_sum(list_transform(
+                           list_zip(v.vq, c.cv),
+                           x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC
+                       ) AS rn
+                FROM v CROSS JOIN c{i - 1} c
+              ) WHERE rn = 1
+            ),
+            s{i} AS (
+              SELECT a.cid, dims.d,
+                     sum(a.vq[CAST(dims.d AS INT) + 1]) AS s,
+                     count(*) AS n
+              FROM a{i} a CROSS JOIN dims
+              GROUP BY a.cid, dims.d
+            ),
+            c{i} AS MATERIALIZED (
+              SELECT c.cid,
+                     coalesce(u.cv, c.cv) AS cv
+              FROM c{i - 1} c
+              LEFT JOIN (
+                SELECT cid, list(s // n ORDER BY d) AS cv FROM s{i} GROUP BY cid
+              ) u USING (cid)
+            )""")
+    return ",".join(rounds) + ","
+
+
 def _pagerank_rounds_sql(n_rounds: int) -> str:
     """Unrolled PageRank iteration CTEs it1..itN for the doc_pagerank oracle
     (exact integer arithmetic mirroring graph.pagerank: contribution =
@@ -3762,6 +3833,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_dist_fp ASC, a.vec_id
             LIMIT 10
         """,
+        "evt_value_histogram": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500 AS bin
+              FROM events
+            )
+            SELECT event_type, CAST(bin AS BIGINT) AS bin,
+                   CAST(bin * 2500 AS BIGINT) AS bin_lo_fp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY event_type, bin
+        """,
         "doc_unigram_nll": r"""
             WITH toks AS (
               SELECT doc_id AS id,
@@ -3808,6 +3890,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(w + INTERVAL '1 hour') AS BIGINT) AS window_end_us,
                    type, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "emb_kmeans": f"""
+            WITH v AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM embeddings
+            ),
+            dims AS (SELECT unnest(range(64)) AS d),
+            c0 AS MATERIALIZED (
+              SELECT CAST(vec_id AS INT) AS cid, vq AS cv FROM v WHERE vec_id < 8
+            ),
+{_kmeans_rounds_sql(3)}
+            final AS (
+              SELECT vec_id, dist, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       list_sum(list_transform(
+                         list_zip(v.vq, c.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist,
+                       row_number() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY list_sum(list_transform(
+                           list_zip(v.vq, c.cv),
+                           x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC
+                       ) AS rn
+                FROM v CROSS JOIN c3 c
+              ) WHERE rn = 1
+            )
+            SELECT vec_id AS id, CAST(cid AS INT) AS cluster,
+                   CAST(dist AS BIGINT) AS dist_sq
+            FROM final
         """,
         "doc_temperature_weights": r"""
             WITH c AS (

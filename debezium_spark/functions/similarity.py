@@ -803,3 +803,130 @@ def sq_topk(
         .orderBy(F.asc("dist_sq"), F.asc("id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ exact k-means
+def _kq(vec_col: str, scale: int) -> Column:
+    """Vector quantized ONCE to scaled BIGINTs — after this every k-means
+    distance and centroid update is exact integer arithmetic."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+    )
+
+
+def _nearest_cluster(vq: Column, centroids: list[list[int]]) -> Column:
+    """Argmin over centroids of exact BIGINT squared distance; ties to the
+    smallest cluster id (min over (dist, cid) structs — integer fields, so
+    no float drift can flip a winner)."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vq,
+                        F.array(*[F.lit(int(c)).cast("long") for c in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+) -> list[list[int]]:
+    """Exact fixed-point Lloyd's k-means — the clustering step of
+    topic-balancing / SemDeDup-style curation, engineered so the FIT is
+    bit-reproducible on any engine/partitioning (a float k-means cannot be
+    hash-gated: both the distances and the centroid means accumulate in
+    partition order):
+
+    * vectors quantize ONCE to scaled BIGINTs (units of 1/scale);
+    * assignment = argmin of exact BIGINT squared distance, ties to the
+      smallest cluster id;
+    * update = per-dimension ``sum DIV count`` (exact TRUNCATING integer
+      division, toward zero — the SQL convention; sums go negative, where
+      Python ``//`` would floor and drift from the oracle by one unit) —
+      centroids stay BIGINT grids forever;
+    * init = the first ``k`` vectors by id (deterministic, pushed-down
+      ``id < k`` scan — swap in sampled init at scale, the machinery is
+      identical);
+    * FIXED ``iterations`` (the convergence budget is part of the
+      contract), so the oracle is unrolled SQL like graph.pagerank's.
+
+    Per iteration: one zero-join assignment scan (centroids ride the plan
+    as k*dim literals) + one map-side-combined per-(cluster, dim) sum
+    whose output is k*dim rows — the only driver traffic. Empty clusters
+    keep their previous centroid (the standard Lloyd fallback, and the
+    deterministic one).
+
+    Returns ``centroids[cid] = [scaled ints]``; feed to
+    :func:`kmeans_assign`.
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError("need k >= 1 and iterations >= 0")
+    head = (
+        vectors.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("_id"), _kq(vec_col, scale).alias("vq"))
+        .collect()
+    )
+    if len(head) < k:
+        raise ValueError(f"need at least k={k} head vectors, got {len(head)}")
+    cents = [list(r["vq"]) for r in sorted(head, key=lambda r: r["_id"])][:k]
+    quant = vectors.select(_kq(vec_col, scale).alias("vq"))
+    for _ in range(iterations):
+        assigned = quant.select(
+            _nearest_cluster(F.col("vq"), cents).getField("cid").alias("cid"), "vq"
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("vq").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * dim rows
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep position
+        by_cid: dict[int, list] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], []).append(r)
+        for cid, rows in by_cid.items():
+            for r in rows:
+                s_, n_ = int(r["s"]), int(r["n"])
+                # TRUNCATING division (toward zero), not Python floor:
+                # centroid sums go negative, and SQL integer division
+                # (DuckDB //, Spark div) truncates — the oracle contract
+                new_cents[cid][r["d"]] = abs(s_) // n_ * (1 if s_ >= 0 else -1)
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list[list[int]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Assign every vector to its nearest fitted centroid:
+    ``(id, cluster, dist_sq)`` with the exact BIGINT distance in scaled
+    units squared. One zero-join, zero-shuffle scan — centroids are plan
+    literals, the argmin is integer struct-min column algebra."""
+    best = _nearest_cluster(_kq(vec_col, scale), centroids)
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        best.getField("cid").alias("cluster"),
+        best.getField("d").alias("dist_sq"),
+    )

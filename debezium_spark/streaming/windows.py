@@ -541,3 +541,43 @@ def windowed_topk(
             "rank",
         )
     )
+
+
+def value_histogram(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    bin_width: float = 10.0,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact fixed-width histogram per group: values quantize to scaled
+    BIGINTs (``floor(v*scale + 0.5)``), the bin index is TRUNCATING integer
+    division by the scaled bin width (the SQL DIV convention both engines
+    share), and counts are one map-side-combined shuffle bounded by
+    |groups| x |occupied bins|. The distribution profile every
+    curation/monitoring pipeline wants, with none of the float-boundary
+    ambiguity (a value can never land in two bins on two engines).
+
+    Output: (group_cols..., bin, bin_lo_fp, n) where bin_lo_fp = bin *
+    scaled width (the bin's inclusive lower edge for non-negative bins,
+    in fixed-point units).
+    """
+    w_fp = int(round(bin_width * value_scale))
+    if w_fp < 1:
+        raise ValueError("bin_width * value_scale must be >= 1")
+    vfp = F.floor(F.col(value_col).cast("double") * value_scale + F.lit(0.5)).cast(
+        "long"
+    )
+    binned = events.select(*group_cols, vfp.alias("_vfp"))
+    return (
+        binned.select(*group_cols, F.expr(f"_vfp div {w_fp}").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * w_fp).cast("long").alias("bin_lo_fp"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

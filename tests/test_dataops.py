@@ -1396,3 +1396,59 @@ def test_cms_null_values_excluded_not_underestimated(spark):
     rows = {r["value"]: r["est_n"] for r in est.collect()}
     assert None not in rows  # NULL probes dropped, not returned as 0
     assert rows["a"] >= 2 and rows["b"] >= 1  # never-underestimate holds
+
+
+def test_kmeans_separable_blobs_and_determinism(spark):
+    """Exact k-means: separable blobs cluster purely, assignment is
+    bit-deterministic across partitionings, empty clusters keep their
+    centroid, and iterations=0 assigns against the raw head init."""
+    from debezium_spark.functions.similarity import kmeans_assign, kmeans_fit
+
+    rows = []
+    # 3 tight blobs far apart in 4-d; ids interleaved so head init (k=3)
+    # picks one seed per blob (ids 0,1,2 are one point of each blob)
+    for i in range(90):
+        blob = i % 3
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[blob] = 10.0 * (blob + 1)
+        jitter = [(0.01 * ((i * 7 + d) % 5)) for d in range(4)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iterations=3)
+    out = {r["id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    for i, _ in rows:
+        assert out[i] == out[i % 3]  # blob purity
+    assert len({out[0], out[1], out[2]}) == 3
+    # determinism across partitioning
+    cents2 = kmeans_fit(df.repartition(13), k=3, iterations=3)
+    assert cents == cents2
+    # iterations=0: assignment against raw quantized head vectors
+    cents0 = kmeans_fit(df, k=3, iterations=0)
+    exp0 = [[int(np.floor(v * 10**6 + 0.5)) for v in rows[i][1]] for i in range(3)]
+    assert cents0 == exp0
+    # empty-cluster fallback: k=4 head init where the 4th seed (id 3, a
+    # blob-0 point) loses all members after one update still yields 4
+    # centroids and a total assignment
+    cents4 = kmeans_fit(df, k=4, iterations=3)
+    assert len(cents4) == 4
+    assert kmeans_assign(df, cents4).count() == 90
+
+
+def test_value_histogram_exact_bins(spark):
+    """Histogram: truncating-division binning, exact counts, occupied bins only."""
+    from debezium_spark.streaming.windows import value_histogram
+
+    rows = [(1, "a", 0.0), (2, "a", 9.99), (3, "a", 10.0), (4, "a", 24.99),
+            (5, "a", 25.0), (6, "b", 25.01)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        (r["event_type"], r["bin"]): (r["bin_lo_fp"], r["n"])
+        for r in value_histogram(
+            df, group_cols=("event_type",), bin_width=25.0, value_scale=100
+        ).collect()
+    }
+    # cents: 0, 999, 1000, 2499 -> bin 0; 2500 -> bin 1
+    assert out[("a", 0)] == (0, 4)
+    assert out[("a", 1)] == (2500, 1)
+    assert out[("b", 1)] == (2500, 1)
+    assert len(out) == 3
