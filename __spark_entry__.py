@@ -2019,20 +2019,41 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (dedup.decontaminate_bloom): same
     eval split as doc_decontaminate (doc_id % 97 == 0), but the eval
     shingle set is compressed to a 2^18-bit bloom (k=6) and the corpus
-    probe is a zero-join bit test against one plan-literal word array —
-    no broadcast hash table, no corpus shuffle before the per-doc count.
-    The oracle states EXACT membership semantics: at these filter
-    parameters the false-positive probability across every probe at gate
-    scale is ~1e-7, so the bloom output equals the exact join
-    deterministically (the FP-rate and no-false-negative laws are
-    pytest-pinned in tests/test_dataops.py)."""
+    probe is a zero-join bit test against ONE shared word array (forall
+    over a k-position array — the array appears once in the plan, not
+    once per hash) — no broadcast hash table, no corpus shuffle before
+    the per-doc count. A bloom is probabilistic, so the hash gate holds
+    only the DETERMINISTIC direction: per doc, the exact join's n_hits /
+    contaminated, plus `no_false_negative` — the law that the bloom can
+    never miss a contaminated shingle position (always 1, any SF, any
+    filter sizing). The false-positive side is bounded by pytest
+    (tests/test_dataops.py), not hash-gated — gating a ~FP-rate event
+    against an exact oracle would turn flaky as n/m grows with SF."""
     d = _docs(spark, sf_dir)
-    return DD.decontaminate_bloom(
-        d.where(F.col("doc_id") % 97 != 0),
-        d.where(F.col("doc_id") % 97 == 0),
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    eval_docs = d.where(F.col("doc_id") % 97 == 0)
+    exact = DD.decontaminate(corpus, eval_docs, ngram_words=8)
+    bloom = DD.decontaminate_bloom(
+        corpus,
+        eval_docs,
         ngram_words=8,
         m_bits=1 << 18,
         k_hashes=6,
+    ).select(
+        F.col("doc_id"),
+        F.col("n_hits").alias("_bloom_hits"),
+        F.col("contaminated").alias("_bloom_cont"),
+    )
+    return exact.join(bloom, "doc_id").select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+        (
+            (F.col("_bloom_hits") >= F.col("n_hits"))
+            & (F.col("_bloom_cont") >= F.col("contaminated"))
+        )
+        .cast("int")
+        .alias("no_false_negative"),
     )
 
 
@@ -2918,7 +2939,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
                    CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT)
-                     AS contaminated
+                     AS contaminated,
+                   CAST(1 AS INT) AS no_false_negative
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
         """,
@@ -3253,7 +3275,8 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value_fp
+                   CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_fp
             FROM events GROUP BY 1, 2
         """,
         "cdc_content_router": """

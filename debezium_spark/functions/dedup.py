@@ -762,32 +762,54 @@ def bloom_probe(
     *,
     k_hashes: int = 5,
     hit_col: str = "bloom_hit",
+    broadcast_threshold_words: int = 1 << 14,
 ) -> DataFrame:
     """Probe each row's ``value_col`` against a bloom filter built by
     :func:`bloom_build`: adds ``hit_col`` (int 0/1), 1 iff ALL k bits are
-    set. The word array rides the plan as ONE array literal (broadcast to
-    executors with the serialized plan), so the probe is a zero-shuffle,
-    zero-join projection over the corpus — the scale payoff vs. a semi-join
-    against the key set. Membership law: every inserted value hits
-    (no false negatives); non-members hit with probability ≈ the documented
-    FP rate, so downstream use is "cheap prefilter, exact check on
-    survivors" (or accept the bounded FP rate, as dedup pipelines do).
+    set. The k bit positions are computed into ONE array column and tested
+    with a single ``forall`` over ONE shared reference to the word array —
+    the array appears exactly once in the physical plan, not once per hash
+    (a k-way literal duplication bloats the serialized plan k-fold for
+    zero benefit). Up to ``broadcast_threshold_words`` (128 KB of longs)
+    the words ride the plan as a literal; above it they ship once per
+    executor via a broadcast one-row frame instead, so a 2^24-bit filter
+    doesn't serialize megabytes into every task. Either way the probe is a
+    zero-shuffle projection over the corpus — the scale payoff vs. a
+    semi-join against the key set. Membership law: every inserted value
+    hits (no false negatives); non-members hit with probability ≈ the
+    documented FP rate, so downstream use is "cheap prefilter, exact check
+    on survivors" (or accept the bounded FP rate, as dedup pipelines do).
     """
     m_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
     v = F.col(value_col).cast("string")
-    checks = []
-    for i in range(k_hashes):
-        p = _bloom_pos(v, i, m_bits)
-        word = F.element_at(lit_words, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
+    pos_arr = F.array(*[_bloom_pos(v, i, m_bits) for i in range(k_hashes)])
+
+    def _bit_set(word_arr, p):
+        word = F.element_at(word_arr, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63)).cast("int")
         )
-        checks.append(word.bitwiseAND(mask) != F.lit(0))
-    hit = checks[0]
-    for c in checks[1:]:
-        hit = hit & c
-    return df.withColumn(hit_col, hit.cast("int"))
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    if len(words) <= broadcast_threshold_words:
+        # one py4j call for the whole array — element-wise F.lit would cost
+        # thousands of driver round-trips just to BUILD the expression
+        lit_words = F.lit([int(w) for w in words]).cast("array<bigint>")
+        hit = F.forall(pos_arr, lambda p: _bit_set(lit_words, p))
+        return df.withColumn(hit_col, hit.cast("int"))
+    wdf = df.sparkSession.createDataFrame(
+        [([int(w) for w in words],)], "_bloom_words array<bigint>"
+    )
+    return (
+        df.crossJoin(F.broadcast(wdf))
+        .withColumn(
+            hit_col,
+            F.forall(pos_arr, lambda p: _bit_set(F.col("_bloom_words"), p)).cast(
+                "int"
+            ),
+        )
+        .drop("_bloom_words")
+    )
 
 
 def decontaminate_bloom(

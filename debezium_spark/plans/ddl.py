@@ -23,10 +23,13 @@ beats a DataFrame at any scale.
 from __future__ import annotations
 
 import json
+import logging
 import re
 from dataclasses import dataclass
 
 __all__ = ["DdlEvent", "parse_ddl", "history_rows_from_ddl", "sql_type_to_spark"]
+
+_LOG = logging.getLogger(__name__)
 
 # SQL type -> Spark DDL type (registry.parse_type consumes the right side).
 # Sizes on character types are capture-metadata only (Spark strings are
@@ -195,14 +198,76 @@ def _parse_create_columns(body: str) -> list[tuple[str, str]]:
     return cols
 
 
-def parse_ddl(ddl: str) -> list[DdlEvent]:
+# Statements a real binlog/WAL DDL stream carries that never change a
+# captured table's SHAPE. The reference parses-and-ignores these (its
+# listener has no shape callback for them) rather than erroring — see
+# relational/history/DatabaseHistory.java:46 (`skip.unparseable.ddl` exists
+# only for statements the parser can't even recognize).
+_NEUTRAL_STMT = re.compile(
+    r"^(?:"
+    r"create\s+(?:unique\s+|fulltext\s+|spatial\s+)?index\b"
+    r"|drop\s+index\b"
+    r"|alter\s+index\b"
+    r"|analyze\b|optimize\s+table\b|repair\s+table\b|vacuum\b"
+    r"|grant\b|revoke\b|flush\b"
+    r"|lock\s+tables?\b|unlock\s+tables?\b"
+    r"|comment\s+on\b"
+    r"|create\s+(?:or\s+replace\s+)?view\b|drop\s+view\b|alter\s+view\b"
+    r"|create\s+(?:or\s+replace\s+)?(?:definer\s*=\s*\S+\s+)?trigger\b"
+    r"|drop\s+trigger\b"
+    r"|create\s+(?:database|schema)\b|drop\s+(?:database|schema)\b"
+    r"|alter\s+(?:database|schema)\b"
+    r"|begin\b|start\s+transaction\b|commit\b|rollback\b|savepoint\b"
+    r")",
+    re.IGNORECASE,
+)
+
+# ALTER TABLE actions that touch indexes/constraints/storage, not columns —
+# the registry's shape deltas (add/widen/drop/rename column) are unaffected,
+# so these emit an ALTER_TABLE event with no table_changes. Checked BEFORE
+# the ADD-column regex: 'ADD CONSTRAINT pk PRIMARY KEY (x)' would otherwise
+# parse as a column named 'pk'.
+_NEUTRAL_ACTION = re.compile(
+    r"^(?:"
+    r"add\s+(?:constraint\b|(?:unique\s+)?(?:index|key)\b|primary\s+key\b"
+    r"|foreign\s+key\b|fulltext\b|spatial\b|check\b|unique\b|period\s+for\b)"
+    r"|drop\s+(?:constraint\b|index\b|key\b|primary\s+key\b|foreign\s+key\b"
+    r"|check\b)"
+    r"|rename\s+(?:index|key)\b"
+    r"|alter\s+(?:index|constraint)\b"
+    r"|(?:enable|disable)\s+keys\b"
+    r"|alter\s+(?:column\s+)?\S+\s+(?:set|drop)\s+(?:default\b|not\s+null\b)"
+    r"|modify\s+(?:column\s+)?\S+\s+(?:set|drop)\s+default\b"
+    r"|validate\s+constraint\b|owner\s+to\b|set\s+tablespace\b"
+    r"|set\s*\(|reset\s*\(|force\b"
+    r"|(?:engine|auto_increment|comment|row_format|algorithm|lock|"
+    r"tablespace|stats_persistent|checksum|delay_key_write|kay_block_size|"
+    r"key_block_size)\s*=?"
+    r"|(?:default\s+)?(?:character\s+set|charset|collate)\b"
+    r"|convert\s+to\s+character\s+set\b"
+    r")",
+    re.IGNORECASE,
+)
+
+
+def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
     """Parse a DDL script into listener events, in statement order
     (DdlChanges.java groups and replays them the same way). One ALTER TABLE
     statement with several comma-separated actions emits one event per
-    action, mirroring the reference's per-action callbacks. Unsupported
-    statements raise ``ValueError`` (the reference's parsing error path) —
-    silently skipping a shape-changing statement would corrupt the registry's
-    replayed history."""
+    action, mirroring the reference's per-action callbacks.
+
+    SHAPE-NEUTRAL statements (index/constraint/grant/analyze/view/trigger and
+    the matching ALTER actions) are recognized and passed through with
+    ``table_changes=None`` — the reference likewise parses-and-ignores DDL
+    that doesn't change a captured table's relational shape, so a realistic
+    binlog history (indexes interleaved with column changes) replays cleanly.
+
+    Statements the parser can't even classify raise ``ValueError`` unless
+    ``skip_unparseable`` is set (``database.history.skip.unparseable.ddl``,
+    relational/history/DatabaseHistory.java:46), in which case they're logged
+    and emitted as ``SKIPPED`` events — silently dropping a shape-changing
+    statement would corrupt the registry's replayed history, so the skip is
+    opt-in exactly as in the reference."""
     events: list[DdlEvent] = []
     clean = _COMMENT.sub(" ", ddl)
     for stmt in _split_top_level(clean, ";"):
@@ -215,6 +280,9 @@ def parse_ddl(ddl: str) -> list[DdlEvent]:
             continue
         if low.startswith("set "):
             events.append(DdlEvent("SET_VARIABLE", None, None, stmt))
+            continue
+        if _NEUTRAL_STMT.match(stmt):
+            events.append(DdlEvent("SCHEMA_NEUTRAL", None, None, stmt))
             continue
         m = re.match(
             rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?({_QUALIFIED})\s*\((.*)\)\s*[^)]*$",
@@ -249,6 +317,9 @@ def parse_ddl(ddl: str) -> list[DdlEvent]:
         if m:
             table = _norm_table(m.group(1))
             for action in _split_top_level(m.group(2), ","):
+                if _NEUTRAL_ACTION.match(action):
+                    events.append(DdlEvent("ALTER_TABLE", table, None, stmt))
+                    continue
                 am = _ADD.match(action)
                 if am:
                     typ = sql_type_to_spark(
@@ -276,10 +347,21 @@ def parse_ddl(ddl: str) -> list[DdlEvent]:
                     typ = sql_type_to_spark(mm.group(2) or mm.group(4))
                     change = f"widen:{name}:{typ}"
                 else:
+                    if skip_unparseable:
+                        _LOG.warning(
+                            "skipping unparseable ALTER action %r in %r",
+                            action, stmt,
+                        )
+                        events.append(DdlEvent("SKIPPED", table, None, stmt))
+                        continue
                     raise ValueError(
                         f"unsupported ALTER TABLE action {action!r} in {stmt!r}"
                     )
                 events.append(DdlEvent("ALTER_TABLE", table, change, stmt))
+            continue
+        if skip_unparseable:
+            _LOG.warning("skipping unparseable DDL statement %r", stmt)
+            events.append(DdlEvent("SKIPPED", None, None, stmt))
             continue
         raise ValueError(f"unsupported DDL statement {stmt!r}")
     return events
@@ -287,7 +369,7 @@ def parse_ddl(ddl: str) -> list[DdlEvent]:
 
 def history_rows_from_ddl(
     ddl: str, *, offsets: list[int], first_version: int = 2,
-    table_filter: str | None = None,
+    table_filter: str | None = None, skip_unparseable: bool = False,
 ) -> list[dict]:
     """DDL script -> schema-history rows consumable by
     ``SchemaRegistry.from_history_rows`` / the engine's ``schema_changes``
@@ -298,7 +380,7 @@ def history_rows_from_ddl(
     consecutively from ``first_version`` in statement order, exactly how the
     reference's history recovery replays (HistorizedRelationalDatabaseSchema)."""
     shape = [
-        e for e in parse_ddl(ddl)
+        e for e in parse_ddl(ddl, skip_unparseable=skip_unparseable)
         if e.table_changes and e.table_changes != "create"
         and (table_filter is None or e.table_id == table_filter)
     ]
@@ -319,7 +401,7 @@ def history_rows_from_ddl(
 
 def schema_changes_frame(
     spark, ddl: str, *, offsets: list[int], first_version: int = 2,
-    table_filter: str | None = None,
+    table_filter: str | None = None, skip_unparseable: bool = False,
 ):
     """Raw DDL -> the engine's ``schema_changes`` DataFrame (same shape as
     ``sources.wal.schema_history``: offset/version/ddl/table_changes, one row
@@ -330,10 +412,10 @@ def schema_changes_frame(
         (r["offset"], r["version"], r["ddl"], r["table_changes"])
         for r in history_rows_from_ddl(
             ddl, offsets=offsets, first_version=first_version,
-            table_filter=table_filter,
+            table_filter=table_filter, skip_unparseable=skip_unparseable,
         )
     ]
-    for e in parse_ddl(ddl):
+    for e in parse_ddl(ddl, skip_unparseable=skip_unparseable):
         if e.table_changes == "create" and (
             table_filter is None or e.table_id == table_filter
         ):

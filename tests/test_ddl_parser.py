@@ -76,9 +76,71 @@ def test_comments_use_set_truncate_drop():
 
 def test_unsupported_statement_raises():
     with pytest.raises(ValueError):
-        D.parse_ddl("CREATE INDEX idx ON lake.repos (repo)")
-    with pytest.raises(ValueError):
         D.parse_ddl("ALTER TABLE lake.repos FROBNICATE widget")
+    with pytest.raises(ValueError):
+        D.parse_ddl("MERGE INTO lake.repos USING x ON 1=1")
+
+
+def test_skip_unparseable_knob():
+    """database.history.skip.unparseable.ddl (DatabaseHistory.java:46):
+    unclassifiable statements become logged SKIPPED events instead of
+    crashing replay; shape changes around them still land."""
+    ddl = (
+        "ALTER TABLE lake.repos ADD size_bytes BIGINT;"
+        "ALTER TABLE lake.repos FROBNICATE widget;"
+        "MERGE INTO lake.repos USING x ON 1=1;"
+        "ALTER TABLE lake.repos DROP COLUMN lang"
+    )
+    evs = D.parse_ddl(ddl, skip_unparseable=True)
+    assert [e.event_type for e in evs] == [
+        "ALTER_TABLE", "SKIPPED", "SKIPPED", "ALTER_TABLE",
+    ]
+    assert [e.table_changes for e in evs if e.table_changes] == [
+        "add_column:size_bytes:bigint", "drop_column:lang",
+    ]
+
+
+def test_shape_neutral_statements_ignored():
+    """The reference parses-and-ignores DDL that doesn't change a captured
+    table's shape (indexes, constraints, grants, analyze, views, triggers);
+    a realistic binlog history replays without raising and yields exactly
+    the same shape deltas as the clean script."""
+    realistic = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT);"
+        "CREATE INDEX idx_repo ON lake.repos (repo);"
+        "ALTER TABLE lake.repos ADD COLUMN size_bytes BIGINT,"
+        " ADD INDEX idx_sz (size_bytes), ENGINE=InnoDB;"
+        "ANALYZE TABLE lake.repos;"
+        "GRANT SELECT ON lake.repos TO 'reader'@'%';"
+        "ALTER TABLE lake.repos ADD CONSTRAINT pk PRIMARY KEY (repo, path);"
+        "CREATE OR REPLACE VIEW lake.v AS SELECT 1;"
+        "ALTER TABLE lake.repos MODIFY size_bytes BIGINT, "
+        " DROP INDEX idx_sz, AUTO_INCREMENT=100;"
+        "LOCK TABLES lake.repos WRITE;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path;"
+        "UNLOCK TABLES;"
+        "ALTER TABLE lake.repos ALTER COLUMN repo SET NOT NULL;"
+        "DROP INDEX idx_repo ON lake.repos"
+    )
+    clean = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT);"
+        "ALTER TABLE lake.repos ADD COLUMN size_bytes BIGINT;"
+        "ALTER TABLE lake.repos MODIFY size_bytes BIGINT;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path"
+    )
+    deltas = lambda ddl: [  # noqa: E731
+        e.table_changes for e in D.parse_ddl(ddl) if e.table_changes
+    ]
+    assert deltas(realistic) == deltas(clean)
+    rows_r = D.history_rows_from_ddl(
+        realistic, offsets=[10, 20, 30], table_filter="lake.repos"
+    )
+    rows_c = D.history_rows_from_ddl(
+        clean, offsets=[10, 20, 30], table_filter="lake.repos"
+    )
+    assert [r["table_changes"] for r in rows_r] == [
+        r["table_changes"] for r in rows_c
+    ]
 
 
 def test_sql_type_mapping():
