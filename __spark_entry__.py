@@ -1207,13 +1207,16 @@ def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the partition-pruned scale path alongside sign-LSH): coarse
-    cells = nearest of 32 deterministic centroids (first 32 vectors — the
-    training-free quantizer; `ivf_train_kmeans` drops in for tighter cells,
-    pytest-covered); probe the 4 cells nearest vec_id=0's embedding (12.5%
-    probe fraction — the sqrt(N) sizing rule at this SF, vs r2's 16-cell/25%
-    toy setting); exact cosine top-10 within the probed cells. At 100 TB the
-    table is written partitioned by ivf_cell, so a probe is a 4-partition
-    read. All ranking is fixed-point (1e-4) with id tie-breaks."""
+    cells = 32 TRAINED centroids — ivf_topk's default quantizer is now the
+    exact fixed-point k-means over a bounded id-pruned sample (2 Lloyd
+    rounds; untrained first-N cells skew probe populations at 10^9
+    vectors), and because the training is scaled-BIGINT exact, the oracle
+    replays the SAME two rounds in unrolled SQL and hash-gates the trained
+    index end-to-end. Probe the 4 cells nearest vec_id=0's embedding
+    (12.5% probe fraction — the sqrt(N) sizing rule at this SF); exact
+    cosine top-10 within the probed cells. At 100 TB the table is written
+    partitioned by ivf_cell, so a probe is a 4-partition read. All ranking
+    is fixed-point (1e-4) with id tie-breaks."""
     from debezium_spark.functions.similarity import ivf_topk, scaled
 
     v = _emb(spark, sf_dir)
@@ -1227,20 +1230,41 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 (similarity.pq_topk — Jegou TPAMI
     2011, the compression half of IVF-PQ): 64-dim vectors encoded as 4
-    packed 4-bit codes against training-free head-row codebooks, then
-    scored by the query's m x ks scaled-integer distance table. The table
-    ships as plan literals, so the search scan reads only the 2-byte code —
-    the 128x-compression trick that makes 10^10-vector ANN feasible. Scores
-    are exact BIGINT sums (no float in the row path); TakeOrdered top-k."""
-    from debezium_spark.functions.similarity import (
-        pq_codebooks_from_head,
-        pq_topk,
-    )
+    packed 4-bit codes against TRAINED codebooks — per-subspace exact
+    integer k-means over the id-pruned sample (pq_train_codebooks, 2 Lloyd
+    rounds; head-row codebooks cover only the head's corner of the space).
+    The training is scaled-BIGINT exact, so the oracle replays the same
+    rounds in unrolled SQL and hash-gates the trained index. The query's
+    m x ks scaled-integer ADC table ships as plan literals, so the search
+    scan reads only the 2-byte code — the 128x-compression trick that
+    makes 10^10-vector ANN feasible. Scores are exact BIGINT sums (no
+    float in the row path); TakeOrdered top-k."""
+    from debezium_spark.functions.similarity import pq_topk, pq_train_codebooks
 
     v = _emb(spark, sf_dir)
-    cbs = pq_codebooks_from_head(v, m=4, ks=16)
+    cbs = pq_train_codebooks(v, m=4, ks=16, iterations=2)
     query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
     return pq_topk(v, query, cbs, k=10)
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 (similarity.ivf_pq_topk — FAISS IVFPQ / Jegou
+    TPAMI 2011 §IV, the canonical 10^10-vector index): coarse cells from
+    the trained exact fixed-point k-means (32 cells, 2 Lloyd rounds over
+    the id-pruned sample), PQ codebooks from the exact integer k-means per
+    subspace over the sample's RESIDUALS w.r.t. their assigned cells, then
+    probe the 8 cells nearest vec_id=0's embedding and ADC-score only the
+    probed candidates. Every training and scoring step quantizes to scaled
+    BIGINTs before any argmin/argmax, so the whole trained index — coarse
+    training, residual codebook training, assignment, probe set, packed
+    codes, ADC sums — replays exactly in the unrolled SQL oracle. At scale:
+    IVF prunes the scan to ~nprobe/n_cells (partition pruning when written
+    by ivf_cell), PQ shrinks the probed read to 2 bytes/vector."""
+    from debezium_spark.functions.similarity import ivf_pq_topk
+
+    v = _emb(spark, sf_dir)
+    query = [float(x) for x in v.where("vec_id = 0").first()["embedding"]]
+    return ivf_pq_topk(v, query, k=10, n_cells=32, nprobe=8, m=4, ks=16)
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "emb_near_dups": q_emb_near_dups,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_mix_sources": q_doc_mix_sources,
@@ -2472,6 +2497,49 @@ def _kmeans_rounds_sql(n_rounds: int) -> str:
               LEFT JOIN (
                 SELECT cid, list(s // n ORDER BY d) AS cv FROM s{i} GROUP BY cid
               ) u USING (cid)
+            )""")
+    return ",".join(rounds) + ","
+
+
+def _pq_kmeans_rounds_sql(n_rounds: int) -> str:
+    """Unrolled per-subspace Lloyd iterations pa1/pc1..paN/pcN for the
+    emb_pq_topk oracle — the same exact integer arithmetic as
+    _kmeans_rounds_sql but keyed on (subspace s, code): argmin of BIGINT
+    squared distance with ties to the smallest code, sum // count updates,
+    empty codes keep their previous sub-centroid. Mirrors
+    similarity._pq_int_kmeans. Expects CTEs ``sv`` (vec_id, s, sq — the
+    training subvectors), ``pdims`` (sub-dimension ids) and ``p0`` (s, code,
+    cv — the init codebooks)."""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+            pa{i} AS MATERIALIZED (
+              SELECT vec_id, s, sq, code FROM (
+                SELECT sv.vec_id, sv.s, sv.sq, p.code,
+                       row_number() OVER (
+                         PARTITION BY sv.vec_id, sv.s
+                         ORDER BY list_sum(list_transform(
+                           list_zip(sv.sq, p.cv),
+                           x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, p.code ASC
+                       ) AS rn
+                FROM sv JOIN p{i - 1} p USING (s)
+              ) WHERE rn = 1
+            ),
+            ps{i} AS (
+              SELECT a.s, a.code, pdims.d,
+                     sum(a.sq[CAST(pdims.d AS INT) + 1]) AS sm,
+                     count(*) AS n
+              FROM pa{i} a CROSS JOIN pdims
+              GROUP BY a.s, a.code, pdims.d
+            ),
+            p{i} AS MATERIALIZED (
+              SELECT p.s, p.code,
+                     coalesce(u.cv, p.cv) AS cv
+              FROM p{i - 1} p
+              LEFT JOIN (
+                SELECT s, code, list(sm // n ORDER BY d) AS cv
+                FROM ps{i} GROUP BY s, code
+              ) u USING (s, code)
             )""")
     return ",".join(rounds) + ","
 
@@ -3782,49 +3850,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_ivf_topk": f"""
-            WITH c AS (
-              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings WHERE vec_id < 32
+            WITH v AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM embeddings WHERE vec_id < 16384
             ),
-            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            dims AS (SELECT unnest(range(64)) AS d),
+            c0 AS MATERIALIZED (
+              SELECT CAST(vec_id AS INT) AS cid, vq AS cv FROM v WHERE vec_id < 32
+            ),
+{_kmeans_rounds_sql(2)}
+            cf AS MATERIALIZED (
+              SELECT cid,
+                     list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS cvf
+              FROM c2
+            ),
+            av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT e AS qe FROM av WHERE vec_id = 0),
             asgn AS (
               SELECT vec_id, cid AS ivf_cell FROM (
-                SELECT v.vec_id, c.cid,
+                SELECT av.vec_id, cf.cid,
                        row_number() OVER (
-                         PARTITION BY v.vec_id
-                         ORDER BY {_scaled_sql("list_cosine_similarity(v.e, c.cv)")} DESC,
-                                  c.cid
+                         PARTITION BY av.vec_id
+                         ORDER BY {_scaled_sql("list_cosine_similarity(av.e, cf.cvf)")} DESC,
+                                  cf.cid
                        ) AS rn
-                FROM v CROSS JOIN c
+                FROM av CROSS JOIN cf
               ) WHERE rn = 1
             ),
             probes AS (
               SELECT cid FROM (
-                SELECT c.cid,
+                SELECT cf.cid,
                        row_number() OVER (
-                         ORDER BY {_scaled_sql("list_cosine_similarity((SELECT qe FROM q), c.cv)")} DESC,
-                                  c.cid
+                         ORDER BY {_scaled_sql("list_cosine_similarity((SELECT qe FROM q), cf.cvf)")} DESC,
+                                  cf.cid
                        ) AS rn
-                FROM c
+                FROM cf
               ) WHERE rn <= 4
             )
-            SELECT v.vec_id, CAST(asgn.ivf_cell AS INT) AS ivf_cell,
-                   {_scaled_sql("list_cosine_similarity(v.e, (SELECT qe FROM q))")} AS cos_c
-            FROM v JOIN asgn USING (vec_id)
+            SELECT av.vec_id, CAST(asgn.ivf_cell AS INT) AS ivf_cell,
+                   {_scaled_sql("list_cosine_similarity(av.e, (SELECT qe FROM q))")} AS cos_c
+            FROM av JOIN asgn USING (vec_id)
             WHERE asgn.ivf_cell IN (SELECT cid FROM probes)
             ORDER BY cos_c DESC, vec_id
             LIMIT 10
         """,
-        "emb_pq_topk": """
+        "emb_pq_topk": f"""
             WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             ),
-            cb AS (
-              SELECT s.s, c.vec_id AS code,
-                     list_slice(c.e, s.s * 16 + 1, s.s * 16 + 16) AS cv
-              FROM (SELECT unnest(range(4)) AS s) s
-              CROSS JOIN (SELECT vec_id, e FROM v WHERE vec_id < 16) c
+            vt AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM embeddings WHERE vec_id < 16384
+            ),
+            sv AS MATERIALIZED (
+              SELECT vt.vec_id, s.s,
+                     list_slice(vt.vq, s.s * 16 + 1, s.s * 16 + 16) AS sq
+              FROM vt CROSS JOIN (SELECT unnest(range(4)) AS s) s
+            ),
+            pdims AS (SELECT unnest(range(16)) AS d),
+            p0 AS MATERIALIZED (
+              SELECT s, CAST(vec_id AS INT) AS code, sq AS cv
+              FROM sv WHERE vec_id < 16
+            ),
+{_pq_kmeans_rounds_sql(2)}
+            cb AS MATERIALIZED (
+              SELECT s, code,
+                     list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS cv
+              FROM p2
             ),
             asgn AS (
               SELECT vec_id, s, code FROM (
@@ -3854,6 +3952,136 @@ def oracle_sql() -> dict[str, str]:
             FROM asgn a JOIN dtab d ON d.s = a.s AND d.code = a.code
             GROUP BY a.vec_id
             ORDER BY adc_dist_fp ASC, a.vec_id
+            LIMIT 10
+        """,
+        "emb_ivfpq_topk": f"""
+            WITH v AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+              FROM embeddings WHERE vec_id < 16384
+            ),
+            dims AS (SELECT unnest(range(64)) AS d),
+            c0 AS MATERIALIZED (
+              SELECT CAST(vec_id AS INT) AS cid, vq AS cv FROM v WHERE vec_id < 32
+            ),
+{_kmeans_rounds_sql(2)}
+            cf AS MATERIALIZED (
+              SELECT cid,
+                     list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS cvf
+              FROM c2
+            ),
+            av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT e AS qe FROM av WHERE vec_id = 0),
+            tasgn AS (
+              SELECT vec_id, cid FROM (
+                SELECT av.vec_id, cf.cid,
+                       row_number() OVER (
+                         PARTITION BY av.vec_id
+                         ORDER BY CAST(floor(-list_cosine_similarity(av.e, cf.cvf)
+                                            * 10000 + 0.5) AS BIGINT) ASC,
+                                  cf.cid ASC
+                       ) AS rn
+                FROM av CROSS JOIN cf WHERE av.vec_id < 16384
+              ) WHERE rn = 1
+            ),
+            tres AS MATERIALIZED (
+              SELECT a.vec_id,
+                     list_transform(list_zip(a.e, cf.cvf),
+                       x -> CAST(floor((x[1] - x[2]) * 1000000 + 0.5) AS BIGINT))
+                       AS rq
+              FROM av a
+              JOIN tasgn USING (vec_id)
+              JOIN cf ON cf.cid = tasgn.cid
+              WHERE a.vec_id < 16384
+            ),
+            sv AS MATERIALIZED (
+              SELECT tres.vec_id, s.s,
+                     list_slice(tres.rq, s.s * 16 + 1, s.s * 16 + 16) AS sq
+              FROM tres CROSS JOIN (SELECT unnest(range(4)) AS s) s
+            ),
+            pdims AS (SELECT unnest(range(16)) AS d),
+            p0 AS MATERIALIZED (
+              SELECT s, CAST(vec_id AS INT) AS code, sq AS cv
+              FROM sv WHERE vec_id < 16
+            ),
+{_pq_kmeans_rounds_sql(2)}
+            cbf AS MATERIALIZED (
+              SELECT s, code,
+                     list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS cv
+              FROM p2
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cf.cid,
+                       row_number() OVER (
+                         ORDER BY CAST(floor(-list_cosine_similarity(
+                                    (SELECT qe FROM q), cf.cvf)
+                                    * 10000 + 0.5) AS BIGINT) ASC,
+                                  cf.cid ASC
+                       ) AS rn
+                FROM cf
+              ) WHERE rn <= 8
+            ),
+            asgn AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT av.vec_id, cf.cid,
+                       row_number() OVER (
+                         PARTITION BY av.vec_id
+                         ORDER BY CAST(floor(list_cosine_similarity(av.e, cf.cvf)
+                                            * 10000 + 0.5) AS BIGINT) DESC,
+                                  cf.cid ASC
+                       ) AS rn
+                FROM av CROSS JOIN cf
+              ) WHERE rn = 1
+            ),
+            cres AS MATERIALIZED (
+              SELECT av.vec_id, asgn.cell,
+                     list_transform(list_zip(av.e, cf.cvf), x -> x[1] - x[2])
+                       AS rf
+              FROM av
+              JOIN asgn USING (vec_id)
+              JOIN cf ON cf.cid = asgn.cell
+              WHERE asgn.cell IN (SELECT cid FROM probes)
+            ),
+            codes AS (
+              SELECT vec_id, cell, s, code FROM (
+                SELECT r.vec_id, r.cell, cb.s, cb.code,
+                       row_number() OVER (
+                         PARTITION BY r.vec_id, cb.s
+                         ORDER BY CAST(floor(list_sum(list_transform(
+                             list_zip(list_slice(r.rf, cb.s * 16 + 1, cb.s * 16 + 16),
+                                      cb.cv),
+                             x -> (x[1] - x[2]) * (x[1] - x[2])
+                           )) * 10000 + 0.5) AS BIGINT) ASC, cb.code ASC
+                       ) AS rn
+                FROM cres r CROSS JOIN cbf cb
+              ) WHERE rn = 1
+            ),
+            qres AS (
+              SELECT cf.cid AS cell,
+                     list_transform(list_zip((SELECT qe FROM q), cf.cvf),
+                                    x -> x[1] - x[2]) AS qr
+              FROM cf WHERE cf.cid IN (SELECT cid FROM probes)
+            ),
+            dtab AS (
+              SELECT qres.cell, cb.s, cb.code,
+                     CAST(floor(list_sum(list_transform(
+                         list_zip(list_slice(qres.qr, cb.s * 16 + 1, cb.s * 16 + 16),
+                                  cb.cv),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])
+                       )) * 10000 + 0.5) AS BIGINT) AS dd
+              FROM qres CROSS JOIN cbf cb
+            )
+            SELECT c.vec_id, CAST(c.cell AS INT) AS ivf_cell,
+                   CAST(sum(c.code << (4 * c.s)) AS BIGINT) AS pq_code,
+                   CAST(sum(d.dd) AS BIGINT) AS adc_dist_fp
+            FROM codes c
+            JOIN dtab d ON d.cell = c.cell AND d.s = c.s AND d.code = c.code
+            GROUP BY c.vec_id, c.cell
+            ORDER BY adc_dist_fp ASC, c.vec_id
             LIMIT 10
         """,
         "evt_value_histogram": """

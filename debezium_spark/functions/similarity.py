@@ -171,14 +171,18 @@ def ivf_assign(
     lsh_topk's bucket pruning.
     """
     e = F.col(vec_col).cast("array<double>")
-    ranked = F.array(
-        *[
-            F.struct(
-                scaled(cosine(e, F.array(*[F.lit(float(x)) for x in cv])), scale).alias("s"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, cv in centroids
-        ]
+    # one 2-D centroid literal + parallel cid array (cids may be sparse),
+    # walked with an indexed transform — never k*dim per-centroid literals
+    cmat = F.lit([[float(x) for x in cv] for _, cv in centroids]).cast(
+        "array<array<double>>"
+    )
+    cids = F.lit([int(cid) for cid, _ in centroids]).cast("array<int>")
+    ranked = F.transform(
+        cmat,
+        lambda cv, i: F.struct(
+            scaled(cosine(e, cv), scale).alias("s"),
+            (-F.element_at(cids, i + F.lit(1))).alias("negcid"),
+        ),
     )
     best = F.array_max(ranked)
     return vectors.withColumn("ivf_cell", (-best.getField("negcid")).cast("int"))
@@ -244,37 +248,77 @@ def ivf_train_kmeans(
     return [(c, [float(v) for v in cents[c]]) for c in range(n_cells)]
 
 
+def ivf_centroids_trained(
+    vectors: DataFrame,
+    *,
+    n_cells: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 16_384,
+    iterations: int = 2,
+    scale: int = 10**6,
+) -> list[tuple[int, list[float]]]:
+    """Trained IVF coarse centroids via the EXACT fixed-point k-means
+    (:func:`kmeans_fit`) over a bounded id-pruned sample — the default
+    quantizer for :func:`ivf_topk` / :func:`ivf_pq_topk` (untrained first-N
+    centroids skew probe populations once cells stop looking like the data).
+
+    ``n_cells=None`` applies the FAISS sizing rule ``n_cells ≈ sqrt(N)``
+    (one count job), clamped to the sample size. Training scans only
+    ``id < sample`` (pushed-down at any scale; at 10^10 rows that's a
+    16k-row pruned read, never a full-table pass) and every arithmetic step
+    is scaled-BIGINT exact, so the same inputs give bit-identical centroids
+    on any engine — which is what lets the DuckDB oracle replay the
+    training (unrolled Lloyd rounds) and hash-gate the trained index
+    end-to-end. Euclidean training + cosine assignment is the standard
+    FAISS pairing for IP/cosine IVF. Returns ``[(cell_id, float centroid)]``
+    (fixed-point grid points divided by ``scale`` — deterministic doubles).
+    """
+    if n_cells is None:
+        import math
+
+        n_cells = max(1, math.isqrt(vectors.count()))
+    n_cells = min(int(n_cells), int(sample))
+    train = vectors.where(F.col(id_col) < sample)
+    cents = kmeans_fit(
+        train, k=n_cells, iterations=iterations,
+        vec_col=vec_col, id_col=id_col, scale=scale,
+    )
+    return [(cid, [c / scale for c in cv]) for cid, cv in enumerate(cents)]
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],
     *,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     order_scale: int = 10000,
     centroids: list[tuple[int, list[float]]] | None = None,
+    train_sample: int = 16_384,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe only the nprobe cells nearest the query.
 
-    Default centroids are the embeddings of the first ``n_cells`` ids — a
-    deterministic, training-free coarse quantizer; pass ``centroids`` (e.g.
-    from :func:`ivf_train_kmeans`) for a trained quantizer with tighter
-    cells — the probe/assign/score machinery is identical. The centroid fetch
-    collects n_cells rows (tiny); everything per-row is column algebra. Probe
-    order and the final top-k both rank by the fixed-point score with id
-    tie-breaks, so results are deterministic across engines. Size
-    ``n_cells ≈ sqrt(N)`` (see ivf_train_kmeans) — probe fraction is
-    ~nprobe/n_cells and the entry-point default of 16 is a small-SF setting.
+    Default centroids are TRAINED: :func:`ivf_centroids_trained` runs the
+    exact fixed-point k-means over a bounded ``train_sample`` id-pruned
+    sample (untrained first-N centroids skew probe populations at scale —
+    cells end up shaped by insertion order, not the data). Pass
+    ``n_cells=None`` for the ``sqrt(N)`` sizing rule, or explicit
+    ``centroids`` (e.g. from :func:`ivf_train_kmeans` for float spherical
+    training) — the probe/assign/score machinery is identical either way.
+    Everything per-row is column algebra. Probe order and the final top-k
+    both rank by the fixed-point score with id tie-breaks, so results are
+    deterministic across engines. Probe fraction is ~nprobe/n_cells.
     """
     if centroids is None:
-        cent_rows = (
-            vectors.where(F.col(id_col) < n_cells)
-            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-            .collect()
+        centroids = ivf_centroids_trained(
+            vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+            sample=train_sample, iterations=train_iters,
         )
-        centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
     # probe set: nprobe cells ranked by (scaled cos to query) desc, cell id asc
     qv = query
     probe_rank = sorted(
@@ -440,6 +484,82 @@ def pq_codebooks_from_head(
     return [[v[s * d : (s + 1) * d] for v in head] for s in range(m)]
 
 
+def _pq_int_kmeans(
+    sub_int: list[list[list[int]]], ks: int, iterations: int, scale: int
+) -> list[list[list[float]]]:
+    """Per-subspace exact integer Lloyd's k-means over scaled-BIGINT
+    subvectors (same arithmetic contract as :func:`kmeans_fit`: argmin of
+    exact integer squared distance with ties to the smallest code, update =
+    per-dim ``sum DIV count`` truncating toward zero, empty codes keep their
+    previous sub-centroid, init = first ``ks`` subvectors). ``sub_int[s]``
+    is subspace s's sample subvectors in id order. Pure driver-side ints
+    over a bounded sample — bit-identical on any host, which is what lets
+    an SQL oracle replay the training. Returns float codebooks
+    (ints / scale — deterministic doubles)."""
+    m = len(sub_int)
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        xs = sub_int[s]
+        if len(xs) < ks:
+            raise ValueError(f"subspace {s}: sample {len(xs)} < ks={ks}")
+        cents = [list(v) for v in xs[:ks]]
+        for _ in range(int(iterations)):
+            sums = [[0] * len(cents[0]) for _ in range(ks)]
+            counts = [0] * ks
+            for v in xs:
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, cv)), j)
+                    for j, cv in enumerate(cents)
+                )[1]
+                counts[best] += 1
+                for dd, a in enumerate(v):
+                    sums[best][dd] += a
+            for j in range(ks):
+                if counts[j]:
+                    cents[j] = [
+                        abs(s_) // counts[j] * (1 if s_ >= 0 else -1)
+                        for s_ in sums[j]
+                    ]
+        out.append([[c / scale for c in cv] for cv in cents])
+    return out
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    *,
+    m: int = 4,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 16_384,
+    iterations: int = 2,
+    scale: int = 10**6,
+) -> list[list[list[float]]]:
+    """Trained product-quantization codebooks: quantize a bounded id-pruned
+    sample once to scaled BIGINTs, then run the exact integer k-means of
+    :func:`_pq_int_kmeans` independently per subspace — the trained default
+    for :func:`pq_topk` (head-row codebooks cover only the head's corner of
+    the space; trained sub-centroids cut ADC quantization error across the
+    whole sample). The collect is ``id < sample`` (pushed down — never a
+    full scan), training is driver-side integer arithmetic over it, and the
+    result is deterministic on any engine, so a DuckDB oracle can replay
+    the training and hash-gate the trained index end-to-end."""
+    rows = (
+        vectors.where(F.col(id_col) < sample)
+        .select(F.col(id_col).alias("_id"), _kq(vec_col, scale).alias("vq"))
+        .collect()
+    )
+    vqs = [list(r["vq"]) for r in sorted(rows, key=lambda r: r["_id"])]
+    if not vqs:
+        raise ValueError("empty training sample")
+    dim = len(vqs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    sub = [[v[s * d : (s + 1) * d] for v in vqs] for s in range(m)]
+    return _pq_int_kmeans(sub, ks, iterations, scale)
+
+
 def _sq_dist(a: Column, b: Column) -> Column:
     """Exact-order squared L2: left-to-right fold of (a-b)*(a-b) — the same
     IEEE op sequence the DuckDB oracle and the driver-side table use."""
@@ -579,6 +699,8 @@ def ivf_pq_topk(
     scale: int = 10000,
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    train_sample: int = 16_384,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the canonical 10^10-vector index (FAISS IVFPQ;
     Jegou et al. TPAMI 2011 §IV): coarse-quantize each vector to an IVF cell,
@@ -598,11 +720,14 @@ def ivf_pq_topk(
     tables are scaled-integer literals computed driver-side, and the final
     score is an exact BIGINT sum — deterministic on any engine/partitioning.
 
-    Defaults are training-free and deterministic: centroids = first
-    ``n_cells`` vectors, codebooks = per-subspace residuals of the first
-    ``ks`` vectors w.r.t. their assigned cells; pass trained ones
-    (ivf_train_kmeans + per-subspace k-means over sampled residuals) at
-    scale — the encode/probe/score machinery is identical.
+    Defaults are TRAINED and deterministic: centroids come from the exact
+    fixed-point k-means over a bounded ``train_sample`` id-pruned sample
+    (:func:`ivf_centroids_trained` — untrained first-N cells skew probe
+    populations at 10^9 vectors), and codebooks from the same exact integer
+    k-means per subspace over the sample's RESIDUALS w.r.t. their assigned
+    cells (:func:`_pq_int_kmeans`). Both trainings touch only the pruned
+    sample, and both are bit-reproducible on any engine. Pass explicit ones
+    to override — the encode/probe/score machinery is identical.
 
     Output: (id_col, ivf_cell, pq_code, adc_dist_fp), k smallest ADC
     distances over the probed cells, ties by id.
@@ -610,12 +735,10 @@ def ivf_pq_topk(
     import math
 
     if centroids is None:
-        cent_rows = (
-            vectors.where(F.col(id_col) < n_cells)
-            .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-            .collect()
+        centroids = ivf_centroids_trained(
+            vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+            sample=train_sample, iterations=train_iters,
         )
-        centroids = sorted((int(r[id_col]), list(r["v"])) for r in cent_rows)
     cent = dict(centroids)
     dim = len(query)
 
@@ -633,19 +756,26 @@ def ivf_pq_topk(
         return [a - b for a, b in zip(v, c)]
 
     if codebooks is None:
-        head_rows = (
-            vectors.where(F.col(id_col) < ks)
+        # trained residual codebooks: exact integer k-means per subspace
+        # over the pruned sample's residuals (quantized once at 10^6)
+        samp_rows = (
+            vectors.where(F.col(id_col) < train_sample)
             .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
             .collect()
         )
-        if len(head_rows) < ks:
-            raise ValueError(f"need at least ks={ks} head vectors")
-        head = [list(r["v"]) for r in sorted(head_rows, key=lambda r: r[id_col])]
-        res = [residual(v, nearest_cell(v)) for v in head[:ks]]
+        if len(samp_rows) < ks:
+            raise ValueError(f"need at least ks={ks} sample vectors")
+        samp = [list(r["v"]) for r in sorted(samp_rows, key=lambda r: r[id_col])]
+        res = [residual(v, nearest_cell(v)) for v in samp]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         d = dim // m
-        codebooks = [[v[s * d : (s + 1) * d] for v in res] for s in range(m)]
+        q6 = 10**6
+        res_int = [
+            [int(math.floor(x * q6 + 0.5)) for x in v] for v in res
+        ]
+        sub = [[v[s * d : (s + 1) * d] for v in res_int] for s in range(m)]
+        codebooks = _pq_int_kmeans(sub, ks, train_iters, q6)
     d = len(codebooks[0][0])
     bits = max(1, (ks - 1).bit_length())
 
@@ -818,23 +948,23 @@ def _kq(vec_col: str, scale: int) -> Column:
 def _nearest_cluster(vq: Column, centroids: list[list[int]]) -> Column:
     """Argmin over centroids of exact BIGINT squared distance; ties to the
     smallest cluster id (min over (dist, cid) structs — integer fields, so
-    no float drift can flip a winner)."""
-    cands = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vq,
-                        F.array(*[F.lit(int(c)).cast("long") for c in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in enumerate(centroids)
-        ]
+    no float drift can flip a winner). The centroid matrix rides the plan
+    as ONE 2-D array literal walked with an indexed transform — k*dim
+    per-centroid literals would bloat the serialized plan k-fold (the same
+    fix as bloom_probe's shared word array)."""
+    cents = F.lit([[int(c) for c in cv] for cv in centroids]).cast(
+        "array<array<bigint>>"
+    )
+    cands = F.transform(
+        cents,
+        lambda cv, i: F.struct(
+            F.aggregate(
+                F.zip_with(vq, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
     )
     return F.array_min(cands)
 

