@@ -795,11 +795,14 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HLL distinct-token estimates (sketches.cardinality_
     sketches — Apache DataSketches HLL via hll_sketch_agg, lg_k=12): the
-    shuffle carries 4 KB mergeable sketches, never distinct values. Rows-only
-    driver check BY CONTRACT: the estimate is approximate and DuckDB's HLL
-    is a different implementation, so no SQL oracle can hash-match it; the
-    accuracy bound (±1.6%) and sketch mergeability are pinned in
-    tests/test_dataops.py instead."""
+    shuffle carries 4 KB mergeable sketches, never distinct values. The
+    estimate itself cannot be hash-gated (DuckDB's HLL is a different
+    implementation), so the gate holds the DETERMINISTIC contract instead:
+    per lang, the exact distinct count plus `within_bound` — the published
+    DataSketches accuracy law |est − exact| ≤ 3·(1.04/√2^lg_k)·exact
+    (±4.9% at lg_k=12; HLL register state is order-independent, so the 0/1
+    outcome is deterministic). The oracle recomputes the exact side and
+    asserts the bound always holds. Mergeability stays pytest-pinned."""
     from debezium_spark.functions.sketches import cardinality_sketches
 
     d = _docs(spark, sf_dir)
@@ -807,8 +810,22 @@ def q_doc_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "lang", F.explode(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("tok")
     )
-    return cardinality_sketches(toks, "tok", group_cols=("lang",)).select(
+    est = cardinality_sketches(toks, "tok", group_cols=("lang",)).select(
         "lang", "distinct_estimate"
+    )
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct(F.col("tok")).alias("exact_distinct")
+    )
+    bound = 3 * 1.04 / (2**12) ** 0.5
+    return est.join(exact, "lang").select(
+        "lang",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("distinct_estimate") - F.col("exact_distinct"))
+            <= F.lit(bound) * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("within_bound"),
     )
 
 
@@ -2087,7 +2104,14 @@ def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same definition as DuckDB quantile_cont — computed for all five
     quantiles from ONE map-side-combined buffer, quantized to ppm. Buffer
     memory is O(distinct values per group) (2-decimal values here), the
-    documented trade vs approx_percentile for unbounded measures."""
+    documented trade vs approx_percentile for unbounded measures.
+
+    Oracle-contract boundary note: the interpolated percentile is ONE float
+    multiply-add per quantile before the floor(x*1e6+0.5) quantization — a
+    1-ulp divergence between engines on an exact .5 boundary would flip the
+    ppm value. Measure-zero in practice (5 values x |types| per run) and
+    unobserved across rounds; documented as a residual risk unlike the
+    pure-integer gates."""
     from debezium_spark.streaming.windows import quantile_profile
 
     return quantile_profile(
@@ -2148,7 +2172,14 @@ def q_doc_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, mT5/XLM-R style, T=3): per-language pow quantized to an
     integer immediately, so the normalizing sum and the ppm weights are
     exact integer arithmetic. One map-side-combined token-count shuffle;
-    the rest runs on the |languages|-bounded frame."""
+    the rest runs on the |languages|-bounded frame.
+
+    Oracle-contract boundary note: the ONE float op (pow) is computed by
+    JVM Math vs DuckDB libm — a 1-ulp divergence for an input whose scaled
+    value lands exactly on the floor(x*1e6+0.5) boundary would flip the
+    quantized integer. Measure-zero in practice (|languages| inputs per
+    run) and unobserved across rounds, but unlike the pure-integer
+    operators this gate carries that documented residual risk."""
     return TX.temperature_weights(
         _docs(spark, sf_dir), group_col="lang", temperature=3.0
     )
@@ -2191,7 +2222,14 @@ def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter shape): per-token nll is ppm-quantized once per VOCAB
     TYPE (Laplace alpha=1), each doc's score is the exact BIGINT token
     sum — no per-instance float. Two map-side-combined count shuffles, a
-    broadcast vocab join, one doc-keyed sum."""
+    broadcast vocab join, one doc-keyed sum.
+
+    Oracle-contract boundary note: the ONE float op per vocab type (ln) is
+    JVM Math.log vs DuckDB libm ln — a 1-ulp divergence on an input whose
+    scaled value lands exactly on the floor(x*1e6+0.5) boundary would flip
+    that type's ppm cost. Measure-zero in practice and unobserved across
+    rounds; documented because the module's other gates are pure-integer
+    and carry no such residual risk."""
     return TX.unigram_nll(_docs(spark, sf_dir))
 
 
@@ -2957,6 +2995,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_ppm, term_rank
             FROM ranked WHERE term_rank <= 3
+        """,
+        "doc_cardinality_sketch": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS INT) AS within_bound
+            FROM toks GROUP BY lang
         """,
         "doc_cms_estimate": r"""
             WITH toks AS (

@@ -195,6 +195,7 @@ class ServerConfig:
                 f"format '{value_name}'"
             )
         self.format: type = _FORMATS[value_name]
+        self.value_format_name: str = value_name
 
         self.engine_props: dict[str, str] = {}
         self.sink_props: dict[str, str] = {}
@@ -322,6 +323,103 @@ class FileSink(ChangeConsumer):
 register_sink("file", FileSink)
 
 
+class HttpSink(ChangeConsumer):
+    """HTTP webhook sink — HttpChangeConsumer parity (debezium-server-http/
+    src/main/java/io/debezium/server/http/HttpChangeConsumer.java:44-156):
+    one POST per record to the webhook URL (``url`` sink property, or the
+    Knative ``K_SINK`` env per the reference's SinkBinding support), with
+    content-type derived from the value format (json →
+    ``application/json``, avro → ``avro/bytes``, cloudevents →
+    ``application/cloudevents+json``). Success = HTTP 200/202/204; any
+    other status retries up to ``retries`` times (default 5) pausing
+    ``retry.interval.ms`` (default 1000) between attempts, then raises —
+    the reference's DebeziumException path. A transport-level failure
+    (connection refused, timeout) raises immediately, mirroring the
+    reference's IOException → InterruptedException path.
+
+    Ordering/at-least-once: records POST strictly in batch order; each is
+    ``mark_processed``-ed only AFTER its POST is acked and the batch
+    finishes only after every record — offset-commit-after-ack, so a crash
+    between sink ack and offset flush redelivers, never loses.
+    Null-valued records are skipped without being sent (reference
+    behavior: the tombstone's deletion is already carried by the preceding
+    envelope)."""
+
+    _OK_STATUSES = (200, 202, 204)
+
+    def __init__(self, sink_props: dict[str, str], mapper: StreamNameMapper) -> None:
+        url = sink_props.get("url") or os.environ.get("K_SINK")
+        if not url:
+            raise ValueError(
+                "http sink requires 'debezium.sink.http.url' (or K_SINK)"
+            )
+        self._url = url
+        self._timeout = int(sink_props.get("timeout.ms", "60000")) / 1000.0
+        self._retries = int(sink_props.get("retries", "5"))
+        self._retry_interval = (
+            int(sink_props.get("retry.interval.ms", "1000")) / 1000.0
+        )
+        fmt = str(sink_props.get("_value.format", "json")).strip().lower()
+        self._content_type = {
+            "avro": "avro/bytes",
+            "cloudevents": "application/cloudevents+json",
+        }.get(fmt, "application/json")
+        self._mapper = mapper
+        self.written = 0
+
+    def _record_sent(self, value: str | bytes) -> bool:
+        import urllib.error
+        import urllib.request
+
+        data = (
+            bytes(value)
+            if isinstance(value, (bytes, bytearray))
+            else str(value).encode("utf-8")
+        )
+        req = urllib.request.Request(
+            self._url,
+            data=data,
+            headers={"content-type": self._content_type},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return resp.status in self._OK_STATUSES
+        except urllib.error.HTTPError as e:
+            # non-2xx WITH a response: retryable, like the reference's
+            # "Failed to publish event" log-and-retry
+            e.close()
+            return False
+        except urllib.error.URLError as e:
+            # transport failure: fail fast (reference: IOException ->
+            # InterruptedException stops the engine)
+            raise RuntimeError(f"http sink transport failure: {e}") from e
+
+    def handle_batch(
+        self, records: list[ChangeEvent], committer: RecordCommitter
+    ) -> None:
+        import time as _time
+
+        for rec in records:
+            if rec.value is None:
+                continue
+            attempts = 0
+            while not self._record_sent(rec.value):
+                attempts += 1
+                if attempts >= self._retries:
+                    raise RuntimeError(
+                        "Exceeded maximum number of attempts to publish "
+                        f"event at offset {rec.offset}"
+                    )
+                _time.sleep(self._retry_interval)
+            self.written += 1
+            committer.mark_processed(rec)
+        committer.mark_batch_finished()
+
+
+register_sink("http", HttpSink)
+
+
 # ------------------------------------------------------------------- server
 
 
@@ -348,9 +446,12 @@ class Server:
             config = ServerConfig(config)
         self.config = config
         self.spark = spark
-        self.sink = resolve_sink(
-            config.sink_type, config.sink_props, stream_name_mapper
-        )
+        # sinks that vary behavior by value format (e.g. http content-type)
+        # read it from this reserved key — the analogue of the reference
+        # sink reading the global `debezium.format.value` config
+        sink_props = dict(config.sink_props)
+        sink_props.setdefault("_value.format", config.value_format_name)
+        self.sink = resolve_sink(config.sink_type, sink_props, stream_name_mapper)
         self.completion: tuple[bool, str, BaseException | None] | None = None
 
     def run(self) -> int:

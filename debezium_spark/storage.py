@@ -36,8 +36,11 @@ EmbeddedEngine's OffsetCommitPolicy), `how` lives here.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any
+
+_LOG = logging.getLogger(__name__)
 
 from debezium_spark.plans.registry import SchemaChange, SchemaHistoryStore
 
@@ -119,10 +122,33 @@ class _SegmentedLog:
             if f.endswith(".jsonl") and f.split(".")[0].isdigit()
         )
 
+    def _truncate_torn_tail(self, path: str) -> None:
+        """Drop a torn final record left by a crash mid-append (the append
+        is write+flush+fsync of one line, not atomic). A log consumer
+        discards a torn tail record the same way; without this, the next
+        append would CONCATENATE onto the partial line and corrupt both
+        records."""
+        size = os.path.getsize(path)
+        if size == 0:
+            return
+        with open(path, "rb+") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) == b"\n":
+                return
+            f.seek(0)
+            data = f.read()
+            keep = data.rfind(b"\n") + 1  # 0 when the whole file is one torn line
+            _LOG.warning(
+                "discarding torn tail record (%d bytes) in %s",
+                size - keep, path,
+            )
+            f.truncate(keep)
+
     def _refresh_active(self) -> None:
         segs = self._segments()
         if segs:
             last = os.path.join(self.dir, segs[-1])
+            self._truncate_torn_tail(last)
             with open(last) as f:
                 n = sum(1 for _ in f)
             if n < self.segment_records:
@@ -133,6 +159,29 @@ class _SegmentedLog:
             nxt = 0
         self._active_path = os.path.join(self.dir, f"{nxt:010d}.jsonl")
         self._active_count = 0
+
+    def _replay_records(self):
+        """Yield parsed records across segments in name order, tolerating a
+        torn FINAL line of the LAST segment (crash mid-append — the record
+        was never durably committed, so recovery discards it, mirroring how
+        a log consumer treats a torn tail). An unparseable line anywhere
+        ELSE is real corruption and still raises."""
+        segs = self._segments()
+        for si, seg in enumerate(segs):
+            with open(os.path.join(self.dir, seg)) as f:
+                lines = f.readlines()
+            for li, line in enumerate(lines):
+                if not line.strip():
+                    continue
+                try:
+                    yield json.loads(line)
+                except json.JSONDecodeError:
+                    if si == len(segs) - 1 and li == len(lines) - 1:
+                        _LOG.warning(
+                            "skipping torn tail record in %s during replay", seg
+                        )
+                        return
+                    raise
 
     def _append(self, obj: dict) -> None:
         if self._active_path is None or self._active_count >= self.segment_records:
@@ -163,11 +212,8 @@ class LogOffsetBackingStore(_SegmentedLog, OffsetBackingStore):
 
     def load(self) -> dict[str, Any]:
         state: dict[str, Any] = {}
-        for seg in self._segments():
-            with open(os.path.join(self.dir, seg)) as f:
-                for line in f:
-                    if line.strip():
-                        state = json.loads(line)
+        for rec in self._replay_records():
+            state = rec
         return state
 
     def save(self, state: dict[str, Any]) -> None:
@@ -234,22 +280,15 @@ class LogSchemaHistory(_SegmentedLog):
     def replay(self, upto_offset: int | None = None) -> list[SchemaChange]:
         out: list[SchemaChange] = []
         seen: set[int] = set()
-        for seg in self._segments():
-            with open(os.path.join(self.dir, seg)) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    d = json.loads(line)
-                    if upto_offset is not None and d["offset"] > upto_offset:
-                        continue
-                    if d["version"] in seen:
-                        continue
-                    seen.add(d["version"])
-                    out.append(
-                        SchemaChange(
-                            d["offset"], d["version"], d["ddl"], d["table_changes"]
-                        )
-                    )
+        for d in self._replay_records():
+            if upto_offset is not None and d["offset"] > upto_offset:
+                continue
+            if d["version"] in seen:
+                continue
+            seen.add(d["version"])
+            out.append(
+                SchemaChange(d["offset"], d["version"], d["ddl"], d["table_changes"])
+            )
         out.sort(key=lambda c: (c.offset, c.version))
         return out
 

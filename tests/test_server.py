@@ -184,6 +184,114 @@ def test_file_sink_avro_format_base64_frames(spark, server_wal):
     assert body[0] == 0  # Confluent magic byte
 
 
+class _Webhook:
+    """Local HTTP listener capturing POST bodies; can fail the first N
+    requests with 500 to exercise the sink's retry loop."""
+
+    def __init__(self, fail_first: int = 0):
+        import http.server
+        import threading
+
+        hook = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("content-length", 0))
+                body = self.rfile.read(n)
+                if hook.failures_left > 0:
+                    hook.failures_left -= 1
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                hook.received.append(
+                    (body, self.headers.get("content-type"))
+                )
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):  # silence
+                pass
+
+        self.received: list[tuple[bytes, str]] = []
+        self.failures_left = fail_first
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}/hook"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_sink_round_trip_with_retries(spark, server_wal):
+    """HttpChangeConsumer parity: per-record POSTs in offset order,
+    content-type by value format, 500s retried with the configured pause,
+    offsets committed only after acks (resume delivers nothing new)."""
+    d = server_wal
+    hook = _Webhook(fail_first=2)
+    try:
+        props = _base_props(d)
+        props["debezium.sink.type"] = "http"
+        props["debezium.sink.http.url"] = hook.url
+        props["debezium.sink.http.retries"] = "10"
+        props["debezium.sink.http.retry.interval.ms"] = "10"
+        del props["debezium.sink.file.dir"]
+        server = Server(spark, props)
+        assert server.run() == 0
+        expected = _expected_total(spark, d)
+        # null-valued tombstone records are skipped, like the reference
+        bodies = [json.loads(b.decode()) for b, _ in hook.received]
+        assert server.sink.written == len(bodies)
+        assert len(bodies) <= expected
+        assert all(ct == "application/json" for _, ct in hook.received)
+        assert {"op", "source"} <= set(bodies[0])
+        # strictly in-order delivery of the non-null stream (the envelope
+        # carries the WAL offset in source.sequence, LSN-style)
+        offs = [
+            int(b["source"]["sequence"])
+            for b in bodies
+            if b.get("source", {}).get("sequence") is not None
+        ]
+        assert offs == sorted(offs)
+        # resume: nothing re-delivered after a clean run
+        n0 = len(hook.received)
+        server2 = Server(spark, props)
+        assert server2.run() == 0
+        assert len(hook.received) == n0
+    finally:
+        hook.close()
+
+
+def test_http_sink_errors(spark, tmpdir_path):
+    from debezium_spark.server import HttpSink
+
+    with pytest.raises(ValueError):
+        HttpSink({}, lambda s: s)
+    # retry budget exhausted -> raises (reference DebeziumException path)
+    hook = _Webhook(fail_first=99)
+    try:
+        sink = HttpSink(
+            {"url": hook.url, "retries": "2", "retry.interval.ms": "1"},
+            lambda s: s,
+        )
+
+        class _Rec:
+            destination, offset, key, value = "t", 1, "k", '{"a":1}'
+
+        class _Committer:
+            def mark_processed(self, r):
+                pass
+
+            def mark_batch_finished(self):
+                pass
+
+        with pytest.raises(RuntimeError, match="maximum number of attempts"):
+            sink.handle_batch([_Rec()], _Committer())
+    finally:
+        hook.close()
+
+
 # --------------------------------------------------- spark-submit --py-files
 def test_spark_submit_pyfiles_end_to_end(spark, server_wal):
     """The SURVEY §3.3 deployment shape, for real: package the library into
@@ -234,3 +342,41 @@ def test_spark_submit_pyfiles_end_to_end(spark, server_wal):
     assert n == summary["records_written"] == _expected_total(spark, d)
     # the offset store was flushed by the submitted job
     assert os.path.exists(os.path.join(d, "work", "_api_offsets.json"))
+
+    # second leg, same zip: the HTTP sink through a real spark-submit — the
+    # webhook lives in THIS process, the producer in the submitted one
+    hook = _Webhook()
+    try:
+        http_props = _base_props(d)
+        http_props["debezium.sink.type"] = "http"
+        http_props["debezium.sink.http.url"] = hook.url
+        http_props["debezium.source.work.dir"] = f"{d}/work_http"
+        del http_props["debezium.sink.file.dir"]
+        http_props_path = os.path.join(d, "app_http.properties")
+        with open(http_props_path, "w") as f:
+            for k, v in http_props.items():
+                f.write(f"{k}={v}\n")
+        proc2 = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", dist["path"],
+                os.path.join(d, "server_main.py"),
+                "--config", http_props_path,
+            ],
+            cwd=d,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc2.returncode == 0, proc2.stderr[-4000:]
+        summary2 = json.loads(
+            [ln for ln in proc2.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+        assert summary2["sink"] == "http" and summary2["exit_code"] == 0
+        assert len(hook.received) == summary2["records_written"] > 0
+    finally:
+        hook.close()

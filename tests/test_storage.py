@@ -107,6 +107,48 @@ def test_log_schema_history_rotates_never_compacts(tmpdir_path):
     assert len(h.replay()) == 8  # idempotent re-record
 
 
+def test_log_stores_survive_torn_tail(tmpdir_path):
+    """A crash mid-append leaves a partial final line (write+flush+fsync of
+    one line is not atomic). Recovery must treat it like a log consumer
+    treats a torn tail record: discard it, keep everything before it, and
+    never let the next append concatenate onto it."""
+    d = f"{tmpdir_path}/torn_o"
+    s = LogOffsetBackingStore(d, segment_records=100)
+    for i in range(4):
+        s.save({"offset": i})
+    seg = os.path.join(d, [f for f in os.listdir(d) if f.endswith(".jsonl")][0])
+    with open(seg, "a") as f:
+        f.write('{"offset": 4, "tr')  # torn: no closing brace, no newline
+    # load() on a fresh instance skips the torn record, keeps offset=3
+    assert LogOffsetBackingStore(d, segment_records=100).load()["offset"] == 3
+    # a fresh writer truncates the torn tail, so the next save is clean
+    s2 = LogOffsetBackingStore(d, segment_records=100)
+    s2.save({"offset": 5})
+    assert LogOffsetBackingStore(d, segment_records=100).load()["offset"] == 5
+    # mid-file corruption is NOT silently skipped
+    bad = f"{tmpdir_path}/torn_bad"
+    sb = LogOffsetBackingStore(bad, segment_records=100)
+    sb.save({"offset": 0})
+    sb.save({"offset": 1})
+    segb = os.path.join(bad, [f for f in os.listdir(bad) if f.endswith(".jsonl")][0])
+    lines = open(segb).read().splitlines()
+    with open(segb, "w") as f:
+        f.write("{corrupt}\n" + lines[1] + "\n")
+    with pytest.raises(Exception):
+        LogOffsetBackingStore(bad, segment_records=100).load()
+
+    # schema history: torn tail in the LAST segment only skips that record
+    hd = f"{tmpdir_path}/torn_h"
+    h = LogSchemaHistory(hd, segment_records=2)
+    for v in range(5):
+        h.record(SchemaChange(offset=v * 10, version=v, ddl=f"d{v}", table_changes=""))
+    segs = sorted(f for f in os.listdir(hd) if f.endswith(".jsonl"))
+    with open(os.path.join(hd, segs[-1]), "a") as f:
+        f.write('{"offset": 99, "ver')
+    out = LogSchemaHistory(hd, segment_records=2).replay()
+    assert [c.version for c in out] == list(range(5))
+
+
 @pytest.fixture()
 def small_wal(spark, tmpdir_path):
     spec = W.WalSpec(n_keys=40, n_events=200, seed=13)
