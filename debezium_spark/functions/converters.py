@@ -44,6 +44,25 @@ def convert_decimal(
     raise ValueError(f"invalid decimal.handling.mode {mode!r}")
 
 
+def _wall(ts_col: Column) -> Column:
+    """Normalize to TIMESTAMP_NTZ — the source-local WALL-CLOCK value. The
+    reference's io.debezium.time types convert wall times as-if-UTC
+    (Timestamp/MicroTimestamp javadocs: 'does not include timezone
+    information'), so every epoch here is wall-clock arithmetic against the
+    NTZ origin and NEVER consults the driver session timezone (a
+    ``cast('timestamp')`` hop would shift every value by the session's UTC
+    offset on a non-UTC driver — the r03 red-row bug class)."""
+    return ts_col.cast("timestamp_ntz")
+
+
+def _wall_us(ts_col: Column) -> Column:
+    """Wall-clock epoch microseconds (session-tz-independent)."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        _wall(ts_col),
+    )
+
+
 def epoch_days(date_col: Column) -> Column:
     """io.debezium.time.Date: days since epoch (int32)."""
     return F.datediff(date_col.cast("date"), F.lit("1970-01-01").cast("date")).cast("int")
@@ -52,35 +71,33 @@ def epoch_days(date_col: Column) -> Column:
 def epoch_millis(ts_col: Column) -> Column:
     """Kafka Connect Timestamp / io.debezium.time.Timestamp: epoch millis.
     floor(micros/1000) — exact and engine-portable (no bare double division)."""
-    return F.floor(F.unix_micros(ts_col.cast("timestamp")) / F.lit(1000)).cast("long")
+    return F.floor(_wall_us(ts_col) / F.lit(1000)).cast("long")
 
 
 def epoch_micros(ts_col: Column) -> Column:
     """io.debezium.time.MicroTimestamp: epoch microseconds."""
-    return F.unix_micros(ts_col.cast("timestamp"))
+    return _wall_us(ts_col)
 
 
 def zoned_iso(ts_col: Column) -> Column:
-    """io.debezium.time.ZonedTimestamp: ISO-8601 UTC string (micro precision)."""
-    return F.date_format(
-        ts_col.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
-    )
+    """io.debezium.time.ZonedTimestamp: ISO-8601 UTC string (micro
+    precision). Formats the NTZ wall value directly — date_format on a
+    session-zoned TIMESTAMP would re-render in the driver's timezone."""
+    return F.date_format(_wall(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
 
 def milli_of_day(ts_col: Column) -> Column:
     """io.debezium.time.Time: milliseconds past midnight (int32,
-    Time.toMilliOfDay). Day boundary taken in the session timezone-free
-    timestamp, matching the source-local wall clock the reference converts."""
-    ts = ts_col.cast("timestamp")
-    return F.floor(
-        (F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))) / F.lit(1000)
-    ).cast("int")
+    Time.toMilliOfDay), on the source-local wall clock."""
+    return F.floor(F.pmod(_wall_us(ts_col), F.lit(86_400_000_000)) / F.lit(1000)).cast(
+        "int"
+    )
 
 
 def micro_of_day(ts_col: Column) -> Column:
-    """io.debezium.time.MicroTime: microseconds past midnight (int64)."""
-    ts = ts_col.cast("timestamp")
-    return (F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))).cast("long")
+    """io.debezium.time.MicroTime: microseconds past midnight (int64).
+    pmod, not %: pre-1970 wall times still yield a 0..86400s time-of-day."""
+    return F.pmod(_wall_us(ts_col), F.lit(86_400_000_000)).cast("long")
 
 
 def nano_of_day(ts_col: Column) -> Column:
@@ -94,18 +111,18 @@ def nano_of_day(ts_col: Column) -> Column:
 def epoch_nanos(ts_col: Column) -> Column:
     """io.debezium.time.NanoTimestamp: nanoseconds past epoch (int64,
     NanoTimestamp.toEpochNanos); micro-precision source -> trailing zeros."""
-    return F.unix_micros(ts_col.cast("timestamp")) * F.lit(1000)
+    return _wall_us(ts_col) * F.lit(1000)
 
 
 def year_int(ts_col: Column) -> Column:
     """io.debezium.time.Year: the year number as int32 (MySQL YEAR columns)."""
-    return F.year(ts_col.cast("timestamp")).cast("int")
+    return F.year(_wall(ts_col)).cast("int")
 
 
 def zoned_time_iso(ts_col: Column) -> Column:
     """io.debezium.time.ZonedTime: ISO-8601 time-with-offset string; the
     engine normalizes to UTC ('Z'), like ZonedTimestamp handling above."""
-    return F.date_format(ts_col.cast("timestamp"), "HH:mm:ss.SSSSSS'Z'")
+    return F.date_format(_wall(ts_col), "HH:mm:ss.SSSSSS'Z'")
 
 
 def _strip_trailing_zeros(dec_str: Column) -> Column:

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from debezium_spark.streaming.windows import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -127,9 +129,10 @@ def interval_join(
     """
     key = list(on)
     b = int(bucket_seconds)
-    p_ep = F.col(point_ts).cast("timestamp").cast("long")
-    s_ep = F.col(start_col).cast("timestamp").cast("long")
-    e_ep = F.col(end_col).cast("timestamp").cast("long")
+    # session-tz-independent NTZ epoch (see windows.epoch_us docstring)
+    p_ep = epoch_seconds(F.col(point_ts))
+    s_ep = epoch_seconds(F.col(start_col))
+    e_ep = epoch_seconds(F.col(end_col))
     ivals = intervals.withColumn(
         "_bucket",
         F.explode(F.sequence(F.floor(s_ep / b), F.floor(e_ep / b))),
@@ -140,8 +143,8 @@ def interval_join(
         ivals.select(*key, "_bucket", *ival_cols), key + ["_bucket"], "inner"
     )
     contained = (
-        (p_ep >= F.col(start_col).cast("timestamp").cast("long"))
-        & (p_ep <= F.col(end_col).cast("timestamp").cast("long"))
+        (p_ep >= epoch_seconds(F.col(start_col)))
+        & (p_ep <= epoch_seconds(F.col(end_col)))
     )
     return joined.where(contained).drop("_bucket")
 

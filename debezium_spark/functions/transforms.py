@@ -319,8 +319,15 @@ def to_cloudevents(
     ]
     if "ts_ms" in vt.fieldNames():
         fields.append(
+            # render the UTC wall time via NTZ arithmetic: date_format on a
+            # session-zoned TIMESTAMP would re-render ce_time in the driver's
+            # timezone on a non-UTC driver
             F.date_format(
-                F.timestamp_millis(F.col("value.ts_ms")),
+                F.timestamp_add(
+                    "MILLISECOND",
+                    F.col("value.ts_ms"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                ),
                 "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
             ).alias("time")
         )

@@ -19,8 +19,44 @@ partition-dependent, so a DOUBLE sum can't be an exactly-checked metric.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Session-timezone-INDEPENDENT epoch microseconds of a TIMESTAMP_NTZ
+    column: wall-clock arithmetic against the NTZ epoch origin
+    (``timestamp_diff`` between two NTZ values never consults the session
+    timezone). The tempting ``cast('timestamp')`` hop interprets the NTZ
+    wall time in the driver session's timezone and silently shifts every
+    epoch by the UTC offset on a non-UTC driver — the exact bug class
+    behind the r03 red gate row. Use THIS for every NTZ→epoch conversion."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c
+    )
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Session-timezone-independent epoch seconds of a TIMESTAMP_NTZ
+    (truncating — whole seconds elapsed since the NTZ epoch origin)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "SECOND", F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c
+    )
+
+
+def ntz_from_us(col: Column | str) -> Column:
+    """Inverse of :func:`epoch_us`: epoch microseconds (BIGINT) back to a
+    TIMESTAMP_NTZ wall value, session-tz-independently. The tempting
+    ``F.timestamp_micros`` returns a session-zoned TIMESTAMP, which shifts
+    on any non-UTC driver when compared/joined against NTZ columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add(
+        "MICROSECOND", c, F.lit(_NTZ_EPOCH).cast("timestamp_ntz")
+    )
 
 
 def windowed_event_metrics(
@@ -136,12 +172,8 @@ def sessionize(
         )
         .select(
             *key_cols,
-            F.unix_micros(F.col("_first").cast("timestamp")).alias(
-                "session_start_us"
-            ),
-            F.unix_micros(F.col("_last").cast("timestamp")).alias(
-                "session_end_us"
-            ),
+            epoch_us(F.col("_first")).alias("session_start_us"),
+            epoch_us(F.col("_last")).alias("session_end_us"),
             "n_events",
         )
     )
@@ -205,9 +237,7 @@ def funnel(
         *key_cols,
         reached.cast("int").alias("reached"),
         *[
-            F.unix_micros(F.col(c).cast("timestamp")).alias(
-                f"step{i}_us"
-            )
+            epoch_us(F.col(c)).alias(f"step{i}_us")
             for i, c in enumerate(tcols, start=1)
         ],
     )
@@ -281,7 +311,7 @@ def retention_cohorts(
         # true floor (F.floor), not cast-truncation toward zero — pre-1970
         # timestamps must bucket to negative periods, not collapse into 0
         F.floor(
-            F.col(ts_col).cast("timestamp").cast("long") / period_seconds
+            epoch_seconds(F.col(ts_col)) / period_seconds
         ).cast("long").alias("_p"),
     )
     cohorts = base.groupBy(*key_cols).agg(F.min("_p").alias("cohort_period"))
@@ -437,7 +467,7 @@ def rolling_metrics(
     """
     from pyspark.sql import Window
 
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = epoch_us(F.col(ts_col))
     w = (
         Window.partitionBy(key_col)
         .orderBy(us)
@@ -532,10 +562,10 @@ def windowed_topk(
         counts.withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
         .select(
-            # cast: windows over TIMESTAMP_NTZ columns keep NTZ bounds;
-            # unix_micros wants TIMESTAMP (session tz is pinned UTC)
-            F.unix_micros(F.col("_w.start").cast("timestamp")).alias("window_start_us"),
-            F.unix_micros(F.col("_w.end").cast("timestamp")).alias("window_end_us"),
+            # windows over TIMESTAMP_NTZ columns keep NTZ bounds; convert
+            # with the session-tz-independent wall-clock epoch
+            epoch_us(F.col("_w.start")).alias("window_start_us"),
+            epoch_us(F.col("_w.end")).alias("window_end_us"),
             "type",
             F.col("n").cast("long").alias("n"),
             "rank",

@@ -32,15 +32,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    import os
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
 
+    # CHECK_TZ=America/New_York runs the whole gate under a non-UTC driver
+    # session — the regression leg that catches entries silently depending
+    # on session config (the r03 red-row bug class). Default stays UTC,
+    # matching the driver.
+    tz = os.environ.get("CHECK_TZ", "UTC")
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
