@@ -148,6 +148,26 @@ def _parse_default_literal(action: str):
             return None  # NULL / function / expression defaults: no backfill
 
 
+def _balanced_group(s: str, open_idx: int) -> str | None:
+    """Contents of the balanced paren group opening at ``open_idx`` (which
+    must point at '('), honoring quotes; None when unbalanced."""
+    depth, q = 0, None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i]
+    return None
+
+
 def _split_top_level(s: str, sep: str) -> list[str]:
     """Split on ``sep`` outside parentheses and quotes."""
     parts, depth, cur, q = [], 0, [], None
@@ -285,18 +305,23 @@ def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
             events.append(DdlEvent("SCHEMA_NEUTRAL", None, None, stmt))
             continue
         m = re.match(
-            rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?({_QUALIFIED})\s*\((.*)\)\s*[^)]*$",
+            rf"^create\s+table\s+(?:if\s+not\s+exists\s+)?({_QUALIFIED})\s*\(",
             stmt,
-            re.IGNORECASE | re.DOTALL,
+            re.IGNORECASE,
         )
         if m:
-            events.append(
-                DdlEvent(
-                    "CREATE_TABLE", _norm_table(m.group(1)), "create", stmt,
-                    columns=_parse_create_columns(m.group(2)),
+            # take the FIRST balanced paren group as the column list — a
+            # greedy regex would swallow trailing option clauses that carry
+            # their own parens (PARTITION BY ..., WITH (fillfactor=...))
+            body = _balanced_group(stmt, m.end() - 1)
+            if body is not None:
+                events.append(
+                    DdlEvent(
+                        "CREATE_TABLE", _norm_table(m.group(1)), "create", stmt,
+                        columns=_parse_create_columns(body),
+                    )
                 )
-            )
-            continue
+                continue
         m = re.match(
             rf"^drop\s+table\s+(?:if\s+exists\s+)?({_QUALIFIED})", stmt,
             re.IGNORECASE,
@@ -325,7 +350,8 @@ def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
                     typ = sql_type_to_spark(
                         re.split(
                             r"\s+(?:not\s+null|null|default|primary|unique|"
-                            r"comment|first|after)\b",
+                            r"comment|first|after|generated|references|check|"
+                            r"collate|character|auto_increment|constraint)\b",
                             am.group(2),
                             maxsplit=1,
                             flags=re.IGNORECASE,

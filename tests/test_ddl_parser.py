@@ -143,6 +143,28 @@ def test_shape_neutral_statements_ignored():
     ]
 
 
+def test_create_table_trailing_clauses_and_generated_columns():
+    """MySQL/PG option clauses after the column list — including ones that
+    carry their OWN parens (PARTITION BY, WITH (storage options)) — must not
+    bleed into the last column's type; generated columns parse to their base
+    type (the expression is shape-neutral metadata)."""
+    [e] = D.parse_ddl(
+        "CREATE TABLE t (a INT, b TEXT) PARTITION BY RANGE (a) "
+        "(PARTITION p0 VALUES LESS THAN (10))"
+    )
+    assert e.columns == [("a", "int"), ("b", "string")]
+    [e2] = D.parse_ddl("CREATE TABLE t (a INT) WITH (fillfactor=70)")
+    assert e2.columns == [("a", "int")]
+    [e3] = D.parse_ddl(
+        "CREATE TABLE t (a INT, g INT GENERATED ALWAYS AS (a+1) STORED)"
+    )
+    assert e3.columns == [("a", "int"), ("g", "int")]
+    [e4] = D.parse_ddl(
+        "ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (a*2) VIRTUAL"
+    )
+    assert e4.table_changes == "add_column:g:int"
+
+
 def test_sql_type_mapping():
     f = D.sql_type_to_spark
     assert f("VARCHAR(255)") == "string"
