@@ -218,6 +218,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_bloom_decontaminate",
         "evt_rolling_metrics",
         "evt_transitions",
+        # round-4 surface
+        "emb_ivfpq_topk",
     ]
     qs = entrymod.queries()
 
