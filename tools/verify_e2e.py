@@ -22,8 +22,11 @@ from debezium_spark.sources import wal as W
 import oracle as O
 
 d = tempfile.mkdtemp(prefix="verify_cdc_")
+# VERIFY_TZ (default UTC) lets the drive run under a non-UTC driver session —
+# the engine's state and hashes must be session-timezone-independent
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.sql.session.timeZone", os.environ.get("VERIFY_TZ", "UTC"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 spec = W.WalSpec(n_keys=500, n_events=2500, seed=7)
