@@ -51,7 +51,9 @@ def test_load_properties_java_format(tmpdir_path):
     assert props["spaced.key"] == "value with = inside"
     assert props["continued.key"] == "firstsecond"
     assert props["escaped=key"] == "v1"
-    assert props["trailing.ws"] == "v2   ".rstrip() or True  # value kept as-is
+    # java.util.Properties keeps trailing whitespace in VALUES (only leading
+    # value whitespace is stripped) — assert the as-is behavior for real
+    assert props["trailing.ws"] == "v2   "
 
 
 def _base_props(d: str, **extra) -> dict:
