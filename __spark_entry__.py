@@ -4050,8 +4050,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT av.vec_id, cf.cid,
                        row_number() OVER (
                          PARTITION BY av.vec_id
-                         ORDER BY CAST(floor(-list_cosine_similarity(av.e, cf.cvf)
-                                            * 10000 + 0.5) AS BIGINT) ASC,
+                         ORDER BY CAST(floor(list_cosine_similarity(av.e, cf.cvf)
+                                            * 10000 + 0.5) AS BIGINT) DESC,
                                   cf.cid ASC
                        ) AS rn
                 FROM av CROSS JOIN cf WHERE av.vec_id < 16384
@@ -4088,9 +4088,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT cid FROM (
                 SELECT cf.cid,
                        row_number() OVER (
-                         ORDER BY CAST(floor(-list_cosine_similarity(
+                         ORDER BY CAST(floor(list_cosine_similarity(
                                     (SELECT qe FROM q), cf.cvf)
-                                    * 10000 + 0.5) AS BIGINT) ASC,
+                                    * 10000 + 0.5) AS BIGINT) DESC,
                                   cf.cid ASC
                        ) AS rn
                 FROM cf

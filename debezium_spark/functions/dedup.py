@@ -797,18 +797,19 @@ def bloom_probe(
         lit_words = F.lit([int(w) for w in words]).cast("array<bigint>")
         hit = F.forall(pos_arr, lambda p: _bit_set(lit_words, p))
         return df.withColumn(hit_col, hit.cast("int"))
+    wcol = "_bloom_words"
+    while wcol in df.columns:  # never collide with (or drop) a caller column
+        wcol += "_"
     wdf = df.sparkSession.createDataFrame(
-        [([int(w) for w in words],)], "_bloom_words array<bigint>"
+        [([int(w) for w in words],)], f"{wcol} array<bigint>"
     )
     return (
         df.crossJoin(F.broadcast(wdf))
         .withColumn(
             hit_col,
-            F.forall(pos_arr, lambda p: _bit_set(F.col("_bloom_words"), p)).cast(
-                "int"
-            ),
+            F.forall(pos_arr, lambda p: _bit_set(F.col(wcol), p)).cast("int"),
         )
-        .drop("_bloom_words")
+        .drop(wcol)
     )
 
 

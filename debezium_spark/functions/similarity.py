@@ -743,9 +743,14 @@ def ivf_pq_topk(
     dim = len(query)
 
     def nearest_cell(v: list[float]) -> int:
+        # -_scaled_py(cos), NOT _scaled_py(-cos): floor(-x+0.5) differs from
+        # -floor(x+0.5) exactly on .5 boundaries, and this driver-side
+        # ranking must agree bit-for-bit with ivf_assign's runtime rule
+        # (max floor(cos*scale+0.5), tie to smallest cid) or the residual
+        # codebooks train against cells the vectors never occupy
         best = min(
             (
-                (_scaled_py(-_cos_py(v, cv), scale), cid)
+                (-_scaled_py(_cos_py(v, cv), scale), cid)
                 for cid, cv in centroids
             )
         )
@@ -779,11 +784,12 @@ def ivf_pq_topk(
     d = len(codebooks[0][0])
     bits = max(1, (ks - 1).bit_length())
 
-    # probe order: nprobe cells nearest the query (same rule as ivf_topk)
+    # probe order: nprobe cells nearest the query (same rounding rule as
+    # ivf_topk and nearest_cell — negate AFTER quantizing)
     probes = [
         cid
         for _, cid in sorted(
-            (_scaled_py(-_cos_py(query, cv), scale), cid)
+            (-_scaled_py(_cos_py(query, cv), scale), cid)
             for cid, cv in centroids
         )[:nprobe]
     ]

@@ -261,7 +261,7 @@ _NEUTRAL_ACTION = re.compile(
     r"|validate\s+constraint\b|owner\s+to\b|set\s+tablespace\b"
     r"|set\s*\(|reset\s*\(|force\b"
     r"|(?:engine|auto_increment|comment|row_format|algorithm|lock|"
-    r"tablespace|stats_persistent|checksum|delay_key_write|kay_block_size|"
+    r"tablespace|stats_persistent|checksum|delay_key_write|"
     r"key_block_size)\s*=?"
     r"|(?:default\s+)?(?:character\s+set|charset|collate)\b"
     r"|convert\s+to\s+character\s+set\b"

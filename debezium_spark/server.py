@@ -331,19 +331,25 @@ class HttpSink(ChangeConsumer):
     content-type derived from the value format (json →
     ``application/json``, avro → ``avro/bytes``, cloudevents →
     ``application/cloudevents+json``). Success = HTTP 200/202/204; any
-    other status retries up to ``retries`` times (default 5) pausing
-    ``retry.interval.ms`` (default 1000) between attempts, then raises —
-    the reference's DebeziumException path. A transport-level failure
-    (connection refused, timeout) raises immediately, mirroring the
-    reference's IOException → InterruptedException path.
+    other status is retried with ``retry.interval.ms`` pauses (default
+    1000) until ``retries`` TOTAL attempts (default 5) are exhausted, then
+    raises — the reference's exact attempt accounting and
+    DebeziumException path. A transport-level failure (connection refused,
+    timeout) raises immediately, mirroring the reference's IOException →
+    InterruptedException path.
 
     Ordering/at-least-once: records POST strictly in batch order; each is
     ``mark_processed``-ed only AFTER its POST is acked and the batch
     finishes only after every record — offset-commit-after-ack, so a crash
     between sink ack and offset flush redelivers, never loses.
-    Null-valued records are skipped without being sent (reference
-    behavior: the tombstone's deletion is already carried by the preceding
-    envelope)."""
+    Null-valued records are not sent (the tombstone's deletion is already
+    carried by the preceding envelope) but ARE marked processed —
+    deliberate deviation from HttpChangeConsumer.handleBatch, whose
+    null-guard also skips markProcessed and therefore never advances the
+    offset past a trailing tombstone (a batch of only tombstones commits
+    nothing and redelivers forever). Disable tombstones at the engine
+    instead via ``tombstones.on.delete`` if the webhook must never see
+    them."""
 
     _OK_STATUSES = (200, 202, 204)
 
@@ -401,18 +407,19 @@ class HttpSink(ChangeConsumer):
         import time as _time
 
         for rec in records:
-            if rec.value is None:
-                continue
-            attempts = 0
-            while not self._record_sent(rec.value):
-                attempts += 1
-                if attempts >= self._retries:
-                    raise RuntimeError(
-                        "Exceeded maximum number of attempts to publish "
-                        f"event at offset {rec.offset}"
-                    )
-                _time.sleep(self._retry_interval)
-            self.written += 1
+            if rec.value is not None:
+                attempts = 0
+                while not self._record_sent(rec.value):
+                    attempts += 1
+                    if attempts >= self._retries:
+                        raise RuntimeError(
+                            "Exceeded maximum number of attempts to publish "
+                            f"event at offset {rec.offset}"
+                        )
+                    _time.sleep(self._retry_interval)
+                self.written += 1
+            # tombstones skip the POST but still advance the offset — see
+            # the class docstring for why this deviates from the reference
             committer.mark_processed(rec)
         committer.mark_batch_finished()
 

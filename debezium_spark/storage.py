@@ -161,27 +161,32 @@ class _SegmentedLog:
         self._active_count = 0
 
     def _replay_records(self):
-        """Yield parsed records across segments in name order, tolerating a
-        torn FINAL line of the LAST segment (crash mid-append — the record
-        was never durably committed, so recovery discards it, mirroring how
-        a log consumer treats a torn tail). An unparseable line anywhere
-        ELSE is real corruption and still raises."""
+        """Yield parsed records across segments in name order. A record is
+        COMMITTED iff its line ends with a newline (the writer appends
+        json+'\\n' in one write; a crash mid-append leaves the final line
+        without its terminator). The single uncommitted candidate — the
+        last line of the last segment, missing its newline — is skipped
+        with a warning, the SAME definition ``_truncate_torn_tail`` uses,
+        so replay and the next writer agree on which record was last
+        committed. A newline-terminated line that fails to parse is real
+        corruption and raises, wherever it sits."""
         segs = self._segments()
         for si, seg in enumerate(segs):
             with open(os.path.join(self.dir, seg)) as f:
-                lines = f.readlines()
+                lines = f.read().splitlines(keepends=True)
             for li, line in enumerate(lines):
                 if not line.strip():
                     continue
-                try:
-                    yield json.loads(line)
-                except json.JSONDecodeError:
-                    if si == len(segs) - 1 and li == len(lines) - 1:
-                        _LOG.warning(
-                            "skipping torn tail record in %s during replay", seg
-                        )
-                        return
-                    raise
+                if (
+                    si == len(segs) - 1
+                    and li == len(lines) - 1
+                    and not line.endswith("\n")
+                ):
+                    _LOG.warning(
+                        "skipping torn (uncommitted) tail record in %s", seg
+                    )
+                    return
+                yield json.loads(line)
 
     def _append(self, obj: dict) -> None:
         if self._active_path is None or self._active_count >= self.segment_records:

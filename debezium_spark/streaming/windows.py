@@ -40,12 +40,17 @@ def epoch_us(col: Column | str) -> Column:
 
 
 def epoch_seconds(col: Column | str) -> Column:
-    """Session-timezone-independent epoch seconds of a TIMESTAMP_NTZ
-    (truncating — whole seconds elapsed since the NTZ epoch origin)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff(
-        "SECOND", F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c
-    )
+    """Session-timezone-independent epoch seconds of a TIMESTAMP_NTZ,
+    FLOORED — '1969-12-31 23:59:59.5' is second -1, matching SQL epoch()
+    semantics and what the old cast-to-long path produced. A bare
+    ``timestamp_diff SECOND`` truncates toward zero and would collapse
+    pre-1970 fractional seconds into second 0 (the exact bucket-collapse
+    retention_cohorts documents guarding against). Exact integer
+    arithmetic: subtract the pmod'd microsecond remainder, then the
+    division is of an exact multiple (DECIMAL, no float)."""
+    us = epoch_us(col)
+    whole = (us - F.pmod(us, F.lit(1_000_000))).cast("decimal(38,0)")
+    return (whole / F.lit(1_000_000)).cast("long")
 
 
 def ntz_from_us(col: Column | str) -> Column:

@@ -1198,6 +1198,30 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     assert fp <= max(5, 3 * p * 20000)
 
 
+def test_bloom_probe_broadcast_path(spark):
+    """Above the literal threshold (2^14 words) the probe ships the word
+    array once per executor via a broadcast one-row frame: same membership
+    laws, and a caller column named like the internal temp never collides
+    or gets dropped."""
+    from debezium_spark.functions.dedup import bloom_build, bloom_probe
+
+    m_bits, k = 1 << 21, 5  # 32768 words > broadcast_threshold_words
+    members = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v"),
+        F.lit("keep-me").alias("_bloom_words"),  # adversarial caller column
+    )
+    words = bloom_build(members, "v", m_bits=m_bits, k_hashes=k)
+    probed = bloom_probe(members, "v", words, k_hashes=k)
+    assert "Broadcast" in probed._jdf.queryExecution().executedPlan().toString()
+    assert probed.where("bloom_hit = 0").count() == 0  # no false negatives
+    assert probed.where("_bloom_words = 'keep-me'").count() == 500  # preserved
+    others = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    fp = bloom_probe(others, "v", words, k_hashes=k).where("bloom_hit = 1").count()
+    assert fp <= 5  # m >> n: FP essentially zero
+
+
 def test_decontaminate_bloom_matches_exact(spark, docs):
     """At the entry's filter size the bloom output equals exact decontaminate
     (zero false positives on this corpus — deterministic, not luck: verified

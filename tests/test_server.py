@@ -265,6 +265,41 @@ def test_http_sink_round_trip_with_retries(spark, server_wal):
         hook.close()
 
 
+def test_http_sink_marks_tombstones_processed(spark):
+    """Null-valued (tombstone) records skip the POST but still advance the
+    offset: a batch ending in tombstones must mark every record, or the
+    committed offset permanently lags and restarts redeliver forever (the
+    reference HttpChangeConsumer's null-guard bug — deliberately fixed
+    here, see the class docstring)."""
+    from debezium_spark.server import HttpSink
+
+    hook = _Webhook()
+    try:
+        sink = HttpSink({"url": hook.url}, lambda s: s)
+
+        class _Rec:
+            def __init__(self, offset, value):
+                self.destination, self.offset = "t", offset
+                self.key, self.value = "k", value
+
+        marked = []
+
+        class _Committer:
+            def mark_processed(self, r):
+                marked.append(r.offset)
+
+            def mark_batch_finished(self):
+                marked.append("done")
+
+        sink.handle_batch(
+            [_Rec(1, '{"a":1}'), _Rec(2, None), _Rec(3, None)], _Committer()
+        )
+        assert marked == [1, 2, 3, "done"]  # tombstones marked, in order
+        assert len(hook.received) == 1      # but never POSTed
+    finally:
+        hook.close()
+
+
 def test_http_sink_errors(spark, tmpdir_path):
     from debezium_spark.server import HttpSink
 

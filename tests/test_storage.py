@@ -137,6 +137,31 @@ def test_log_stores_survive_torn_tail(tmpdir_path):
     with pytest.raises(Exception):
         LogOffsetBackingStore(bad, segment_records=100).load()
 
+    # a COMPLETE JSON final line missing its newline is still uncommitted
+    # (the writer appends json+'\n' in one write — no terminator means the
+    # write never finished), so replay skips it AND the next writer
+    # truncates it: replay and append agree on the last committed record
+    half = f"{tmpdir_path}/torn_half"
+    sh_ = LogOffsetBackingStore(half, segment_records=100)
+    sh_.save({"offset": 0})
+    segh = os.path.join(half, [f for f in os.listdir(half) if f.endswith(".jsonl")][0])
+    with open(segh, "a") as f:
+        f.write('{"offset": 1}')  # valid JSON, no newline
+    assert LogOffsetBackingStore(half, segment_records=100).load()["offset"] == 0
+    s3 = LogOffsetBackingStore(half, segment_records=100)
+    s3.save({"offset": 2})
+    assert LogOffsetBackingStore(half, segment_records=100).load()["offset"] == 2
+
+    # a newline-TERMINATED corrupt final line is committed garbage -> raises
+    badf = f"{tmpdir_path}/torn_badfinal"
+    sbf = LogOffsetBackingStore(badf, segment_records=100)
+    sbf.save({"offset": 0})
+    segf = os.path.join(badf, [f for f in os.listdir(badf) if f.endswith(".jsonl")][0])
+    with open(segf, "a") as f:
+        f.write("{corrupt}\n")
+    with pytest.raises(Exception):
+        LogOffsetBackingStore(badf, segment_records=100).load()
+
     # schema history: torn tail in the LAST segment only skips that record
     hd = f"{tmpdir_path}/torn_h"
     h = LogSchemaHistory(hd, segment_records=2)
