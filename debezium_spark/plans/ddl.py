@@ -12,10 +12,14 @@ in-memory relational model; here the same role is: raw DDL text ->
 ``SchemaRegistry``/``LakeTable`` replay onto the lake.
 
 Scope: the ANSI/MySQL/Postgres subset Debezium's own history records for a
-captured table's evolution — CREATE TABLE with a column list, ALTER TABLE
-ADD/DROP/RENAME/MODIFY/ALTER COLUMN (single action per event, like the
-reference's per-action listener callbacks), DROP/TRUNCATE TABLE, USE and SET
-recognized-but-schema-neutral. Parsing is driver-side pure Python — DDL
+captured table's evolution — CREATE TABLE with a column list (option clauses
+after the balanced paren group ignored), ALTER TABLE ADD/DROP/RENAME/MODIFY/
+CHANGE/ALTER COLUMN (one event per registry delta, like the reference's
+per-action listener callbacks; MySQL CHANGE emits rename+widen), DROP/
+TRUNCATE TABLE, USE and SET recognized-but-schema-neutral, plus the
+shape-neutral statement/action families (indexes, constraints, grants,
+views, triggers, storage options) passed through without deltas and a
+``skip_unparseable`` knob for everything else. Parsing is driver-side pure Python — DDL
 volume is O(schema changes), never O(data), so this is the one place a loop
 beats a DataFrame at any scale.
 """
@@ -110,6 +114,10 @@ _DROP = re.compile(
 )
 _RENAME = re.compile(
     rf"^rename\s+(?:column\s+)?({_IDENT})\s+to\s+({_IDENT})$", re.IGNORECASE
+)
+_CHANGE = re.compile(  # MySQL CHANGE [COLUMN] old new type [options]
+    rf"^change\s+(?:column\s+)?({_IDENT})\s+({_IDENT})\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MODIFY = re.compile(  # MySQL MODIFY col type | ANSI/PG ALTER col [SET DATA] TYPE t
     rf"^(?:modify\s+(?:column\s+)?({_IDENT})\s+(.+)"
@@ -368,6 +376,30 @@ def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
                         f"rename_column:{_unquote(rm.group(1))}:"
                         f"{_unquote(rm.group(2))}"
                     )
+                elif (cm := _CHANGE.match(action)) is not None:
+                    # MySQL CHANGE renames AND retypes in one action; emit
+                    # one event per registry delta (rename, then widen),
+                    # mirroring the reference's per-action callbacks. Same
+                    # name -> pure retype, one widen event.
+                    old_c, new_c = _unquote(cm.group(1)), _unquote(cm.group(2))
+                    typ = sql_type_to_spark(
+                        re.split(
+                            r"\s+(?:not\s+null|null|default|primary|unique|"
+                            r"comment|first|after|generated|references|check|"
+                            r"collate|character|auto_increment)\b",
+                            cm.group(3),
+                            maxsplit=1,
+                            flags=re.IGNORECASE,
+                        )[0]
+                    )
+                    if old_c != new_c:
+                        events.append(
+                            DdlEvent(
+                                "ALTER_TABLE", table,
+                                f"rename_column:{old_c}:{new_c}", stmt,
+                            )
+                        )
+                    change = f"widen:{new_c}:{typ}"
                 elif (mm := _MODIFY.match(action)) is not None:
                     name = _unquote(mm.group(1) or mm.group(3))
                     typ = sql_type_to_spark(mm.group(2) or mm.group(4))

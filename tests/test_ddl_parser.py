@@ -165,6 +165,22 @@ def test_create_table_trailing_clauses_and_generated_columns():
     assert e4.table_changes == "add_column:g:int"
 
 
+def test_mysql_change_column():
+    """MySQL CHANGE [COLUMN] old new type — rename AND retype in one action,
+    emitted as one event per registry delta (rename, then widen); same-name
+    CHANGE is a pure retype."""
+    evs = D.parse_ddl(
+        "ALTER TABLE lake.repos CHANGE COLUMN `commit` commit_sha CHAR(64) NOT NULL;"
+        "ALTER TABLE lake.repos CHANGE score score DOUBLE DEFAULT 0"
+    )
+    assert [e.table_changes for e in evs] == [
+        "rename_column:commit:commit_sha",
+        "widen:commit_sha:string",
+        "widen:score:double",
+    ]
+    assert all(e.event_type == "ALTER_TABLE" for e in evs)
+
+
 def test_sql_type_mapping():
     f = D.sql_type_to_spark
     assert f("VARCHAR(255)") == "string"
