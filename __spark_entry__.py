@@ -811,10 +811,14 @@ def q_doc_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate itself cannot be hash-gated (DuckDB's HLL is a different
     implementation), so the gate holds the DETERMINISTIC contract instead:
     per lang, the exact distinct count plus `within_bound` — the published
-    DataSketches accuracy law |est − exact| ≤ 3·(1.04/√2^lg_k)·exact
-    (±4.9% at lg_k=12; HLL register state is order-independent, so the 0/1
-    outcome is deterministic). The oracle recomputes the exact side and
-    asserts the bound always holds. Mergeability stays pytest-pinned."""
+    DataSketches accuracy law |est − exact| ≤ 4·(1.04/√2^lg_k)·exact
+    (±6.5% at lg_k=12; HLL register state is order-independent, so the 0/1
+    outcome is deterministic). 4σ rather than 3σ: for FIXED data the gate is
+    deterministic either way, but at a fresh SF/dataset each group's fixed
+    estimate has ~0.3% odds of landing outside 3σ — a red row with no code
+    defect; 4σ cuts that to ~6e-5 while still pinning the estimator to the
+    published law. The oracle recomputes the exact side and asserts the
+    bound always holds. Mergeability stays pytest-pinned."""
     from debezium_spark.functions.sketches import cardinality_sketches
 
     d = _docs(spark, sf_dir)
@@ -828,7 +832,7 @@ def q_doc_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("lang").agg(
         F.count_distinct(F.col("tok")).alias("exact_distinct")
     )
-    bound = 3 * 1.04 / (2**12) ** 0.5
+    bound = 4 * 1.04 / (2**12) ** 0.5
     return est.join(exact, "lang").select(
         "lang",
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
@@ -1928,9 +1932,13 @@ def q_dt_special_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.decimal_special_name(raw).alias("special"),
         C.convert_decimal_special(raw, "string", precision=38, scale=6).alias("d_str"),
         C.convert_decimal_special(raw, "double").alias("d_dbl"),
-        C.convert_decimal_special(raw, "precise", precision=38, scale=6).alias(
-            "d_prec"
-        ),
+        # Rendered as a string on BOTH sides: Spark's Decimal('3.250000') and
+        # DuckDB's float64 3.25 stringify differently under the driver's
+        # value-hash (r4's one red row), so the precise mode is gated on its
+        # canonical scale-6 text form instead (same pattern as d_str, green).
+        C.convert_decimal_special(raw, "precise", precision=38, scale=6)
+        .cast("string")
+        .alias("d_prec"),
     )
 
 
@@ -4729,7 +4737,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'NEGATIVE_INFINITY' THEN CAST('-inf' AS DOUBLE)
                         ELSE CAST(raw AS DOUBLE) END AS d_dbl,
                    CASE WHEN special IS NULL
-                        THEN CAST(raw AS DECIMAL(38,6)) END AS d_prec
+                        THEN CAST(CAST(raw AS DECIMAL(38,6)) AS VARCHAR)
+                        END AS d_prec
             FROM t
         """,
         # Geometry/Geography struct: srid passthrough incl. optional nulls,

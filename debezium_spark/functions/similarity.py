@@ -155,37 +155,66 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     scale: int = 10000,
+    broadcast_threshold_cells: int = 1024,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid cell.
 
-    ``centroids`` is a small [(cell_id, vector)] list (broadcast as literals —
-    at 100 TB the centroid set is still tiny and ships with the plan; the
-    expensive part, the per-row argmax, stays JVM-side column algebra with no
-    shuffle). Cell choice is deterministic and engine-portable: maximize the
-    fixed-point-quantized cosine, ties broken toward the SMALLEST cell id —
-    encoded as array_max over (scaled_cos, -cell_id) structs so float
-    summation-order drift can never flip the winner.
+    ``centroids`` is a [(cell_id, vector)] list. Up to
+    ``broadcast_threshold_cells`` it rides the plan as ONE 2-D array literal
+    (cheap at typical nprobe-era cell counts); above it — at the FAISS
+    ``sqrt(N)`` sizing a 10^9-vector index is ~32k cells x 64 dims ≈ 8-16 MB,
+    which a plan literal would serialize into EVERY task — the centroid
+    matrix ships once per executor via a broadcast one-row frame instead
+    (the same threshold switch as ``bloom_probe``'s
+    ``broadcast_threshold_words``). Either way the per-row argmax stays
+    JVM-side column algebra with no shuffle. Cell choice is deterministic
+    and engine-portable: maximize the fixed-point-quantized cosine, ties
+    broken toward the SMALLEST cell id — encoded as array_max over
+    (scaled_cos, -cell_id) structs so float summation-order drift can never
+    flip the winner.
 
     At scale the table is written partitioned/bucketed by ``ivf_cell`` so a
     probe reads only nprobe partitions (partition pruning), the IVF analogue of
     lsh_topk's bucket pruning.
     """
     e = F.col(vec_col).cast("array<double>")
-    # one 2-D centroid literal + parallel cid array (cids may be sparse),
-    # walked with an indexed transform — never k*dim per-centroid literals
-    cmat = F.lit([[float(x) for x in cv] for _, cv in centroids]).cast(
-        "array<array<double>>"
+    cvals = [[float(x) for x in cv] for _, cv in centroids]
+    cidvals = [int(cid) for cid, _ in centroids]  # cids may be sparse
+
+    def _best(cmat, cids):
+        # one 2-D centroid array + parallel cid array, walked with an indexed
+        # transform — never k*dim per-centroid literals
+        ranked = F.transform(
+            cmat,
+            lambda cv, i: F.struct(
+                scaled(cosine(e, cv), scale).alias("s"),
+                (-F.element_at(cids, i + F.lit(1))).alias("negcid"),
+            ),
+        )
+        return F.array_max(ranked)
+
+    if len(centroids) <= broadcast_threshold_cells:
+        best = _best(
+            F.lit(cvals).cast("array<array<double>>"),
+            F.lit(cidvals).cast("array<int>"),
+        )
+        return vectors.withColumn(
+            "ivf_cell", (-best.getField("negcid")).cast("int")
+        )
+    ccol, icol = "_ivf_cmat", "_ivf_cids"
+    while ccol in vectors.columns or icol in vectors.columns:
+        ccol, icol = ccol + "_", icol + "_"  # never collide with caller columns
+    cdf = vectors.sparkSession.createDataFrame(
+        [(cvals, cidvals)], f"{ccol} array<array<double>>, {icol} array<int>"
     )
-    cids = F.lit([int(cid) for cid, _ in centroids]).cast("array<int>")
-    ranked = F.transform(
-        cmat,
-        lambda cv, i: F.struct(
-            scaled(cosine(e, cv), scale).alias("s"),
-            (-F.element_at(cids, i + F.lit(1))).alias("negcid"),
-        ),
+    return (
+        vectors.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "ivf_cell",
+            (-_best(F.col(ccol), F.col(icol)).getField("negcid")).cast("int"),
+        )
+        .drop(ccol, icol)
     )
-    best = F.array_max(ranked)
-    return vectors.withColumn("ivf_cell", (-best.getField("negcid")).cast("int"))
 
 
 def ivf_train_kmeans(

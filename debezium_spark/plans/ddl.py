@@ -214,10 +214,17 @@ def _parse_create_columns(body: str) -> list[tuple[str, str]]:
         if not m:
             continue
         name, rest = _unquote(m.group(1)), m.group(2)
-        # the type runs until the first constraint-ish keyword
+        # the type runs until the first constraint-ish keyword; `as\s*\(`
+        # stops MySQL's bare generated-column form `v INT AS (id*2) STORED`
+        # (MySqlParser.g4 generatedColumn) — without it the whole expression
+        # rode into the type string ('int as (id*2) stored'), which recorded
+        # fine but poisoned history REPLAY at registry.parse_type, the worst
+        # failure timing for a history store. The base type is stored; the
+        # generation expression is source-side metadata the lake never needs.
         tm = re.match(
             r"^(.+?)(?:\s+(?:not\s+null|null|default\b|primary\s+key|unique|"
             r"references\b|check\b|comment\b|auto_increment|generated\b|"
+            r"as\s*\(|"
             r"collate\b|character\s+set\b).*)?$",
             rest,
             re.IGNORECASE | re.DOTALL,
@@ -259,8 +266,15 @@ _NEUTRAL_ACTION = re.compile(
     r"^(?:"
     r"add\s+(?:constraint\b|(?:unique\s+)?(?:index|key)\b|primary\s+key\b"
     r"|foreign\s+key\b|fulltext\b|spatial\b|check\b|unique\b|period\s+for\b)"
-    r"|drop\s+(?:constraint\b|index\b|key\b|primary\s+key\b|foreign\s+key\b"
-    r"|check\b)"
+    # DROP INDEX/KEY/CHECK/CONSTRAINT are neutral only when followed by the
+    # index/constraint NAME and not COLUMN — a bare `DROP key` (column named
+    # `key`, unquoted) must fall through to the column-drop regex instead of
+    # being silently classified neutral (the module's silent-skip corruption
+    # class). PRIMARY KEY / FOREIGN KEY keep their bare forms (PRIMARY KEY
+    # names no identifier; FOREIGN KEY always carries one).
+    rf"|drop\s+(?:primary\s+key\b|foreign\s+key\b"
+    rf"|constraint\s+(?:if\s+exists\s+)?{_IDENT}"
+    rf"|(?:index|key|check)\s+(?!column\b){_IDENT})"
     r"|rename\s+(?:index|key)\b"
     r"|alter\s+(?:index|constraint)\b"
     r"|(?:enable|disable)\s+keys\b"
@@ -268,9 +282,18 @@ _NEUTRAL_ACTION = re.compile(
     r"|modify\s+(?:column\s+)?\S+\s+(?:set|drop)\s+default\b"
     r"|validate\s+constraint\b|owner\s+to\b|set\s+tablespace\b"
     r"|set\s*\(|reset\s*\(|force\b"
+    # Partition maintenance (MySqlParser.g4 partitionDefinitions /
+    # alterPartition): reshapes STORAGE layout, never the column set — the
+    # exact family the reference parses-and-ignores for capture purposes.
+    r"|partition\s+by\b|remove\s+partitioning\b"
+    r"|(?:add|drop|truncate|coalesce|reorganize|rebuild|analyze|optimize"
+    r"|check|repair|exchange|discard|import)\s+partition\b"
+    # Table options are neutral only as assignments: require `=` or a value
+    # token ending the action, so a shape action on a column named e.g.
+    # `comment` cannot prefix-match its way to neutral.
     r"|(?:engine|auto_increment|comment|row_format|algorithm|lock|"
     r"tablespace|stats_persistent|checksum|delay_key_write|"
-    r"key_block_size)\s*=?"
+    r"key_block_size)\s*(?:=|\s(?:'[^']*'|\S+)\s*$)"
     r"|(?:default\s+)?(?:character\s+set|charset|collate)\b"
     r"|convert\s+to\s+character\s+set\b"
     r")",
@@ -357,9 +380,10 @@ def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
                 if am:
                     typ = sql_type_to_spark(
                         re.split(
-                            r"\s+(?:not\s+null|null|default|primary|unique|"
+                            r"\s+(?:(?:not\s+null|null|default|primary|unique|"
                             r"comment|first|after|generated|references|check|"
-                            r"collate|character|auto_increment|constraint)\b",
+                            r"collate|character|auto_increment|constraint)\b|"
+                            r"as\s*\()",
                             am.group(2),
                             maxsplit=1,
                             flags=re.IGNORECASE,
@@ -380,13 +404,20 @@ def parse_ddl(ddl: str, *, skip_unparseable: bool = False) -> list[DdlEvent]:
                     # MySQL CHANGE renames AND retypes in one action; emit
                     # one event per registry delta (rename, then widen),
                     # mirroring the reference's per-action callbacks. Same
-                    # name -> pure retype, one widen event.
+                    # name -> pure retype, one widen event. NOTE: a pure
+                    # rename written as `CHANGE old new SAMETYPE` still emits
+                    # BOTH deltas (the stateless parser cannot know the prior
+                    # type), so it consumes TWO slots in
+                    # history_rows_from_ddl's offsets list and creates one
+                    # extra same-type schema version on replay —
+                    # LakeTable.widen_column is idempotent, so lake state is
+                    # unaffected; replay consumers see a no-op version.
                     old_c, new_c = _unquote(cm.group(1)), _unquote(cm.group(2))
                     typ = sql_type_to_spark(
                         re.split(
-                            r"\s+(?:not\s+null|null|default|primary|unique|"
+                            r"\s+(?:(?:not\s+null|null|default|primary|unique|"
                             r"comment|first|after|generated|references|check|"
-                            r"collate|character|auto_increment)\b",
+                            r"collate|character|auto_increment)\b|as\s*\()",
                             cm.group(3),
                             maxsplit=1,
                             flags=re.IGNORECASE,

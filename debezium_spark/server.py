@@ -326,8 +326,10 @@ register_sink("file", FileSink)
 class HttpSink(ChangeConsumer):
     """HTTP webhook sink — HttpChangeConsumer parity (debezium-server-http/
     src/main/java/io/debezium/server/http/HttpChangeConsumer.java:44-156):
-    one POST per record to the webhook URL (``url`` sink property, or the
-    Knative ``K_SINK`` env per the reference's SinkBinding support), with
+    one POST per record to the webhook URL (the Knative ``K_SINK`` env when
+    set, else the ``url`` sink property — K_SINK-first like the reference's
+    SinkBinding support, so a bound deployment that also carries a stale url
+    property targets the binding's endpoint), with
     content-type derived from the value format (json →
     ``application/json``, avro → ``avro/bytes``, cloudevents →
     ``application/cloudevents+json``). Success = HTTP 200/202/204; any
@@ -354,7 +356,9 @@ class HttpSink(ChangeConsumer):
     _OK_STATUSES = (200, 202, 204)
 
     def __init__(self, sink_props: dict[str, str], mapper: StreamNameMapper) -> None:
-        url = sink_props.get("url") or os.environ.get("K_SINK")
+        # K_SINK FIRST (HttpChangeConsumer.java: the Knative SinkBinding env
+        # wins over the configured url when both are present)
+        url = os.environ.get("K_SINK") or sink_props.get("url")
         if not url:
             raise ValueError(
                 "http sink requires 'debezium.sink.http.url' (or K_SINK)"

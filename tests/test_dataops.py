@@ -201,6 +201,34 @@ def test_ivf_assign_tie_breaks_to_smallest_cell(spark):
     assert [r["ivf_cell"] for r in out] == [0]
 
 
+def test_ivf_assign_broadcast_threshold(spark):
+    """Above broadcast_threshold_cells the centroid matrix must ship as a
+    broadcast one-row frame (once per executor), not a plan literal (once per
+    TASK — ~8-16 MB at the sqrt(10^9) ≈ 32k-cell design point); results are
+    identical on both paths and the plans prove which path ran (the same
+    contract as bloom_probe's broadcast_threshold_words)."""
+    import random
+
+    rng = random.Random(7)
+    n_cells, dim = 4096, 4
+    cent = [
+        (c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(n_cells)
+    ]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_path = S.ivf_assign(df, cent, broadcast_threshold_cells=n_cells)
+    bc_path = S.ivf_assign(df, cent, broadcast_threshold_cells=n_cells - 1)
+    got_l = {(r["vec_id"], r["ivf_cell"]) for r in lit_path.collect()}
+    got_b = {(r["vec_id"], r["ivf_cell"]) for r in bc_path.collect()}
+    assert got_l == got_b and len(got_l) == 64
+    plan_l = lit_path._jdf.queryExecution().executedPlan().toString()
+    plan_b = bc_path._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan_l
+    assert "BroadcastNestedLoopJoin" in plan_b or "BroadcastExchange" in plan_b
+    # caller columns survive and the helper columns don't leak
+    assert set(bc_path.columns) == {"vec_id", "embedding", "ivf_cell"}
+
+
 def test_ivf_kmeans_trained_centroids(spark, vecs):
     """ivf_train_kmeans: deterministic (same input -> identical centroids),
     bounded-sample spherical k-means whose trained quantizer slots into

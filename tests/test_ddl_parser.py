@@ -165,6 +165,88 @@ def test_create_table_trailing_clauses_and_generated_columns():
     assert e4.table_changes == "add_column:g:int"
 
 
+def test_bare_generated_columns_store_base_type():
+    """MySQL's bare generated-column form `v INT AS (expr) [STORED|VIRTUAL]`
+    (MySqlParser.g4 generatedColumn — no GENERATED ALWAYS keyword) must store
+    the BASE type. Before r5 it parsed to the whole string
+    `'int as (id*2) stored'`, which recorded fine but poisoned history replay
+    at registry.parse_type — a delayed failure skip_unparseable can't catch."""
+    [e] = D.parse_ddl("CREATE TABLE t (id INT, v INT AS (id*2) STORED)")
+    assert e.columns == [("id", "int"), ("v", "int")]
+    [e2] = D.parse_ddl(
+        "CREATE TABLE t (id INT, v DECIMAL(10,2) AS (id/4) VIRTUAL NOT NULL)"
+    )
+    assert e2.columns == [("id", "int"), ("v", "decimal(10,2)")]
+    [e3] = D.parse_ddl("ALTER TABLE t ADD COLUMN v INT AS (id*2) STORED")
+    assert e3.table_changes == "add_column:v:int"
+    evs = D.parse_ddl("ALTER TABLE t CHANGE v v2 BIGINT AS (id*3) VIRTUAL")
+    assert [e.table_changes for e in evs] == [
+        "rename_column:v:v2", "widen:v2:bigint",
+    ]
+    # end-to-end: the generated-column script replays onto the registry to
+    # the same state as the clean script (the r5 "Done =" criterion)
+    from pyspark.sql import types as T
+
+    from debezium_spark.plans.registry import SchemaRegistry
+
+    base = T.StructType([T.StructField("id", T.IntegerType())])
+    rows = D.history_rows_from_ddl(
+        "ALTER TABLE t ADD COLUMN v INT AS (id*2) STORED", offsets=[10]
+    )
+    reg = SchemaRegistry.from_history_rows(base, rows)
+    assert reg.schema_at(2)["v"].dataType == T.IntegerType()
+
+
+def test_partition_maintenance_is_shape_neutral():
+    """Partition maintenance (MySqlParser.g4 alterPartition /
+    partitionDefinitions) reshapes storage layout, never the column set —
+    all forms pass through with no registry delta and no raise, interleaved
+    with real shape changes."""
+    realistic = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT);"
+        "ALTER TABLE lake.repos PARTITION BY KEY (repo) PARTITIONS 8;"
+        "ALTER TABLE lake.repos ADD COLUMN size_bytes BIGINT,"
+        " ADD PARTITION (PARTITION p8 VALUES LESS THAN (100));"
+        "ALTER TABLE lake.repos DROP PARTITION p0, ANALYZE PARTITION p1;"
+        "ALTER TABLE lake.repos REORGANIZE PARTITION p1 INTO"
+        " (PARTITION p1a VALUES LESS THAN (10),"
+        "  PARTITION p1b VALUES LESS THAN (20));"
+        "ALTER TABLE lake.repos TRUNCATE PARTITION p2;"
+        "ALTER TABLE lake.repos REMOVE PARTITIONING;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path"
+    )
+    clean = (
+        "CREATE TABLE lake.repos (repo TEXT, path TEXT);"
+        "ALTER TABLE lake.repos ADD COLUMN size_bytes BIGINT;"
+        "ALTER TABLE lake.repos RENAME COLUMN path TO file_path"
+    )
+    deltas = lambda ddl: [  # noqa: E731
+        e.table_changes for e in D.parse_ddl(ddl) if e.table_changes
+    ]
+    assert deltas(realistic) == deltas(clean)
+
+
+def test_neutral_action_tightening():
+    """Table-option neutrality requires an assignment (`=` or a value token);
+    DROP KEY/CHECK are neutral only with a following identifier — so a drop
+    of an unquoted column NAMED key/check still parses as a column drop."""
+    # assignments and value forms are neutral
+    for act in ("ENGINE=InnoDB", "ENGINE InnoDB", "COMMENT='x y'",
+                "COMMENT 'x y'", "AUTO_INCREMENT = 100"):
+        evs = D.parse_ddl(f"ALTER TABLE t {act}")
+        assert [e.table_changes for e in evs] == [None], act
+    # named index/check drops are neutral
+    for act in ("DROP INDEX idx_a", "DROP KEY idx_a", "DROP CHECK chk_1",
+                "DROP CONSTRAINT IF EXISTS c1"):
+        evs = D.parse_ddl(f"ALTER TABLE t {act}")
+        assert [e.table_changes for e in evs] == [None], act
+    # bare DROP of a column that happens to be named `key` / `check`
+    [e] = D.parse_ddl("ALTER TABLE t DROP key")
+    assert e.table_changes == "drop_column:key"
+    [e] = D.parse_ddl("ALTER TABLE t DROP COLUMN `check`")
+    assert e.table_changes == "drop_column:check"
+
+
 def test_mysql_change_column():
     """MySQL CHANGE [COLUMN] old new type — rename AND retype in one action,
     emitted as one event per registry delta (rename, then widen); same-name

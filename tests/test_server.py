@@ -300,6 +300,21 @@ def test_http_sink_marks_tombstones_processed(spark):
         hook.close()
 
 
+def test_http_sink_k_sink_env_wins(spark, monkeypatch):
+    """Knative SinkBinding precedence (HttpChangeConsumer.java): when K_SINK
+    is set it wins over a configured 'url' sink property, so a bound
+    deployment that also carries a stale url property still targets the
+    binding's endpoint."""
+    from debezium_spark.server import HttpSink
+
+    monkeypatch.setenv("K_SINK", "http://binding.example:9/events")
+    sink = HttpSink({"url": "http://stale.example:9/old"}, lambda s: s)
+    assert sink._url == "http://binding.example:9/events"
+    monkeypatch.delenv("K_SINK")
+    sink2 = HttpSink({"url": "http://stale.example:9/old"}, lambda s: s)
+    assert sink2._url == "http://stale.example:9/old"
+
+
 def test_http_sink_errors(spark, tmpdir_path):
     from debezium_spark.server import HttpSink
 

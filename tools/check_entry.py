@@ -19,15 +19,43 @@ TABLES = [
 ]
 
 
+def render_value(v) -> str:
+    """Strict driver-style stringification of ONE cell. Every value of every
+    column — object (Decimal!), float, int, datetime, list, bytes — is rendered
+    to text and compared exactly; no float-coercion, no NaN/NULL collapsing.
+    This is what let r4's `dt_special_decimal` ship red: the old comparison
+    `astype(float).fillna(-1e308)`-coerced any float-dtype pair, hiding both
+    Decimal('3.250000')-vs-3.25 and None-vs-nan drift that the driver's
+    stringified hash distinguishes."""
+    if v is None or v is pd.NA:
+        return "∅"
+    if isinstance(v, float):  # covers np.float64; NaN kept distinct from NULL
+        return "nan" if v != v else str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(render_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{k}: {render_value(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    try:
+        if v != v:  # NaT and friends
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted-columns, every cell rendered via render_value, rows sorted on the
+    rendered strings — exactly as strict as the driver's value hash (a local
+    PASS implies a driver hash match; never weaker)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        elif isinstance(df[c].dtype, pd.core.dtypes.dtypes.BaseMaskedDtype):
-            df[c] = df[c].astype(object)
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        df[c] = df[c].map(render_value)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -86,24 +114,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         else:
             for c in g.columns:
                 a, b = g[c], w[c]
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    ok = np.allclose(
-                        a.astype(float).fillna(-1e308),
-                        b.astype(float).fillna(-1e308),
-                        rtol=0, atol=0,
+                if not a.equals(b):
+                    neq = a != b
+                    diff_idx = neq.idxmax()
+                    status = (
+                        f"VALUE MISMATCH col={c} firstdiff@{diff_idx}: "
+                        f"spark={a.iloc[diff_idx]!r} duck={b.iloc[diff_idx]!r}"
                     )
-                else:
-                    av = a.map(lambda v: str(v) if v is not None and v == v else "∅")
-                    bv = b.map(lambda v: str(v) if v is not None and v == v else "∅")
-                    ok = av.equals(bv)
-                if not ok:
-                    diff_idx = None
-                    try:
-                        neq = (a.astype(str).fillna("∅") != b.astype(str).fillna("∅"))
-                        diff_idx = neq.idxmax()
-                    except Exception:
-                        pass
-                    status = f"VALUE MISMATCH col={c} firstdiff@{diff_idx}: spark={a.iloc[diff_idx] if diff_idx is not None else '?'} duck={b.iloc[diff_idx] if diff_idx is not None else '?'}"
                     break
         dt = time.time() - t0
         if status == "ok":

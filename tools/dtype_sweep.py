@@ -10,9 +10,11 @@ from __future__ import annotations
 import sys
 
 import duckdb
-import pandas as pd
+import pandas as pd  # noqa: F401  (kept for interactive debugging)
 
 sys.path.insert(0, "/root/repo")
+
+from tools.check_entry import render_value  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -53,18 +55,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         probs = []
         for c in sorted(set(got.columns) & set(want.columns)):
             a, b = got[c], want[c]
-            af = pd.api.types.is_float_dtype(a)
-            bf = pd.api.types.is_float_dtype(b)
-            ai = pd.api.types.is_integer_dtype(a)
-            bi = pd.api.types.is_integer_dtype(b)
-            # int-on-one-side / float-on-the-other stringifies differently
-            if (af and bi) or (ai and bf):
-                # Spark nullable ints arrive float64 when nulls exist; only a
-                # problem when the *rendered strings* differ, so check that.
-                sa = a.map(lambda v: "∅" if v is None or v != v else str(v))
-                sb = b.map(lambda v: "∅" if v is None or v != v else str(v))
-                if sorted(sa) != sorted(sb):
-                    probs.append(f"{c}: spark={a.dtype} duck={b.dtype}")
+            # ANY cross-dtype pair can stringify differently (int-vs-float
+            # "2600"/"2600.0", object(Decimal)-vs-float "3.250000"/"3.25",
+            # None-vs-nan, …) — so render every cell with the same strict
+            # stringifier as check_entry and compare the multisets.
+            sa = sorted(a.map(render_value))
+            sb = sorted(b.map(render_value))
+            if sa != sb:
+                ex = next(
+                    (f" e.g. {x!r} vs {y!r}" for x, y in zip(sa, sb) if x != y),
+                    "",
+                )
+                probs.append(f"{c}: spark={a.dtype} duck={b.dtype}{ex}")
         if probs:
             n_mismatch += 1
             print(f"DTYPE {name}: " + "; ".join(probs))
