@@ -671,10 +671,17 @@ class LakeTable:
             )
 
         # Write rewritten buckets to a fresh staging area (copy-on-write).
+        # repartition BY COLUMN without a fixed N: partition count comes from
+        # spark.sql.shuffle.partitions and AQE then coalesces by size — a
+        # small incremental trigger writes with a handful of tasks instead of
+        # one tiny task per bucket (touched can be 128+ while carrying a few
+        # thousand rows), while a bulk merge still fans out to the configured
+        # parallelism. partitionBy keeps the one-dir-per-bucket layout either
+        # way, so the manifest/file contract is unchanged.
         staging = f"{_DATA_DIR}/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
         abs_staging = os.path.join(self.path, staging)
         (
-            result.repartition(max(len(touched), 1), "_bucket")
+            result.repartition(F.col("_bucket"))
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(abs_staging)

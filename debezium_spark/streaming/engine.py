@@ -1696,12 +1696,24 @@ class CdcEngine:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(self.wal_path)
+        # stateful_payload_join_back=True slims the Arrow boundary
+        # (emit_payload=False): the state op sees and emits only keys +
+        # ordinals — the at-scale setting when a CDC payload is a whole
+        # source file, where round-tripping it through Python per event
+        # dominates the trigger wall. The winning payload is then recovered
+        # JVM-side per trigger by joining the emitted winner ordinals back
+        # to an offset-pushdown WAL re-scan (O(trigger) read, pure codegen).
+        # Default False: modest payloads ride through Arrow with the
+        # ordinals, skipping the re-scan + join jobs (measured faster below
+        # ~1 KB average payload).
+        join_back = cfg.stateful_payload_join_back
         changelog = stateful_lww(
-            self._envelope(stream), key_cols=tuple(key_cols)
+            self._envelope(stream), key_cols=tuple(key_cols),
+            emit_payload=not join_back,
         )
-        data_cols = [
+        through_cols = [
             c for c in changelog.columns
-            if c not in (*key_cols, "action", "_offset", "_ts_ms")
+            if c not in (*key_cols, "action", "_ord", "_offset", "_ts_ms")
         ]
 
         self._pause_requested = False
@@ -1713,7 +1725,13 @@ class CdcEngine:
             t0 = time.time()
             df = df.persist()
             try:
+                # ONE pass over the cached changelog collects stats AND the
+                # touched-bucket set (passed to merge so it skips its own
+                # distinct-buckets job — one fewer Spark job per trigger).
+                from debezium_spark.plans.lake import bucket_expr
+
                 agg = df.agg(
+                    F.min("_offset").alias("lo"),
                     F.max("_offset").alias("hi"),
                     F.sum(
                         F.when(F.col("action") == R.ACTION_UPSERT, 1).otherwise(0)
@@ -1721,16 +1739,79 @@ class CdcEngine:
                     F.sum(
                         F.when(F.col("action") == R.ACTION_DELETE, 1).otherwise(0)
                     ).alias("dels"),
+                    F.collect_set(
+                        bucket_expr(F.col(key_cols[0]), lake.manifest()["n_buckets"])
+                    ).alias("buckets"),
                 ).collect()[0]
                 if agg["hi"] is None:
                     return  # trigger resolved no state transitions
-                actions = df.select(
-                    *key_cols,
-                    F.col("action"),
-                    F.struct(*[F.col(c) for c in data_cols]).alias("after"),
-                    F.col("_offset"),
-                    F.col("_ts_ms"),
-                )
+                if join_back:
+                    # Payload join-back: re-read only the winners' offset
+                    # range (predicate pushed to the parquet scan), align
+                    # envelopes the same way the stream side does, and join
+                    # on (key, _ord) — (offset, seq) is globally unique, so
+                    # the join is exact. Deletes/tombstones are present in
+                    # the slice too; their payload projects to nulls.
+                    wal_slice = self._wal().where(
+                        (F.col("offset") >= int(agg["lo"]))
+                        & (F.col("offset") <= int(agg["hi"]))
+                    )
+                    env_b = self._envelope(wal_slice)
+                    seq_b = (
+                        F.col("seq") if "seq" in env_b.columns else F.lit(0)
+                    ).cast("long")
+                    val_b = F.col("value")
+                    is_del_b = val_b.getField("op").isNull() | (
+                        val_b.getField("op") == "d"
+                    )
+                    payload_t = env_b.schema["value"].dataType["after"].dataType
+                    data_fields = [
+                        f for f in payload_t.fields if f.name not in key_cols
+                    ]
+                    flat_p = env_b.select(
+                        *[F.col("key").getField(c).alias(c) for c in key_cols],
+                        (F.col("offset").cast("long") * 128 + seq_b).alias(
+                            "_ord"
+                        ),
+                        *[
+                            F.when(
+                                ~is_del_b,
+                                val_b.getField("after").getField(f.name),
+                            )
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in data_fields
+                        ],
+                    )
+                    actions = (
+                        df.hint("SHUFFLE_HASH")
+                        .join(flat_p, on=[*key_cols, "_ord"], how="inner")
+                        .select(
+                            *key_cols,
+                            F.col("action"),
+                            F.struct(
+                                *[F.col(f.name) for f in data_fields]
+                            ).alias("after"),
+                            F.col("_offset"),
+                            F.col("_ts_ms"),
+                        )
+                        # the WAL may carry identical re-deliveries of the
+                        # same offset (S8); every join match for a winner is
+                        # such an identical copy, so a key-level dedup
+                        # restores merge's one-row-per-key contract (cheap:
+                        # runs over winners, not the slice)
+                        .dropDuplicates(list(key_cols))
+                    )
+                else:
+                    actions = df.select(
+                        *key_cols,
+                        F.col("action"),
+                        F.struct(
+                            *[F.col(c) for c in through_cols]
+                        ).alias("after"),
+                        F.col("_offset"),
+                        F.col("_ts_ms"),
+                    )
                 stats = {
                     "rows_applied": int(agg["ups"]), "rows_deleted": int(agg["dels"])
                 }
@@ -1739,6 +1820,7 @@ class CdcEngine:
                     batch_id=lake.committed_batch_id + 1,
                     max_offset=int(agg["hi"]),
                     stats=stats,
+                    touched_buckets=[int(b) for b in agg["buckets"]],
                 )
                 if res.get("applied"):
                     self._append_jsonl(

@@ -26,7 +26,6 @@ changelog stays exactly-once w.r.t. state transitions.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -46,6 +45,7 @@ def stateful_lww(
     env: DataFrame,
     *,
     key_cols: tuple[str, ...] = ("repo", "path"),
+    emit_payload: bool = True,
 ) -> DataFrame:
     """Envelope stream -> per-key changelog of state transitions.
 
@@ -58,6 +58,15 @@ def stateful_lww(
     history). ``_ts_ms`` is the winning event's source timestamp, so the row
     is directly mergeable by LakeTable.merge (run_streaming_stateful).
 
+    ``emit_payload=False`` is the at-scale variant: the Arrow boundary then
+    carries ONLY ``key_cols*, _ord, _ts, _is_delete`` in and
+    ``key_cols*, action, _ord, _offset, _ts_ms`` out — the winning payload
+    never crosses into Python at all (a CDC payload can be a whole source
+    file; round-tripping it per event through Arrow dominates the stateful
+    path's wall time). The caller joins the winner ordinals back to the
+    batch's envelope slice JVM-side to recover the payload
+    (run_streaming_stateful does this with an offset-pushdown WAL re-scan).
+
     Ordering key: the same ``offset * 128 + seq`` ordinal as the batch
     resolver (resolver.py:resolve_lww), so batch and continuous modes resolve
     identically, including PK-split sub-sequence ties.
@@ -68,7 +77,11 @@ def stateful_lww(
     tombstones (plans/lake.py merge guard).
     """
     payload_t = _payload_type(env)
-    data_fields = [f for f in payload_t.fields if f.name not in key_cols]
+    data_fields = (
+        [f for f in payload_t.fields if f.name not in key_cols]
+        if emit_payload
+        else []
+    )
     key_t = env.schema["key"].dataType
 
     seq = (F.col("seq") if "seq" in env.columns else F.lit(0)).cast("long")
@@ -87,19 +100,18 @@ def stateful_lww(
         ],
     )
 
-    state_t = T.StructType(
-        [
-            T.StructField("_ord", T.LongType()),
-            T.StructField("_ts", T.LongType()),
-            T.StructField("_is_delete", T.BooleanType()),
-            *[T.StructField(f.name, f.dataType) for f in data_fields],
-        ]
-    )
+    # State carries ONLY the winning ordinal: the resolver reads nothing else
+    # back (emissions always come from the current trigger's winning row), so
+    # persisting the payload would round-trip every payload column through
+    # Arrow state serialization per touched key per trigger for zero reads —
+    # measured ~25% of stateful-path wall at full-key-touch triggers.
+    state_t = T.StructType([T.StructField("_ord", T.LongType())])
     out_t = T.StructType(
         [
             *[T.StructField(c, key_t[c].dataType) for c in key_cols],
             T.StructField("action", T.StringType()),
             *[T.StructField(f.name, f.dataType) for f in data_fields],
+            *([] if emit_payload else [T.StructField("_ord", T.LongType())]),
             T.StructField("_offset", T.LongType()),
             T.StructField("_ts_ms", T.LongType()),
         ]
@@ -107,39 +119,57 @@ def stateful_lww(
     data_names = [f.name for f in data_fields]
     n_keys = len(key_cols)
 
+    out_cols = (
+        [*key_cols, "action", *data_names, "_offset", "_ts_ms"]
+        if emit_payload
+        else [*key_cols, "action", "_ord", "_offset", "_ts_ms"]
+    )
+
     def resolve(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        best_ord: int | None = None
-        best_row: tuple[int, bool, list[Any]] | None = None
+        # Hot path: called once per TOUCHED KEY per trigger (a full-replay
+        # trigger touches every key), so per-call pandas overhead multiplies
+        # by the key count. numpy argmax + positional .iat scalar reads beat
+        # idxmax/.loc row materialization ~2x at realistic 3-8 rows/group.
+        best_ord = -1
+        best: tuple[pd.DataFrame, int] | None = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            i = int(pdf["_ord"].idxmax())
-            o = int(pdf["_ord"].loc[i])
-            if best_ord is None or o > best_ord:
+            ords = pdf["_ord"].to_numpy()
+            i = int(ords.argmax())
+            o = int(ords[i])
+            if o > best_ord:
                 best_ord = o
-                row = pdf.loc[i]
-                # scalar-safe null check: pd.isna on an array-typed cell
-                # (list/np.ndarray payload column) returns elementwise and
-                # would raise on truth-testing — arrays are never "missing"
-                vals = [
-                    row[c]
-                    if isinstance(row[c], (list, tuple, np.ndarray))
-                    else (None if pd.isna(row[c]) else row[c])
-                    for c in data_names
-                ]
-                best_row = (int(row["_ts"]), bool(row["_is_delete"]), vals)
-        if best_ord is None:
+                best = (pdf, i)
+        if best is None:
             return
         if state.exists and int(state.get[0]) >= best_ord:
             return  # stale re-delivery: all-history dedup, no emission
-        ts, is_delete, vals = best_row
-        state.update((best_ord, ts, is_delete, *vals))
+        state.update((best_ord,))
+        pdf, i = best
+        # flat layout: key_cols*, _ord, _ts, _is_delete, data_names*
+        ts = int(pdf.iat[i, n_keys + 1])
+        is_delete = bool(pdf.iat[i, n_keys + 2])
         action = ACTION_DELETE if is_delete else ACTION_UPSERT
+        if not emit_payload:
+            yield pd.DataFrame(
+                [[*key, action, best_ord, best_ord // 128, ts]],
+                columns=out_cols,
+            )
+            return
+        vals = [
+            v
+            if isinstance(v, (list, tuple, np.ndarray))
+            # scalar-safe null check: pd.isna on an array-typed cell returns
+            # elementwise and would raise on truth-testing — arrays are
+            # never "missing"
+            else (None if pd.isna(v) else v)
+            for v in (pdf.iat[i, j] for j in range(n_keys + 3, pdf.shape[1]))
+        ]
         yield pd.DataFrame(
-            [[*key, action, *vals, best_ord // 128, ts]],
-            columns=[*key_cols, "action", *data_names, "_offset", "_ts_ms"],
+            [[*key, action, *vals, best_ord // 128, ts]], columns=out_cols
         )
 
     return flat.groupBy(*key_cols).applyInPandasWithState(

@@ -32,15 +32,44 @@ def _got(eng):
     )
 
 
-def _engine(spark, root, wal_dir, spec, sub):
+def _engine(spark, root, wal_dir, spec, sub, **cfg):
     return CdcEngine(
         spark,
-        EngineConfig(),
+        EngineConfig(**cfg),
         wal_path=wal_dir,
         target_path=os.path.join(root, sub, "target"),
         work_dir=os.path.join(root, sub, "work"),
         schema_changes=W.schema_history(spark, spec),
     )
+
+
+def test_stateful_join_back_matches_payload_through(spark, tmpdir_path):
+    """stateful_payload_join_back=True (slim Arrow boundary + offset-pushdown
+    WAL re-scan join) must land the exact same lake state as the default
+    payload-through mode — including over a WAL carrying identical
+    duplicate-offset re-deliveries, which the join-back path must collapse
+    (each re-delivery joins the winner ordinal once; without the key-level
+    dedup the merge would see multiplied rows — the r5 bug this pins)."""
+    spec = W.WalSpec(n_keys=200, n_events=1100, seed=33)
+    wal_dir = os.path.join(tmpdir_path, "wal_jb")
+    W.write_wal(spark, spec, wal_dir, n_files=4)
+    want = _want(spark, wal_dir)
+
+    ej = _engine(
+        spark, tmpdir_path, wal_dir, spec, "jb",
+        stateful_payload_join_back=True,
+    )
+    ej.run_streaming_stateful(max_files_per_trigger=2)
+    assert _got(ej) == want
+    # one row per key, no join-multiplied duplicates
+    t = ej.target().read(include_deleted=True)
+    assert (
+        t.groupBy("repo", "path").count().where("count > 1").count() == 0
+    )
+
+    ep = _engine(spark, tmpdir_path, wal_dir, spec, "pt")
+    ep.run_streaming_stateful(max_files_per_trigger=2)
+    assert _got(ep) == want
 
 
 def test_stateful_sink_matches_batch_and_absorbs_redelivery(spark, tmpdir_path):
