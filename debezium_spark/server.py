@@ -431,6 +431,195 @@ class HttpSink(ChangeConsumer):
 register_sink("http", HttpSink)
 
 
+class RedisSink(ChangeConsumer):
+    """Redis stream sink — RedisStreamChangeConsumer parity
+    (debezium-server-redis/src/main/java/io/debezium/server/redis/
+    RedisStreamChangeConsumer.java:44-220), speaking the RESP2 wire protocol
+    over a stdlib socket (no client library): each record becomes
+    ``XADD <mapped destination> * <key> <value>`` — one entry on the stream
+    named by the ``StreamNameMapper``-mapped destination, with the record key
+    as the single field name and the serialized value as its value
+    (handleBatch's ``pipeline.xadd(destination, NEW_ENTRY,
+    singletonMap(key, value))``). Null keys/values are replaced by the
+    ``null.key`` / ``null.value`` properties (default ``default`` both, like
+    the reference's @ConfigProperty defaults) — so tombstones DO reach the
+    stream, unlike the HTTP sink.
+
+    Batching/acks: records go out in ``batch.size`` (default 500) pipelined
+    slices; every command's reply is read back in order and each record is
+    ``mark_processed``-ed only when ITS reply is a stream id — Redis OOM
+    errors ("OOM command not allowed...") leave just the failed records in
+    the retry set, which is retried with exponential backoff from
+    ``retry.initial.delay.ms`` (300) capped at ``retry.max.delay.ms``
+    (10000), exactly the reference's DelayStrategy.exponential + per-response
+    OOM accounting. Connection errors tear the socket down and reconnect-
+    retry the remaining records. Deviation (documented): retries are bounded
+    by ``retries`` (default 16) instead of the reference's unbounded loop —
+    a stuck sandbox process is worse than a failed batch; set retries=0 for
+    the reference's retry-forever behavior. Offsets commit only after acks
+    (offset-commit-after-ack), so a crash between XADD and offset flush
+    redelivers, never loses — at-least-once, the reference's contract.
+    """
+
+    def __init__(self, sink_props: dict[str, str], mapper: StreamNameMapper) -> None:
+        addr = sink_props.get("address")
+        if not addr or ":" not in addr:
+            raise ValueError(
+                "redis sink requires 'debezium.sink.redis.address' as host:port"
+            )
+        host, _, port = addr.rpartition(":")
+        self._host, self._port = host, int(port)
+        self._user = sink_props.get("user")
+        self._password = sink_props.get("password")
+        self._timeout = int(sink_props.get("socket.timeout.ms", "2000")) / 1000.0
+        self._batch_size = int(sink_props.get("batch.size", "500"))
+        self._initial_delay = (
+            int(sink_props.get("retry.initial.delay.ms", "300")) / 1000.0
+        )
+        self._max_delay = int(sink_props.get("retry.max.delay.ms", "10000")) / 1000.0
+        self._max_retries = int(sink_props.get("retries", "16"))
+        self._null_key = sink_props.get("null.key", "default")
+        self._null_value = sink_props.get("null.value", "default")
+        self._mapper = mapper
+        self._sock = None
+        self._rfile = None
+        self.written = 0
+
+    # ---------------------------------------------------------- RESP codec
+    @staticmethod
+    def _encode(*args: str | bytes) -> bytes:
+        out = [b"*%d\r\n" % len(args)]
+        for a in args:
+            b = a if isinstance(a, (bytes, bytearray)) else str(a).encode("utf-8")
+            out.append(b"$%d\r\n" % len(b))
+            out.append(bytes(b))
+            out.append(b"\r\n")
+        return b"".join(out)
+
+    def _read_reply(self):
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("redis connection closed mid-reply")
+        t, body = line[:1], line[1:-2]
+        if t == b"+":
+            return ("ok", body.decode("utf-8"))
+        if t == b"-":
+            return ("err", body.decode("utf-8"))
+        if t == b":":
+            return ("int", int(body))
+        if t == b"$":
+            n = int(body)
+            if n == -1:
+                return ("bulk", None)
+            data = self._rfile.read(n + 2)[:-2]
+            return ("bulk", data)
+        if t == b"*":
+            return ("array", [self._read_reply() for _ in range(int(body))])
+        raise ConnectionError(f"unparseable RESP reply {line!r}")
+
+    def _connect(self) -> None:
+        import socket
+
+        self._close()
+        self._sock = socket.create_connection(
+            (self._host, self._port), timeout=self._timeout
+        )
+        self._rfile = self._sock.makefile("rb")
+        # AUTH [user] password, then the reference's client naming
+        # (RedisConnection.DEBEZIUM_REDIS_SINK_CLIENT_NAME)
+        if self._password:
+            args = (
+                ("AUTH", self._user, self._password)
+                if self._user
+                else ("AUTH", self._password)
+            )
+            self._sock.sendall(self._encode(*args))
+            kind, msg = self._read_reply()
+            if kind == "err":
+                raise ConnectionError(f"redis AUTH failed: {msg}")
+        self._sock.sendall(
+            self._encode("CLIENT", "SETNAME", "debezium:redis:sink")
+        )
+        self._read_reply()  # best-effort, like the reference's client name
+
+    def _close(self) -> None:
+        for o in (self._rfile, self._sock):
+            if o is not None:
+                try:
+                    o.close()
+                except OSError:
+                    pass
+        self._sock = self._rfile = None
+
+    # ------------------------------------------------------------- delivery
+    def handle_batch(
+        self, records: list[ChangeEvent], committer: RecordCommitter
+    ) -> None:
+        import time as _time
+
+        for start in range(0, len(records), self._batch_size):
+            pending = list(records[start : start + self._batch_size])
+            delay, attempts = self._initial_delay, 0
+            while pending:
+                try:
+                    if self._sock is None:
+                        self._connect()
+                    # liveness probe before pipelining, "to reduce the chance
+                    # of ending up with duplicate records" (reference comment)
+                    self._sock.sendall(self._encode("PING"))
+                    kind, msg = self._read_reply()
+                    if kind == "err":
+                        raise ConnectionError(f"redis PING failed: {msg}")
+                    cmds = []
+                    for rec in pending:
+                        key = rec.key if rec.key is not None else self._null_key
+                        value = (
+                            rec.value if rec.value is not None else self._null_value
+                        )
+                        cmds.append(
+                            self._encode(
+                                "XADD",
+                                self._mapper(rec.destination),
+                                "*",
+                                key,
+                                value,
+                            )
+                        )
+                    self._sock.sendall(b"".join(cmds))  # one pipelined write
+                    replies = [self._read_reply() for _ in pending]
+                except (OSError, ConnectionError):
+                    self._close()
+                    attempts += 1
+                    if self._max_retries and attempts > self._max_retries:
+                        raise
+                    _time.sleep(delay)
+                    delay = min(delay * 2, self._max_delay)
+                    continue
+                still = []
+                for rec, (kind, msg) in zip(pending, replies):
+                    if kind == "err":
+                        if "OOM command not allowed" in str(msg):
+                            still.append(rec)  # retried once memory frees
+                            continue
+                        raise RuntimeError(f"redis sink data error: {msg}")
+                    committer.mark_processed(rec)
+                    self.written += 1
+                pending = still
+                if pending:
+                    attempts += 1
+                    if self._max_retries and attempts > self._max_retries:
+                        raise RuntimeError(
+                            f"redis sink: {len(pending)} records still failing "
+                            f"with OOM after {attempts} attempts"
+                        )
+                    _time.sleep(delay)
+                    delay = min(delay * 2, self._max_delay)
+        committer.mark_batch_finished()
+
+
+register_sink("redis", RedisSink)
+
+
 # ------------------------------------------------------------------- server
 
 

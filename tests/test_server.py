@@ -226,6 +226,163 @@ class _Webhook:
         self.httpd.server_close()
 
 
+class _FakeRedis:
+    """Minimal stdlib-socket RESP2 server: enough of Redis to host the sink's
+    wire protocol — PING/AUTH/CLIENT are acked, XADD appends to an in-memory
+    stream dict and returns a synthetic entry id. Can reply OOM to the first
+    N XADDs (exercising the reference's per-response OOM retry accounting)
+    and drop the first N connections outright (exercising reconnect)."""
+
+    def __init__(self, oom_first: int = 0, drop_first_conns: int = 0):
+        import socket
+        import threading
+
+        self.entries: dict[str, list[tuple[bytes, bytes]]] = {}
+        self.oom_left = oom_first
+        self.drop_conns_left = drop_first_conns
+        self.auths: list[list[bytes]] = []
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(8)
+        self.address = f"127.0.0.1:{self._srv.getsockname()[1]}"
+        self._alive = True
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def _accept_loop(self):
+        import threading
+
+        while self._alive:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            with self._lock:
+                if self.drop_conns_left > 0:
+                    self.drop_conns_left -= 1
+                    conn.close()
+                    continue
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn):
+        f = conn.makefile("rb")
+        seq = 0
+        try:
+            while True:
+                line = f.readline()
+                if not line or not line.startswith(b"*"):
+                    return
+                args = []
+                for _ in range(int(line[1:-2])):
+                    n = int(f.readline()[1:-2])
+                    args.append(f.read(n + 2)[:-2])
+                cmd = args[0].upper()
+                if cmd in (b"PING",):
+                    conn.sendall(b"+PONG\r\n")
+                elif cmd in (b"CLIENT",):
+                    conn.sendall(b"+OK\r\n")
+                elif cmd == b"AUTH":
+                    with self._lock:
+                        self.auths.append(args[1:])
+                    conn.sendall(b"+OK\r\n")
+                elif cmd == b"XADD":
+                    stream, _star, field, value = (
+                        args[1].decode(), args[2], args[3], args[4],
+                    )
+                    with self._lock:
+                        if self.oom_left > 0:
+                            self.oom_left -= 1
+                            conn.sendall(
+                                b"-OOM command not allowed when used memory"
+                                b" > 'maxmemory'.\r\n"
+                            )
+                            continue
+                        self.entries.setdefault(stream, []).append(
+                            (field, value)
+                        )
+                    seq += 1
+                    rid = f"17000000000-{seq}".encode()
+                    conn.sendall(b"$%d\r\n%s\r\n" % (len(rid), rid))
+                else:
+                    conn.sendall(b"-ERR unknown command\r\n")
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    def close(self):
+        self._alive = False
+        self._srv.close()
+
+
+def test_redis_sink_round_trip(spark, server_wal):
+    """RedisStreamChangeConsumer parity over a stdlib RESP fake: XADD per
+    record onto the mapped destination stream with {key: value} fields,
+    tombstones delivered as the null.value replacement (NOT skipped — unlike
+    the HTTP sink), OOM replies retried per-record with backoff, dropped
+    connections reconnected, offsets committed only after acks (a second run
+    delivers nothing new)."""
+    d = server_wal
+    fake = _FakeRedis(oom_first=3, drop_first_conns=1)
+    try:
+        props = _base_props(d)
+        props["debezium.sink.type"] = "redis"
+        props["debezium.sink.redis.address"] = fake.address
+        props["debezium.sink.redis.password"] = "hunter2"
+        props["debezium.sink.redis.retry.initial.delay.ms"] = "10"
+        props["debezium.sink.redis.retry.max.delay.ms"] = "50"
+        del props["debezium.sink.file.dir"]
+        server = Server(spark, props)
+        assert server.run() == 0
+        expected = _expected_total(spark, d)
+        got = sum(len(v) for v in fake.entries.values())
+        assert got == server.sink.written == expected  # tombstones included
+        assert list(fake.entries) == ["repos.lake.repos"]
+        assert fake.auths and fake.auths[0] == [b"hunter2"]
+        # tombstone records carry the null.value replacement
+        values = [v for _, v in fake.entries["repos.lake.repos"]]
+        assert b"default" in values
+        json.loads(  # non-tombstone values are the JSON envelope
+            next(v for v in values if v != b"default").decode()
+        )
+        # offsets flushed: a fresh server re-delivers nothing
+        n0 = got
+        server2 = Server(spark, props)
+        assert server2.run() == 0
+        assert sum(len(v) for v in fake.entries.values()) == n0
+    finally:
+        fake.close()
+
+
+def test_redis_sink_errors(spark):
+    from debezium_spark.server import RedisSink
+
+    with pytest.raises(ValueError, match="address"):
+        RedisSink({}, lambda s: s)
+    # bounded-retry deviation: a dead endpoint raises instead of spinning
+    sink = RedisSink(
+        {"address": "127.0.0.1:1", "retries": "2",
+         "retry.initial.delay.ms": "1", "retry.max.delay.ms": "2"},
+        lambda s: s,
+    )
+
+    class _Rec:
+        destination, offset, key, value = "t", 1, "k", '{"a":1}'
+
+    class _Committer:
+        def mark_processed(self, r):
+            pass
+
+        def mark_batch_finished(self):
+            pass
+
+    with pytest.raises(OSError):
+        sink.handle_batch([_Rec()], _Committer())
+
+
 def test_http_sink_round_trip_with_retries(spark, server_wal):
     """HttpChangeConsumer parity: per-record POSTs in offset order,
     content-type by value format, 500s retried with the configured pause,
@@ -432,3 +589,43 @@ def test_spark_submit_pyfiles_end_to_end(spark, server_wal):
         assert len(hook.received) == summary2["records_written"] > 0
     finally:
         hook.close()
+
+    # third leg, same zip: the Redis RESP sink through a real spark-submit —
+    # the RESP fake lives in THIS process, the producer in the submitted one
+    fake = _FakeRedis()
+    try:
+        redis_props = _base_props(d)
+        redis_props["debezium.sink.type"] = "redis"
+        redis_props["debezium.sink.redis.address"] = fake.address
+        redis_props["debezium.source.work.dir"] = f"{d}/work_redis"
+        del redis_props["debezium.sink.file.dir"]
+        redis_props_path = os.path.join(d, "app_redis.properties")
+        with open(redis_props_path, "w") as f:
+            for k, v in redis_props.items():
+                f.write(f"{k}={v}\n")
+        proc3 = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", dist["path"],
+                os.path.join(d, "server_main.py"),
+                "--config", redis_props_path,
+            ],
+            cwd=d,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc3.returncode == 0, proc3.stderr[-4000:]
+        summary3 = json.loads(
+            [ln for ln in proc3.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+        assert summary3["sink"] == "redis" and summary3["exit_code"] == 0
+        got = sum(len(v) for v in fake.entries.values())
+        assert got == summary3["records_written"] > 0
+        assert list(fake.entries) == ["repos.lake.repos"]
+    finally:
+        fake.close()
