@@ -2240,19 +2240,83 @@ def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(v, query, mins, steps, k=10)
 
 
+def _fl2_sql_chain(prefix: str, seed: str, carry: str, n: int = 16) -> str:
+    """The DuckDB replay of text.with_fixed_log2: ``n`` shift-and-square
+    rounds as chained CTEs over a seed subquery exposing (``carry``, x, e,
+    m, f). Generated rather than hand-written so the oracle's step count and
+    constants can never drift from the Spark operator's."""
+    ctes = [f"{prefix}0 AS ({seed})"]
+    for i in range(n):
+        ctes.append(
+            f"{prefix}{i + 1} AS (SELECT {carry}x, e, "
+            "CASE WHEN sq >= 2147483648 THEN sq >> 1 ELSE sq END AS m, "
+            "f * 2 + CASE WHEN sq >= 2147483648 THEN 1 ELSE 0 END AS f "
+            f"FROM (SELECT *, (m * m) >> 30 AS sq FROM {prefix}{i}))"
+        )
+    return ",\n            ".join(ctes)
+
+
+def _unigram_nll_oracle_sql() -> str:
+    """doc_unigram_nll oracle: identical integer fixed-point-log2 steps as
+    the Spark operator (16 fraction bits, x 693147 div 65536) — the gate is
+    exact-by-construction, no transcendental on either side."""
+    d_seed = (
+        "SELECT x, e, CASE WHEN e >= 30 THEN x >> (e - 30) "
+        "ELSE x << (30 - e) END AS m, CAST(0 AS BIGINT) AS f "
+        "FROM (SELECT CAST(N + V AS BIGINT) AS x, "
+        "length(printf('%b', N + V)) - 1 AS e FROM nv)"
+    )
+    c_seed = (
+        "SELECT w, x, e, CASE WHEN e >= 30 THEN x >> (e - 30) "
+        "ELSE x << (30 - e) END AS m, CAST(0 AS BIGINT) AS f "
+        "FROM (SELECT w, CAST(c_w + 1 AS BIGINT) AS x, "
+        "length(printf('%b', c_w + 1)) - 1 AS e FROM vocab)"
+    )
+    return rf"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ),
+            vocab AS MATERIALIZED (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+            nv AS (SELECT CAST(sum(c_w) AS BIGINT) AS N, count(*) AS V FROM vocab),
+            {_fl2_sql_chain("d", d_seed, "")},
+            dl AS (SELECT e * 65536 + f AS l2d FROM d16),
+            {_fl2_sql_chain("c", c_seed, "w, ")},
+            model AS MATERIALIZED (
+              SELECT w,
+                     CAST(((dl.l2d - (e * 65536 + f)) * 693147) // 65536
+                          AS BIGINT) AS q
+              FROM c16 CROSS JOIN dl
+            ),
+            pd AS (SELECT id, w, count(*) AS n FROM toks GROUP BY 1, 2),
+            sc AS MATERIALIZED (
+              SELECT id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(sum(n * q) AS BIGINT) AS nll_ppm
+              FROM pd JOIN model USING (w) GROUP BY 1
+            )
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sc.nll_ppm, 0) AS BIGINT) AS nll_ppm,
+                   CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+                        ELSE coalesce(sc.nll_ppm, 0) // sc.n_tokens END AS BIGINT)
+                     AS avg_nll_ppm
+            FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+        """
+
+
 def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity scoring (text.unigram_nll — the CCNet-style
-    quality filter shape): per-token nll is ppm-quantized once per VOCAB
-    TYPE (Laplace alpha=1), each doc's score is the exact BIGINT token
-    sum — no per-instance float. Two map-side-combined count shuffles, a
-    broadcast vocab join, one doc-keyed sum.
-
-    Oracle-contract boundary note: the ONE float op per vocab type (ln) is
-    JVM Math.log vs DuckDB libm ln — a 1-ulp divergence on an input whose
-    scaled value lands exactly on the floor(x*1e6+0.5) boundary would flip
-    that type's ppm cost. Measure-zero in practice and unobserved across
-    rounds; documented because the module's other gates are pure-integer
-    and carry no such residual risk."""
+    quality filter shape): per-token nll is quantized once per VOCAB TYPE
+    (Laplace alpha=1) via the EXACT shift-and-square fixed-point binary log
+    (text.with_fixed_log2, 16 fraction bits, x ln(2)*1e6 constant), each
+    doc's score is the exact BIGINT token sum. No transcendental touches
+    the gated value anywhere — the r3/r4 1-ulp JVM-vs-libm ln boundary
+    risk is structurally gone (the oracle replays the identical integer
+    steps). Two map-side-combined count shuffles, a broadcast vocab join,
+    one doc-keyed sum."""
     return TX.unigram_nll(_docs(spark, sf_dir))
 
 
@@ -4174,36 +4238,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM b GROUP BY event_type, bin
         """,
-        "doc_unigram_nll": r"""
-            WITH toks AS (
-              SELECT doc_id AS id,
-                     unnest(list_filter(
-                       string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
-                       x -> x <> '')) AS w
-              FROM documents
-            ),
-            vocab AS MATERIALIZED (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
-            nv AS (SELECT CAST(sum(c_w) AS BIGINT) AS N, count(*) AS V FROM vocab),
-            model AS MATERIALIZED (
-              SELECT w,
-                     CAST(floor(-ln(CAST(c_w + 1 AS DOUBLE) / (nv.N + 1 * nv.V))
-                                * 1e6 + 0.5) AS BIGINT) AS q
-              FROM vocab CROSS JOIN nv
-            ),
-            pd AS (SELECT id, w, count(*) AS n FROM toks GROUP BY 1, 2),
-            sc AS MATERIALIZED (
-              SELECT id, CAST(sum(n) AS BIGINT) AS n_tokens,
-                     CAST(sum(n * q) AS BIGINT) AS nll_ppm
-              FROM pd JOIN model USING (w) GROUP BY 1
-            )
-            SELECT d.doc_id AS id,
-                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(sc.nll_ppm, 0) AS BIGINT) AS nll_ppm,
-                   CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
-                        ELSE coalesce(sc.nll_ppm, 0) // sc.n_tokens END AS BIGINT)
-                     AS avg_nll_ppm
-            FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
-        """,
+        "doc_unigram_nll": _unigram_nll_oracle_sql(),
         "evt_windowed_topk": """
             WITH c AS (
               SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
@@ -4260,11 +4295,22 @@ def oracle_sql() -> dict[str, str]:
                           END) AS BIGINT) AS n_tokens
               FROM documents GROUP BY 1
             ),
+            -- exact integer cube root: float pow only seeds the guess, the
+            -- largest k in guess±2 with k^3 <= n*10^18 (HUGEINT-exact) wins,
+            -- mirroring text._exact_root_pow_q (1-ulp pow can't flip it)
             p AS (
               SELECT "group", n_tokens,
-                     CAST(floor(pow(CAST(n_tokens AS DOUBLE), 1.0/3.0) * 1e6 + 0.5)
-                          AS BIGINT) AS pq
-              FROM c
+                     coalesce(list_max(list_filter(
+                       [g - 2, g - 1, g, g + 1, g + 2],
+                       k -> k >= 0 AND k::HUGEINT * k * k
+                            <= n_tokens::HUGEINT * 1000000000000000000
+                     )), 0) AS pq
+              FROM (
+                SELECT "group", n_tokens,
+                       CAST(floor(pow(CAST(n_tokens AS DOUBLE), 1.0/3.0)
+                                  * 1e6) AS BIGINT) AS g
+                FROM c
+              )
             )
             SELECT "group", n_tokens,
                    CAST((pq * 1000000) // (SELECT sum(pq) FROM p) AS BIGINT)

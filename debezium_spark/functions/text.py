@@ -959,6 +959,38 @@ def pmi_bigrams(
     return scored.orderBy(F.desc("pmi_ppm"), F.asc("bigram")).limit(k)
 
 
+def _exact_root_pow_q(n: Column, m: int) -> Column:
+    """``floor(n^(1/m) * 1e6)`` EXACTLY for integer ``1 <= m <= 4`` and a
+    non-negative BIGINT column (the check arithmetic must fit
+    DECIMAL(38,0): ``n * 10^(6m)`` needs ``n <= 1e14`` at m=4 — a 100 T
+    token corpus): a float ``pow`` only SEEDS the guess, and
+    the answer is pinned as the largest candidate ``k`` in guess±2 with
+    ``k^m <= n * 10^(6m)`` — checked in DECIMAL(38,0), so a 1-ulp
+    JVM-vs-libm ``pow`` divergence can shift the guess but never the
+    result (the r4 transcendental-boundary gate risk, closed)."""
+    g = F.floor(F.pow(n.cast("double"), F.lit(1.0 / m)) * F.lit(1e6)).cast(
+        "long"
+    )
+    target = n.cast("decimal(20,0)") * F.lit(10 ** (6 * m)).cast(
+        f"decimal({6 * m + 1},0)"
+    )
+
+    def powm(k: Column) -> Column:
+        p = k.cast("decimal(12,0)")
+        r = p
+        for _ in range(m - 1):
+            r = r * p
+        return r
+
+    cands = F.array(
+        *[
+            F.when((c >= 0) & (powm(c) <= target), c)
+            for c in (g + F.lit(d) for d in (-2, -1, 0, 1, 2))
+        ]
+    )
+    return F.coalesce(F.array_max(cands), F.lit(0)).cast("long")
+
+
 def temperature_weights(
     docs: DataFrame,
     *,
@@ -971,13 +1003,18 @@ def temperature_weights(
     sampling, T→∞ uniform; 2-5 is the usual range that up-samples tail
     languages without drowning the head.
 
-    Determinism: the single ``pow`` per GROUP is quantized to an integer
-    immediately (``pow_q = floor(n^(1/T) * 1e6 + 0.5)``), so the normalizing
-    sum is an order-independent BIGINT sum and ``weight_ppm = pow_q * 1e6
-    DIV sum(pow_q)`` is exact integer division — no float accumulates
-    across rows anywhere. One map-side-combined token-count shuffle
-    (corpus-sized path); everything after runs on the |groups|-bounded
-    frame.
+    Determinism: for INTEGER temperatures (the practical mT5/XLM-R settings)
+    ``pow_q = floor(n^(1/T) * 1e6)`` is computed EXACTLY — the float ``pow``
+    only seeds a guess that exact DECIMAL(38,0) comparisons pin down
+    (:func:`_exact_root_pow_q`), so the value is bit-identical on any engine
+    even when JVM and libm ``pow`` differ by an ulp at a rounding boundary.
+    Non-integer temperatures fall back to the quantize-after-pow float path
+    (``floor(n^(1/T)*1e6 + 0.5)``), which carries the documented 1-ulp
+    boundary caveat. Either way the normalizing sum is an order-independent
+    BIGINT sum and ``weight_ppm = pow_q * 1e6 DIV sum(pow_q)`` is exact
+    integer division — no float accumulates across rows anywhere. One
+    map-side-combined token-count shuffle (corpus-sized path); everything
+    after runs on the |groups|-bounded frame.
 
     Output: (group, n_tokens, weight_ppm), weight_ppm summing to ~1e6
     (short by at most |groups| from floor truncation).
@@ -987,10 +1024,18 @@ def temperature_weights(
     counts = docs.groupBy(F.col(group_col).alias("group")).agg(
         F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
     )
-    pow_q = F.floor(
-        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / temperature)) * 1e6
-        + F.lit(0.5)
-    ).cast("long")
+    m = round(temperature)
+    # m <= 4 keeps k^m and n*10^(6m) inside DECIMAL(38,0) for corpus-scale
+    # token counts (n <= 1e14 at m=4); larger/non-integer T uses the float
+    # path with its documented boundary caveat
+    if abs(temperature - m) < 1e-12 and 1 <= m <= 4:
+        pow_q = _exact_root_pow_q(F.col("n_tokens"), int(m))
+    else:
+        pow_q = F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / temperature))
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long")
     w = counts.select("group", "n_tokens", pow_q.alias("_pq"))
     return w.select(
         "group",
@@ -1074,6 +1119,89 @@ def unimax_weights(
     )
 
 
+# ln(2) * 1e6 as a FIXED integer constant — part of the unigram_nll
+# quantization contract (any fixed rational would do; this one keeps the
+# output in familiar nats-ppm units)
+_LN2_PPM = 693147
+_FL2_FRAC_BITS = 16
+
+
+def with_fixed_log2(
+    df: DataFrame, src: str, out: str, *, frac_bits: int = _FL2_FRAC_BITS
+) -> DataFrame:
+    """Add ``out`` = fixed-point ``log2(src)`` in ``2^-frac_bits`` units for
+    a POSITIVE BIGINT column, by exact integer arithmetic only.
+
+    Algorithm (classical shift-and-square binary log): the exponent is the
+    bit length minus one (``length(bin(x)) - 1`` — exact on any engine, no
+    transcendental); the mantissa normalizes to [2^30, 2^31) by integer
+    shifts; each of ``frac_bits`` rounds squares the mantissa
+    (m*m <= 2^62, BIGINT-safe), rescales by ``>> 30``, and emits one
+    fraction bit with a truncating ``>> 1`` renormalization. Every step is
+    an integer compare/multiply/shift, so the result is BIT-IDENTICAL on
+    Spark and any SQL oracle replaying the same steps — unlike
+    ``floor(log(x)*1e6 + 0.5)``, where a 1-ulp JVM-vs-libm ``log``
+    difference at a rounding boundary flips the quantized value (the r4
+    gate-risk class this closes). Truncation makes the result a
+    deterministic lower approximation (relative error < 2^-14 at the
+    defaults) — the CONTRACT is this exact bit pattern, not a rounding of
+    the true log.
+
+    Each round lands in its own projection (withColumn), so the plan stays
+    linear in ``frac_bits`` — Catalyst's collapse guard keeps the
+    multiply-referenced mantissa from inlining exponentially.
+    """
+    x = F.col(src)
+    e = (F.length(F.bin(x)) - 1).cast("int")
+    sr = lambda c, s: F.call_function("shiftright", c, s)  # noqa: E731
+    sl = lambda c, s: F.call_function("shiftleft", c, s)  # noqa: E731
+    m0 = (
+        F.when(e >= 30, sr(x, (e - F.lit(30)).cast("int")))
+        .otherwise(sl(x, (F.lit(30) - e).cast("int")))
+        .cast("long")
+    )
+    df = (
+        df.withColumn("_fl2_e", e.cast("long"))
+        .withColumn("_fl2_m", m0)
+        .withColumn("_fl2_f", F.lit(0).cast("long"))
+    )
+    for _ in range(frac_bits):
+        df = df.withColumn(
+            "_fl2_sq", sr(F.col("_fl2_m") * F.col("_fl2_m"), F.lit(30))
+        )
+        hi = F.col("_fl2_sq") >= F.lit(1 << 31)
+        df = df.withColumn(
+            "_fl2_f", F.col("_fl2_f") * 2 + hi.cast("long")
+        ).withColumn(
+            "_fl2_m",
+            F.when(hi, sr(F.col("_fl2_sq"), F.lit(1))).otherwise(
+                F.col("_fl2_sq")
+            ),
+        )
+    df = df.withColumn(
+        out, F.col("_fl2_e") * F.lit(1 << frac_bits) + F.col("_fl2_f")
+    )
+    return df.drop("_fl2_e", "_fl2_m", "_fl2_f", "_fl2_sq")
+
+
+def fixed_log2_py(x: int, frac_bits: int = _FL2_FRAC_BITS) -> int:
+    """Pure-Python reference of :func:`with_fixed_log2` (tests/oracles)."""
+    if x <= 0:
+        raise ValueError("x must be positive")
+    e = x.bit_length() - 1
+    m = (x >> (e - 30)) if e >= 30 else (x << (30 - e))
+    f = 0
+    for _ in range(frac_bits):
+        sq = (m * m) >> 30
+        if sq >= 1 << 31:
+            f = f * 2 + 1
+            m = sq >> 1
+        else:
+            f = f * 2
+            m = sq
+    return e * (1 << frac_bits) + f
+
+
 def unigram_nll(
     docs: DataFrame,
     *,
@@ -1089,12 +1217,18 @@ def unigram_nll(
     bucketed.
 
     Exactness: per-token ``nll = -ln((c_w + alpha) / (N + alpha*V))`` is
-    computed and ppm-quantized ONCE PER VOCABULARY TYPE (a vocab-sized
-    frame, Laplace-smoothed so unseen-at-scoring-time tokens are
-    impossible by construction here but the formula stays total), and each
-    document's score is the exact BIGINT sum of its tokens' quantized
-    nll — float math never runs per token instance, so scores are
-    bit-identical across engines and partitionings.
+    quantized ONCE PER VOCABULARY TYPE (a vocab-sized frame,
+    Laplace-smoothed so unseen-at-scoring-time tokens are impossible by
+    construction here but the formula stays total) — and the quantization
+    itself is EXACT integer arithmetic: ``nll_q = ((L2(D) - L2(c_w+alpha))
+    * 693147) div 2^16`` where ``L2`` is the shift-and-square fixed-point
+    binary log (:func:`with_fixed_log2`, 16 fraction bits) and 693147 is
+    the fixed ln(2)*1e6 constant. No transcendental touches the gated
+    value, so a 1-ulp JVM-vs-libm ``log`` divergence cannot flip it (the
+    r4 boundary-risk class); the ~1e-4-relative quantization bias is
+    deterministic and part of the contract. Each document's score is the
+    exact BIGINT sum of its tokens' quantized nll — float math never runs
+    anywhere in the operator.
 
     Plan shape: one tokenize+explode pass feeds TWO map-side-combined
     count shuffles (corpus token counts; per-(doc, token) counts); the
@@ -1113,19 +1247,21 @@ def unigram_nll(
     words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     toks = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    # N and V are 1-row aggregates broadcast into the vocab frame
+    # N and V are 1-row aggregates broadcast into the vocab frame; the
+    # denominator's fixed-point log runs once on that 1-row frame
     nv = vocab.agg(
         F.sum("c_w").cast("long").alias("_N"), F.count(F.lit(1)).alias("_V")
+    ).withColumn("_D", (F.col("_N") + F.lit(alpha) * F.col("_V")).cast("long"))
+    nv = with_fixed_log2(nv, "_D", "_l2d")
+    vl = with_fixed_log2(
+        vocab.withColumn("_c", (F.col("c_w") + F.lit(alpha)).cast("long")),
+        "_c",
+        "_l2c",
     )
-    model = vocab.crossJoin(F.broadcast(nv)).select(
+    model = vl.crossJoin(F.broadcast(nv)).select(
         "w",
-        F.floor(
-            -F.log(
-                (F.col("c_w") + F.lit(alpha)).cast("double")
-                / (F.col("_N") + F.lit(alpha) * F.col("_V")).cast("double")
-            )
-            * 1e6
-            + F.lit(0.5)
+        F.expr(
+            f"((_l2d - _l2c) * {_LN2_PPM}) div {1 << _FL2_FRAC_BITS}"
         ).cast("long").alias("nll_q"),
     )
     per_doc_tok = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("n"))

@@ -1393,6 +1393,37 @@ def test_temperature_weights_laws(spark, docs):
     assert abs(sum(t5.values()) - 1_000_000) <= len(t5)
 
 
+def test_exact_root_pow_q_boundary_proof(spark):
+    """The r4 transcendental-boundary risk, probed at its worst inputs:
+    perfect cubes are EXACTLY the values where floor(pow(n,1/3)*1e6) sits on
+    an integer boundary and a 1-ulp pow difference used to flip the quantized
+    value. The exact integer-root path must return t*1e6 for n = t^3 on every
+    engine — verified against pure-Python integer arithmetic."""
+    from debezium_spark.functions.text import _exact_root_pow_q
+
+    ns = [0, 1, 7, 8, 26, 27, 1000, 10**6, 10**9, 10**12]
+    ns += [t**3 for t in (2, 3, 7, 10, 99, 1234, 99999)]  # boundary cubes
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r["n"]: r["q"]
+        for r in df.select("n", _exact_root_pow_q(F.col("n"), 3).alias("q")).collect()
+    }
+
+    def py_root_q(n):  # floor(n^(1/3) * 1e6) by pure integer search
+        lo, hi = 0, 10**13
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if mid**3 <= n * 10**18:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    for n in ns:
+        assert got[n] == py_root_q(n), n
+    assert got[27] == 3_000_000 and got[10**12] == 10_000_000_000
+
+
 def test_unimax_water_filling_laws(spark, docs):
     """Budget conserved up to division remainder, caps honored, uncapped
     groups share equally, and a lavish budget caps everyone."""
@@ -1448,8 +1479,13 @@ def test_sq_encode_topk_matches_numpy(spark, vecs):
 
 def test_unigram_nll_laws(spark):
     """Rarer tokens raise the score; identical docs tie; score equals the
-    hand-computed quantized sum; empty docs score 0."""
+    hand-computed fixed-point quantized sum (exact integer binary log — no
+    transcendental in the gated value) and tracks the true ln within the
+    documented quantization bias; empty docs score 0."""
     import math
+
+    from debezium_spark.functions.text import _LN2_PPM, fixed_log2_py
+
     rows = [
         (1, "common common common common"),
         (2, "common common common rare"),
@@ -1460,13 +1496,20 @@ def test_unigram_nll_laws(spark):
     out = {r["id"]: r for r in X.unigram_nll(df).collect()}
     assert out[2]["nll_ppm"] == out[3]["nll_ppm"] > out[1]["nll_ppm"]
     assert out[4]["n_tokens"] == 0 and out[4]["nll_ppm"] == 0
-    # hand check: N=13 counting tokens? tokens: doc1 4x common, doc2/3: 3 common + 1 rare each
-    # => c(common)=10, c(rare)=2, N=12, V=2, alpha=1
-    q_common = math.floor(-math.log(11 / 14) * 1e6 + 0.5)
-    q_rare = math.floor(-math.log(3 / 14) * 1e6 + 0.5)
-    assert out[1]["nll_ppm"] == 4 * q_common
-    assert out[2]["nll_ppm"] == 3 * q_common + q_rare
-    assert out[2]["avg_nll_ppm"] == (3 * q_common + q_rare) // 4
+    # hand check: doc1 4x common, doc2/3: 3 common + 1 rare each
+    # => c(common)=10, c(rare)=2, N=12, V=2, alpha=1, D=14
+    q = lambda c: ((fixed_log2_py(14) - fixed_log2_py(c)) * _LN2_PPM) >> 16  # noqa: E731
+    assert out[1]["nll_ppm"] == 4 * q(11)
+    assert out[2]["nll_ppm"] == 3 * q(11) + q(3)
+    assert out[2]["avg_nll_ppm"] == (3 * q(11) + q(3)) // 4
+    # quantization tracks the true -ln within the documented ~1e-4 relative
+    for c in (3, 11):
+        true_ppm = -math.log(c / 14) * 1e6
+        assert abs(q(c) - true_ppm) <= max(2e-4 * true_ppm, 25)
+    # the exponent/boundary cases: exact powers of two, where a 1-ulp libm
+    # log used to threaten the floor boundary, are now exact by construction
+    for x in (1, 2, 4, 1 << 20, 1 << 40):
+        assert fixed_log2_py(x) == (x.bit_length() - 1) << 16
 
 
 def test_windowed_topk_ranks_per_window(spark):
