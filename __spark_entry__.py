@@ -2256,6 +2256,16 @@ def _fl2_sql_chain(prefix: str, seed: str, carry: str, n: int = 16) -> str:
     return ",\n            ".join(ctes)
 
 
+# Seed template for _fl2_sql_chain: exposes (carry..., x, e, m, f) from a
+# source relation; {x} is the positive BIGINT expression to log.
+_FL2_SEED = (
+    "SELECT {carry}x, e, CASE WHEN e >= 30 THEN x >> (e - 30) "
+    "ELSE x << (30 - e) END AS m, CAST(0 AS BIGINT) AS f "
+    "FROM (SELECT {carry}CAST({x} AS BIGINT) AS x, "
+    "length(printf('%b', CAST({x} AS BIGINT))) - 1 AS e FROM {src})"
+)
+
+
 def _unigram_nll_oracle_sql() -> str:
     """doc_unigram_nll oracle: identical integer fixed-point-log2 steps as
     the Spark operator (16 fraction bits, x 693147 div 65536) — the gate is
@@ -2372,98 +2382,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters operationally: the driver's CORRECTNESS gate checks
-    # roughly the FIRST 50 keys each round. The front block therefore
-    # rotates to (a) entries never yet driver-checked, (b) entries whose
-    # gate/oracle/operator changed this round; long-green entries ride at
-    # the back with their prior driver rows as evidence.
-        "evt_windowed_metrics": q_evt_windowed_metrics,
-        "doc_cardinality_sketch": q_doc_cardinality_sketch,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "doc_gopher_filter": q_doc_gopher_filter,
-        "doc_shuffle_order": q_doc_shuffle_order,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_pack_shards": q_doc_pack_shards,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_span_dedup": q_doc_span_dedup,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_hash_sample": q_doc_hash_sample,
-        "cdc_handling_modes": q_cdc_handling_modes,
-        "doc_classifier_score": q_doc_classifier_score,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "doc_mix_sources": q_doc_mix_sources,
-        "doc_chunk_windows": q_doc_chunk_windows,
-        "cdc_tx_boundaries": q_tx_boundaries,
-        "mm_media_resize": q_media_resize,
-        "mm_frame_sample": q_media_frame_sample,
-        "cdc_read_to_insert": q_read_to_insert,
-        "cdc_crdt_pn_counter": q_crdt_pn_counter,
-        "cdc_serde_roundtrip": q_serde_roundtrip,
-        "dt_variable_scale_decimal": q_dt_variable_scale_decimal,
-        "dt_bits": q_dt_bits,
-        "dt_point_wkb": q_dt_point_wkb,
-        "dt_avro_binary": q_dt_avro_binary,
-        "dt_protobuf_binary": q_dt_protobuf_binary,
-        "cdc_topic_sanitize": q_topic_sanitize,
-        "dt_enum": q_dt_enum,
-        "dt_temporal": q_dt_temporal,
+    # roughly the FIRST 50 keys each round. ROTATION POLICY (applied every
+    # round, in this priority): (1) entries whose operator/gate/oracle code
+    # changed this round ride first, (2) then the longest-unchecked entries
+    # (no driver row for the most rounds), (3) long-green unchanged entries
+    # ride at the back with their prior driver rows as evidence. r5 front
+    # block = this round's changed entries (special-decimal string render,
+    # exact-root/fixed-log2 gates, 4-sigma HLL bound, IVF broadcast path,
+    # stateful/merge hot-path rework, DDL parser) + every entry whose last
+    # driver row is r02, + the oldest r03 rows.
         "dt_special_decimal": q_dt_special_decimal,
-        "dt_geometry": q_dt_geometry,
-        "cdc_tracing_span": q_tracing_span,
-        "cdc_message_key": q_message_key,
-        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "doc_temperature_weights": q_doc_temperature_weights,
+        "doc_unigram_nll": q_doc_unigram_nll,
+        "doc_cardinality_sketch": q_doc_cardinality_sketch,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "cdc_metrics_rollup": q_metrics_rollup,
-        "evt_sessionize": q_evt_sessionize,
-        "evt_funnel": q_evt_funnel,
-        "evt_retention_cohorts": q_evt_retention_cohorts,
-        "evt_asof_join": q_evt_asof_join,
-        "evt_interval_join": q_evt_interval_join,
-        "evt_rolling_metrics": q_evt_rolling_metrics,
-        "evt_windowed_topk": q_evt_windowed_topk,
-        "emb_kmeans": q_emb_kmeans,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "cdc_envelope_wrap": q_envelope_wrap,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "cdc_stateful_lww_state": q_stateful_lww_state,
         "cdc_lww_last_state": q_lww_last_state,
         "cdc_e2e_engine_replay": q_e2e_engine_replay,
-        "cdc_lake_changelog": q_lake_changelog,
-        "cdc_multi_table_snapshot": q_multi_table_snapshot,
-        "cdc_stateful_lww_state": q_stateful_lww_state,
-        "cdc_dedup_by_offset": q_dedup_by_offset,
-        "cdc_op_skip_filter": q_op_skip_filter,
-        "cdc_table_filter": q_table_filter,
-        "cdc_column_mask_hash": q_column_mask_hash,
-        "cdc_column_truncate": q_column_truncate,
-        "cdc_tombstone_emit": q_tombstone_emit,
-        "cdc_pk_change_split": q_pk_change_split,
-        "cdc_tx_metadata": q_tx_metadata,
-        "cdc_snapshot_markers": q_snapshot_markers,
-        "cdc_snapshot_select_override": q_snapshot_select_override,
-        "cdc_incremental_snapshot_dedup": q_incremental_snapshot_dedup,
-        "cdc_unwrap_new_state": q_unwrap_new_state,
-        "cdc_unwrap_options": q_unwrap_options,
         "cdc_schema_evolution_nullfill": q_schema_evolution_nullfill,
         "cdc_schema_evolution_drop_rename": q_schema_evolution_drop_rename,
-        "cdc_value_converters": q_value_converters,
-        "cdc_custom_converters": q_custom_converters,
-        "evt_outliers": q_evt_outliers,
-        "doc_pmi_bigrams": q_doc_pmi_bigrams,
-        "doc_heavy_hitters": q_doc_heavy_hitters,
-        "doc_cms_estimate": q_doc_cms_estimate,
-        "evt_value_quantiles": q_evt_value_quantiles,
-        "doc_pagerank": q_doc_pagerank,
-        "evt_transitions": q_evt_transitions,
-        "doc_temperature_weights": q_doc_temperature_weights,
-        "doc_unimax_mix": q_doc_unimax_mix,
-        "emb_sq_topk": q_emb_sq_topk,
-        "doc_unigram_nll": q_doc_unigram_nll,
-        "evt_value_histogram": q_evt_value_histogram,
-        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "doc_tfidf_topterms": q_doc_tfidf_topterms,
         "cdc_content_router": q_content_router,
         "cdc_logical_table_router": q_logical_table_router,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2489,6 +2428,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_chunks": q_snapshot_chunks,
         "cdc_cloudevents_attrs": q_cloudevents_attrs,
         "mm_media_features": q_media_features,
+        "cdc_envelope_wrap": q_envelope_wrap,
+        "cdc_lake_changelog": q_lake_changelog,
+        "cdc_multi_table_snapshot": q_multi_table_snapshot,
+        "cdc_dedup_by_offset": q_dedup_by_offset,
+        "cdc_op_skip_filter": q_op_skip_filter,
+        "cdc_table_filter": q_table_filter,
+        "cdc_column_mask_hash": q_column_mask_hash,
+        "cdc_column_truncate": q_column_truncate,
+        "cdc_tombstone_emit": q_tombstone_emit,
+        "cdc_pk_change_split": q_pk_change_split,
+        "cdc_tx_metadata": q_tx_metadata,
+        "cdc_snapshot_markers": q_snapshot_markers,
+        "cdc_snapshot_select_override": q_snapshot_select_override,
+        "evt_windowed_metrics": q_evt_windowed_metrics,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "doc_shuffle_order": q_doc_shuffle_order,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_pack_shards": q_doc_pack_shards,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_span_dedup": q_doc_span_dedup,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_hash_sample": q_doc_hash_sample,
+        "cdc_handling_modes": q_cdc_handling_modes,
+        "doc_classifier_score": q_doc_classifier_score,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_mix_sources": q_doc_mix_sources,
+        "doc_chunk_windows": q_doc_chunk_windows,
+        "cdc_tx_boundaries": q_tx_boundaries,
+        "mm_media_resize": q_media_resize,
+        "mm_frame_sample": q_media_frame_sample,
+        "cdc_read_to_insert": q_read_to_insert,
+        "cdc_crdt_pn_counter": q_crdt_pn_counter,
+        "cdc_serde_roundtrip": q_serde_roundtrip,
+        "dt_variable_scale_decimal": q_dt_variable_scale_decimal,
+        "dt_bits": q_dt_bits,
+        "dt_point_wkb": q_dt_point_wkb,
+        "dt_avro_binary": q_dt_avro_binary,
+        "dt_protobuf_binary": q_dt_protobuf_binary,
+        "cdc_topic_sanitize": q_topic_sanitize,
+        "dt_enum": q_dt_enum,
+        "dt_temporal": q_dt_temporal,
+        "dt_geometry": q_dt_geometry,
+        "cdc_tracing_span": q_tracing_span,
+        "cdc_message_key": q_message_key,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "cdc_metrics_rollup": q_metrics_rollup,
+        "evt_sessionize": q_evt_sessionize,
+        "evt_funnel": q_evt_funnel,
+        "evt_retention_cohorts": q_evt_retention_cohorts,
+        "evt_asof_join": q_evt_asof_join,
+        "evt_interval_join": q_evt_interval_join,
+        "evt_rolling_metrics": q_evt_rolling_metrics,
+        "evt_windowed_topk": q_evt_windowed_topk,
+        "emb_kmeans": q_emb_kmeans,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "cdc_incremental_snapshot_dedup": q_incremental_snapshot_dedup,
+        "cdc_unwrap_new_state": q_unwrap_new_state,
+        "cdc_unwrap_options": q_unwrap_options,
+        "cdc_value_converters": q_value_converters,
+        "cdc_custom_converters": q_custom_converters,
+        "evt_outliers": q_evt_outliers,
+        "doc_pmi_bigrams": q_doc_pmi_bigrams,
+        "doc_heavy_hitters": q_doc_heavy_hitters,
+        "doc_cms_estimate": q_doc_cms_estimate,
+        "evt_value_quantiles": q_evt_value_quantiles,
+        "doc_pagerank": q_doc_pagerank,
+        "evt_transitions": q_evt_transitions,
+        "doc_unimax_mix": q_doc_unimax_mix,
+        "emb_sq_topk": q_emb_sq_topk,
+        "evt_value_histogram": q_evt_value_histogram,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_tfidf_topterms": q_doc_tfidf_topterms,
     }
 
 
@@ -3058,7 +3073,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
                  AS s(step, step_name)
         """,
-        "doc_tfidf_topterms": r"""
+        "doc_tfidf_topterms": rf"""
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split_regex(lower(trim(coalesce(text,''))), '\s+')) AS term
@@ -3070,11 +3085,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             n AS (SELECT count(*) AS n_docs FROM documents),
+            {_fl2_sql_chain("fn", _FL2_SEED.format(carry="", x="n_docs", src="n"), "")},
+            nl AS (SELECT e * 65536 + f AS l2n FROM fn16),
+            {_fl2_sql_chain("fd", _FL2_SEED.format(carry="term, df, ", x="df", src="df"), "term, df, ")},
             idf AS (
               SELECT term, df,
-                     CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5)
+                     CAST(((nl.l2n - (e * 65536 + f)) * 693147) // 65536
                           AS BIGINT) AS idf_ppm
-              FROM df CROSS JOIN n
+              FROM fd16 CROSS JOIN nl
             ),
             ranked AS (
               SELECT tf.doc_id, tf.term, tf.tf,
@@ -3338,7 +3356,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
-        "doc_pmi_bigrams": r"""
+        "doc_pmi_bigrams": rf"""
             WITH w AS (
               SELECT list_filter(
                        string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
@@ -3357,19 +3375,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
               ) GROUP BY 1 HAVING count(*) >= 3
             ),
-            n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w)
-            SELECT replace(big.bg, chr(1), ' ') AS bigram,
-                   big.n_pair,
+            n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w),
+            {_fl2_sql_chain("pn", _FL2_SEED.format(carry="", x="n_tokens", src="n"), "")},
+            pnl AS (SELECT e * 65536 + f AS l2n FROM pn16),
+            {_fl2_sql_chain("pu", _FL2_SEED.format(carry="w, n_w, ", x="n_w", src="uni"), "w, n_w, ")},
+            pul AS (SELECT w, n_w, e * 65536 + f AS l2w FROM pu16),
+            {_fl2_sql_chain("pb", _FL2_SEED.format(carry="bg, n_pair, ", x="n_pair", src="big"), "bg, n_pair, ")},
+            pbl AS (SELECT bg, n_pair, e * 65536 + f AS l2p FROM pb16)
+            SELECT replace(pbl.bg, chr(1), ' ') AS bigram,
+                   pbl.n_pair,
                    ul.n_w AS n_left,
                    ur.n_w AS n_right,
-                   CAST(floor(ln(
-                     (CAST(big.n_pair AS DOUBLE) * n.n_tokens)
-                     / (CAST(ul.n_w AS DOUBLE) * ur.n_w)
-                   ) * 1e6 + 0.5) AS BIGINT) AS pmi_ppm
-            FROM big
-            JOIN uni ul ON ul.w = string_split(big.bg, chr(1))[1]
-            JOIN uni ur ON ur.w = string_split(big.bg, chr(1))[2]
-            CROSS JOIN n
+                   CAST(((pbl.l2p + pnl.l2n - ul.l2w - ur.l2w) * 693147)
+                        // 65536 AS BIGINT) AS pmi_ppm
+            FROM pbl
+            JOIN pul ul ON ul.w = string_split(pbl.bg, chr(1))[1]
+            JOIN pul ur ON ur.w = string_split(pbl.bg, chr(1))[2]
+            CROSS JOIN pnl
             ORDER BY pmi_ppm DESC, bigram
             LIMIT 50
         """,
@@ -3445,7 +3467,7 @@ def oracle_sql() -> dict[str, str]:
                     AND r_stopwords AND r_top_2gram) AS keep
             FROM r
         """,
-        "doc_dsir_weights": r"""
+        "doc_dsir_weights": rf"""
             WITH toks AS (
               SELECT doc_id, (lang = 'en') AS is_target,
                      CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT)
@@ -3463,13 +3485,18 @@ def oracle_sql() -> dict[str, str]:
               FROM toks GROUP BY 1
             ),
             totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            {_fl2_sql_chain("gt", _FL2_SEED.format(carry="", x="tt + 1024", src="totals"), "")},
+            gtl AS (SELECT e * 65536 + f AS l2tt FROM gt16),
+            {_fl2_sql_chain("gr", _FL2_SEED.format(carry="", x="tr + 1024", src="totals"), "")},
+            grl AS (SELECT e * 65536 + f AS l2tr FROM gr16),
+            {_fl2_sql_chain("bc", _FL2_SEED.format(carry="bucket, cr, ", x="ct + 1", src="counts"), "bucket, cr, ")},
+            bcl AS (SELECT bucket, cr, e * 65536 + f AS l2ct FROM bc16),
+            {_fl2_sql_chain("br", _FL2_SEED.format(carry="bucket, l2ct, ", x="cr + 1", src="bcl"), "bucket, l2ct, ")},
             lr AS (
               SELECT bucket,
-                     CAST(floor(ln(
-                       (CAST(ct + 1 AS DOUBLE) / (tt + 1024))
-                       / (CAST(cr + 1 AS DOUBLE) / (tr + 1024))
-                     ) * 1e6 + 0.5) AS BIGINT) AS lr_ppm
-              FROM counts CROSS JOIN totals
+                     CAST(((l2ct + grl.l2tr - (e * 65536 + f) - gtl.l2tt)
+                           * 693147) // 65536 AS BIGINT) AS lr_ppm
+              FROM br16 CROSS JOIN gtl CROSS JOIN grl
             ),
             per_doc AS (
               SELECT t.doc_id, count(*) AS n_tokens,

@@ -611,10 +611,12 @@ def tfidf_top_terms(
     near-duplicate triage, retrieval-augmented filtering).
 
     Exact fixed-point scoring so the ranking (and the DuckDB oracle hash)
-    is engine-portable: ``idf_ppm = floor(ln(N / df) * 1e6 + 0.5)`` is
-    quantized once per TERM on the vocabulary-sized frame, and
-    ``score_ppm = tf * idf_ppm`` is an exact BIGINT product — no float
-    accumulation in any per-row path, ties broken by (score desc, term asc).
+    is engine-portable: ``idf_ppm = ((L2(N) - L2(df)) * 693147) div 2^16``
+    with ``L2`` the EXACT fixed-point binary log (:func:`with_fixed_log2`),
+    quantized once per TERM on the vocabulary-sized frame — no
+    transcendental touches the gated value (a 1-ulp JVM-vs-libm ``ln``
+    cannot flip a rank) — and ``score_ppm = tf * idf_ppm`` is an exact
+    BIGINT product, ties broken by (score desc, term asc).
 
     Scale shape (the plan you want at 100 TB):
       1. tokenize + explode → groupBy (doc, term) count  — one shuffle with
@@ -640,12 +642,17 @@ def tfidf_top_terms(
     toks = docs.select(F.col(id_col), F.explode(tokens).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("_n_docs"))
-    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+    n_docs = with_fixed_log2(
+        docs.select(F.count(F.lit(1)).cast("long").alias("_n_docs")),
+        "_n_docs", "_l2n",
+    )
+    idf = with_fixed_log2(df_, "df", "_l2df").crossJoin(
+        F.broadcast(n_docs)
+    ).select(
         "term",
         "df",
-        F.floor(
-            F.log(F.col("_n_docs").cast("double") / F.col("df")) * 1e6 + 0.5
+        F.expr(
+            f"((_l2n - _l2df) * {_LN2_PPM}) div {1 << _FL2_FRAC_BITS}"
         ).cast("long").alias("idf_ppm"),
     )
     scored = tf.join(idf.where(F.col("df") >= min_df), "term").select(
@@ -683,11 +690,16 @@ def dsir_weights(
     ``F.col("lang") == "en"`` or a quality-classifier verdict). Features are
     hashed unigram buckets ``pmod(_h64(token, salt), buckets)`` (the shared
     oracle-portable hash); bucket probabilities get Laplace smoothing
-    ``(count + 1) / (total + buckets)``; per-bucket
-    ``logratio_ppm = floor(ln(p_target / p_raw) * 1e6 + 0.5)`` is quantized
-    once per BUCKET, so the per-document weight
+    ``(count + 1) / (total + buckets)``; the per-bucket log-ratio is
+    quantized once per BUCKET via the EXACT fixed-point binary log
+    (:func:`with_fixed_log2`): ``logratio_ppm = ((L2(ct+1) + L2(tr+b) -
+    L2(cr+1) - L2(tt+b)) * 693147) div 2^16`` — four integer logs, no
+    transcendental anywhere, so the value is bit-identical on any engine
+    (the additive form also never overflows, unlike logging the cross
+    products at 10^10-token scale). The per-document weight
     ``sum(logratio_ppm over tokens)`` is an exact BIGINT — order-independent
-    and bit-identical in the DuckDB oracle.
+    and bit-identical in the DuckDB oracle, which replays the same integer
+    steps.
 
     Scale shape: tokenize + explode → ONE map-side-combined shuffle produces
     the (bucket, is_target) counts; bucket stats are ≤ ``buckets`` rows
@@ -721,16 +733,26 @@ def dsir_weights(
     totals = counts.select(
         F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
     )
-    b = F.lit(float(buckets))
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    cl = with_fixed_log2(
+        counts.withColumn("_ct1", (F.col("_ct") + 1).cast("long")),
+        "_ct1", "_l2ct",
+    )
+    cl = with_fixed_log2(
+        cl.withColumn("_cr1", (F.col("_cr") + 1).cast("long")), "_cr1", "_l2cr"
+    )
+    tl = with_fixed_log2(
+        totals.withColumn("_ttb", (F.col("_tt") + buckets).cast("long")),
+        "_ttb", "_l2tt",
+    )
+    tl = with_fixed_log2(
+        tl.withColumn("_trb", (F.col("_tr") + buckets).cast("long")),
+        "_trb", "_l2tr",
+    )
+    lr = cl.crossJoin(F.broadcast(tl)).select(
         "_bucket",
-        F.floor(
-            F.log(
-                ((F.col("_ct") + 1).cast("double") / (F.col("_tt") + b))
-                / ((F.col("_cr") + 1).cast("double") / (F.col("_tr") + b))
-            )
-            * 1e6
-            + 0.5
+        F.expr(
+            f"((_l2ct + _l2tr - _l2cr - _l2tt) * {_LN2_PPM})"
+            f" div {1 << _FL2_FRAC_BITS}"
         ).cast("long").alias("_lr_ppm"),
     )
     per_doc = (
@@ -899,11 +921,15 @@ def pmi_bigrams(
     information — the word2phrase step (Mikolov et al. 2013) that promotes
     "new york"-style units before tokenizer/embedding training.
 
-    ``pmi_ppm = floor(ln(c(ab) * N / (c(a) * c(b))) * 1e6 + 0.5)`` — counts
-    are exact corpus integers, the single ln is quantized to ppm once per
-    surviving BIGRAM (a vocabulary-sized frame), and ranking ties break by
-    bigram text, so the top-k is engine-portable. ``min_count`` is the
-    standard noise floor (hapax bigrams have unboundedly inflated PMI).
+    ``pmi_ppm = ((L2(c(ab)) + L2(N) - L2(c(a)) - L2(c(b))) * 693147) div
+    2^16`` with ``L2`` the EXACT fixed-point binary log
+    (:func:`with_fixed_log2`) — counts are exact corpus integers, the four
+    integer logs are quantized once per surviving BIGRAM (a
+    vocabulary-sized frame) with no transcendental anywhere (the additive
+    form also never overflows ``c(ab)*N`` at 10^10-token scale), and
+    ranking ties break by bigram text, so the top-k is engine-portable.
+    ``min_count`` is the standard noise floor (hapax bigrams have
+    unboundedly inflated PMI).
 
     Scale shape: one tokenize+explode pass each for unigram and bigram
     counts (both map-side-combined shuffles keyed on the term); the bigram
@@ -934,25 +960,38 @@ def pmi_bigrams(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= min_count)
     )
-    n_total = toks.select(
-        F.sum(F.size("_ws")).cast("long").alias("_n_tokens")
+    n_total = with_fixed_log2(
+        toks.select(F.sum(F.size("_ws")).cast("long").alias("_n_tokens")),
+        "_n_tokens", "_l2n",
     )
+    unil = with_fixed_log2(uni, "n_w", "_l2w")
+    bigl = with_fixed_log2(big, "n_pair", "_l2p")
     scored = (
-        big.join(uni.select(F.col("w").alias("l"), F.col("n_w").alias("n_left")), "l")
-        .join(uni.select(F.col("w").alias("r"), F.col("n_w").alias("n_right")), "r")
+        bigl.join(
+            unil.select(
+                F.col("w").alias("l"),
+                F.col("n_w").alias("n_left"),
+                F.col("_l2w").alias("_l2l"),
+            ),
+            "l",
+        )
+        .join(
+            unil.select(
+                F.col("w").alias("r"),
+                F.col("n_w").alias("n_right"),
+                F.col("_l2w").alias("_l2r"),
+            ),
+            "r",
+        )
         .crossJoin(F.broadcast(n_total))
         .select(
             F.concat_ws(" ", "l", "r").alias("bigram"),
             "n_pair",
             "n_left",
             "n_right",
-            F.floor(
-                F.log(
-                    (F.col("n_pair").cast("double") * F.col("_n_tokens"))
-                    / (F.col("n_left").cast("double") * F.col("n_right"))
-                )
-                * 1e6
-                + 0.5
+            F.expr(
+                f"((_l2p + _l2n - _l2l - _l2r) * {_LN2_PPM})"
+                f" div {1 << _FL2_FRAC_BITS}"
             ).cast("long").alias("pmi_ppm"),
         )
     )
