@@ -403,9 +403,14 @@ def single(cpus: int) -> dict:
     _next_trial()
     # stateful-streaming leg (applyInPandasWithState continuous LWW) at one
     # WAL scale below the headline — steady-state events/s is the statistic
-    # and it is size-independent past warm-up; BENCH_STATEFUL=0 skips
+    # and it is size-independent past warm-up; BENCH_STATEFUL=0 skips. The
+    # untimed warm-up two scales down first-compiles the Arrow/state-store
+    # path (codegen + Python worker pool), the same treatment every other
+    # leg gets — without it the timed leg absorbs first-use compilation.
     if os.environ.get("BENCH_STATEFUL", "1") != "0":
-        st = run_replay_stateful(spark, warmup_sf_for(sf), restart=True)
+        st_sf = warmup_sf_for(sf)
+        run_replay_stateful(spark, warmup_sf_for(st_sf))  # untimed warm-up
+        st = run_replay_stateful(spark, st_sf, restart=True)
         qtimes["cdc_replay_stateful"] = round(st["wall_sec"], 3)
         result["stateful_events_per_sec"] = round(st["events_per_sec"], 1)
         result["stateful_events"] = st["events"]
